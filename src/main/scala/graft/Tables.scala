@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver-generated parquet corpus (TESTDATA.md).
+  *
+  * Mirrors the reference's string-concatenation "catalog"
+  * (fl_server.py:202-207 builds paths as f"{dir}/{gid}_nodes_{pid}.csv")
+  * but over columnar parquet: one table per file, schema embedded.
+  *
+  * Scale note: `spark.read.parquet` yields a scan that supports column
+  * pruning + predicate pushdown; at 100 TB each table would be a
+  * partitioned directory and everything here still holds.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
+    * a raw long (nanosAsLong). Convert to a proper TIMESTAMP (micros,
+    * floor) here so every consumer sees `ts TIMESTAMP`.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object GraftSession {
+  /** Session factory used by tests and ad-hoc mains (Verify/Bench build
+    * their own per the driver contract). local[32] stand-in for a real
+    * cluster: shuffle partitions sized to cores, AQE on for runtime
+    * re-planning (skew joins, partition coalescing at scale).
+    */
+  def local(cores: Int = 4, app: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

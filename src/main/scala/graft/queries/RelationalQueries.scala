@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** General relational operator surface (SURVEY.md §2.1–§2.6 + built-in
+  * Spark coverage the reference gets "for free"): scans, projections,
+  * casts, filters, unions, keyed keep-first dedup, joins (broadcast /
+  * shuffle / semi / anti), aggregations, windows, sorts/top-k, set ops,
+  * rollup, scalar functions.
+  *
+  * Determinism contract with the DuckDB oracle: every float aggregate is
+  * computed in exact DECIMAL arithmetic (order-independent) and cast to
+  * DOUBLE only at the end; timestamps leave as formatted strings; every
+  * ordering has a total tie-break. This makes hash-compare stable across
+  * engines and across Spark partitionings (so results are identical on
+  * local[4] and on a 1000-executor cluster).
+  */
+object RelationalQueries {
+
+  private val D = DecimalType(18, 4)
+
+  /** exact money arithmetic: decimal sum -> double */
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1-style pruned scan + aggregate. Filter + 6-col projection push to
+    // the parquet scan; partial aggregation map-side; 2-key groupBy.
+    "q01_pruned_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Global top-k: Spark TakeOrderedAndProject (no full sort shuffle).
+    "q02_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    }),
+
+    // 4-way join: nation broadcast (tiny dim), customer/orders/lineitem
+    // shuffle on keys; revenue in exact decimal.
+    "q03_join_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Broadcast fact⋈dim with distinct-agg.
+    "q04_broadcast_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Semi join (EXISTS): customers that have orders.
+    "q05_semi_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no orders.
+    "q06_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Window top-N per group with total tie-break.
+    "q07_window_topn" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Keyed keep-first dedup — SURVEY.md §2.2 A3 (merge.py:38-39
+    // `~index.duplicated(keep='first')`) with an explicit total order.
+    "q08_dedup_keepfirst" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.Dedup.keepFirst(
+          t.lineitem, Seq("l_orderkey"), Seq(col("l_linenumber").asc))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"))
+    }),
+
+    // merge.py union-with-provenance-priority: "localstore" rows beat
+    // "centralstore" rows for the same key (SURVEY.md §3.3).
+    "q09_union_priority_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val local   = t.lineitem.filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val central = t.lineitem.filter(col("l_linenumber") >= 2)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      graft.operators.Dedup.unionKeepFirst(
+        Seq(local, central), Seq("l_orderkey"), Seq(col("l_linenumber").asc))
+    }),
+
+    // Set op: INTERSECT — nations present among both customers and suppliers.
+    "q10_intersect" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersect(t.supplier.select(col("s_nationkey").cast("int").as("nationkey")))
+    }),
+
+    // Set op: EXCEPT — nations with customers but no suppliers.
+    "q11_except" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.select(col("c_nationkey").cast("int").as("nationkey"))
+        .except(t.supplier.select(col("s_nationkey").cast("int").as("nationkey")))
+    }),
+
+    // ROLLUP over region -> nation with exact decimal sums.
+    "q12_rollup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Correlated EXISTS decorrelated to a semi join.
+    "q13_exists_subquery" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem.filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey")).distinct()
+      t.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // Scalar function surface: string fns, CASE, arithmetic, casts
+    // (SURVEY.md §2.6; all codegen'd builtins, no UDFs).
+    "q14_scalar_fns" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.part
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          when(col("p_size") >= 25, lit("large"))
+            .when(col("p_size") >= 10, lit("medium"))
+            .otherwise(lit("small")).as("size_class"),
+          (col("p_retailprice").cast(D) * lit(2).cast(D)).cast("double").as("double_price"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .filter(col("p_partkey") % 7 === 0)
+    }),
+
+    // Time bucketing on the events table (hour grain) — the batch twin of
+    // the streaming windowed agg in graft.streaming.
+    "q15_time_bucket" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Cast/projection pipeline over events.
+    "q16_cast_project" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(
+          col("event_id"),
+          col("user_id").cast("int").as("user_i"),
+          col("value").cast(DecimalType(18, 2)).cast("string").as("value_s"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .filter(col("event_id") % 10 === 0)
+    }),
+
+    // Full-outer join + coalesce: per-nation customer and supplier counts.
+    "q17_full_outer" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val c = t.customer.groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t.supplier.groupBy(col("s_nationkey").cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // Running aggregate window (frame-based) per supplier over ship time.
+    "q18_window_running" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      t.lineitem
+        .filter(col("l_suppkey") <= 20)
+        .withColumn("running_qty",
+          sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("running_qty"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pruned_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q03_join_agg" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY n_name""",
+    "q04_broadcast_join" ->
+      """SELECT p_brand,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+         FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q07_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q08_dedup_keepfirst" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+           FROM lineitem) t WHERE rn = 1""",
+    "q09_union_priority_dedup" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY src_priority, l_linenumber) AS rn
+           FROM (
+             SELECT l_orderkey, l_partkey, l_linenumber, 0 AS src_priority FROM lineitem WHERE l_linenumber <= 2
+             UNION ALL
+             SELECT l_orderkey, l_partkey, l_linenumber, 1 AS src_priority FROM lineitem WHERE l_linenumber >= 2
+           ) u) t WHERE rn = 1""",
+    "q10_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+         INTERSECT
+         SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q11_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+         EXCEPT
+         SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q12_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q13_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+         GROUP BY o_orderpriority""",
+    "q14_scalar_fns" ->
+      """SELECT p_partkey,
+         UPPER(p_brand) AS brand_uc,
+         LENGTH(p_name) AS name_len,
+         SUBSTRING(p_type, 1, 5) AS type_pfx,
+         CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' ELSE 'small' END AS size_class,
+         CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DOUBLE) AS double_price,
+         p_brand || '|' || p_type AS brand_type
+         FROM part WHERE p_partkey % 7 = 0""",
+    "q15_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "q16_cast_project" ->
+      """SELECT event_id, CAST(user_id AS INT) AS user_i,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_s,
+         strftime(ts, '%Y-%m-%d') AS day, event_type
+         FROM events WHERE event_id % 10 = 0""",
+    "q17_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+         COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT CAST(c_nationkey AS INT) AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT CAST(s_nationkey AS INT) AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+         ON c.nationkey = s.nationkey""",
+    "q18_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+         CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem WHERE l_suppkey <= 20"""
+  )
+}
