@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned directory and everything here still holds.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // The oracle (DuckDB strftime) is timezone-naive while Spark's
+  // date_format depends on spark.sql.session.timeZone; queries may run
+  // under a driver-supplied session, so pin UTC at catalog construction
+  // — every query goes through Tables, making formatting deterministic
+  // on any host. nanosAsLong must likewise be set before the events
+  // parquet footer is read (session-wide legacy flag).
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
@@ -24,15 +33,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = table("lineitem")
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
-    * a raw long (nanosAsLong). Convert to a proper TIMESTAMP (micros,
-    * floor) here so every consumer sees `ts TIMESTAMP`.
+    * a raw long (nanosAsLong, set once above). Convert to a proper
+    * TIMESTAMP (micros, floor) so every consumer sees `ts TIMESTAMP`.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     table("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
@@ -50,6 +57,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

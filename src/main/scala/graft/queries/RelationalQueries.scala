@@ -112,8 +112,13 @@ object RelationalQueries {
     // `~index.duplicated(keep='first')`) with an explicit total order.
     "q08_dedup_keepfirst" -> ((s, dir) => {
       val t = Tables(s, dir)
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus,
+      // so the order extends to a total key over every output column —
+      // otherwise Spark and the oracle pick different tied winners.
       graft.operators.Dedup.keepFirst(
-          t.lineitem, Seq("l_orderkey"), Seq(col("l_linenumber").asc))
+          t.lineitem, Seq("l_orderkey"),
+          Seq(col("l_linenumber").asc, col("l_partkey").asc,
+            col("l_suppkey").asc, col("l_quantity").asc))
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_linenumber"), col("l_quantity"))
     }),
@@ -127,7 +132,8 @@ object RelationalQueries {
       val central = t.lineitem.filter(col("l_linenumber") >= 2)
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
       graft.operators.Dedup.unionKeepFirst(
-        Seq(local, central), Seq("l_orderkey"), Seq(col("l_linenumber").asc))
+        Seq(local, central), Seq("l_orderkey"),
+        Seq(col("l_linenumber").asc, col("l_partkey").asc))
     }),
 
     // Set op: INTERSECT — nations present among both customers and suppliers.
@@ -283,11 +289,11 @@ object RelationalQueries {
            FROM orders) t WHERE rn <= 3""",
     "q08_dedup_keepfirst" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
            FROM lineitem) t WHERE rn = 1""",
     "q09_union_priority_dedup" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM (
-           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY src_priority, l_linenumber) AS rn
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY src_priority, l_linenumber, l_partkey) AS rn
            FROM (
              SELECT l_orderkey, l_partkey, l_linenumber, 0 AS src_priority FROM lineitem WHERE l_linenumber <= 2
              UNION ALL
