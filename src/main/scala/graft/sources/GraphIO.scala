@@ -1,0 +1,174 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Graph fixture IO — SURVEY.md §2.1 S1–S8.
+  *
+  * The reference's catalog is string concatenation over CSV files
+  * (fl_server.py:202-207, merge.py:14-29); this module reproduces each
+  * scan/sink with explicit schemas (no inference scans) and carries node
+  * features as one `ARRAY<FLOAT>` column internally — columnar-friendly
+  * and what the graph layer wants — widening to the reference's 1434-col
+  * layout only at the CSV sink boundary.
+  *
+  * Scale: all readers are ordinary distributed scans (text/CSV); nothing
+  * collects. The single-file sinks exist for byte-parity with the
+  * reference's pandas `to_csv` artifacts (fl_server.py reads exactly one
+  * file per partition) and are documented as fixture-scale only — the
+  * 100 TB path is the partitioned parquet/CSV directory writers.
+  */
+object GraphIO {
+
+  val NumCoraFeatures = 1433
+
+  /** S1 — canonical node CSV scan (`pd.read_csv(path, index_col=0)`,
+    * fl_server.py:202-203). Header `0,1,...,n`; col 0 = node id.
+    * Returns `(id LONG, features ARRAY<FLOAT>)`.
+    */
+  def readNodesCsv(spark: SparkSession, path: String,
+                   nFeatures: Int = NumCoraFeatures): DataFrame = {
+    val schema = StructType(
+      StructField("0", LongType, nullable = false) +:
+        (1 to nFeatures).map(i => StructField(i.toString, FloatType, nullable = false)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .select(col("0").as("id"),
+        array((1 to nFeatures).map(i => col(i.toString)): _*).as("features"))
+  }
+
+  /** S2 — canonical edge CSV scan (header `source,target`,
+    * fl_server.py:206-207). Returns `(source LONG, target LONG)`.
+    */
+  def readEdgesCsv(spark: SparkSession, path: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("source", LongType, nullable = false),
+      StructField("target", LongType, nullable = false)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+  }
+
+  /** S3+S6 — headerless whitespace-separated edge scan
+    * (`pd.read_csv(p, sep='\s+', header=None)` + positional rename,
+    * merge.py:18-20,27-29). `\s+` is not a CSV delimiter, so read as
+    * text and split — a distributed projection, not a datasource.
+    * Cast LONG (safe superset of the reference's uint32, merge.py:32-33).
+    */
+  def readWhitespaceEdges(spark: SparkSession, path: String): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        toks.getItem(0).cast(LongType).as("source"),
+        toks.getItem(1).cast(LongType).as("target"))
+  }
+
+  /** S3+S4+P2 — headerless whitespace/tab attribute scan with
+    * column-range projection: keep id + `nFeatures` features, DROP the
+    * trailing class-label column (`.loc[:,0:1433]`, merge.py:15,24),
+    * cast features float32 (merge.py:34-35).
+    * Returns `(id LONG, features ARRAY<FLOAT>)`.
+    */
+  def readWhitespaceAttributes(spark: SparkSession, path: String,
+                               nFeatures: Int = NumCoraFeatures): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        toks.getItem(0).cast(LongType).as("id"),
+        // tokens 1..nFeatures; slice() is 1-based, so start=2
+        slice(toks, 2, nFeatures).cast(ArrayType(FloatType)).as("features"))
+  }
+
+  /** Same scan keeping the label column — used by supervised paths that
+    * need the class (the reference drops it in merge but reads it in
+    * misc/model.py:95-99's full-table variant).
+    */
+  def readWhitespaceAttributesWithLabel(spark: SparkSession, path: String,
+                                        nFeatures: Int = NumCoraFeatures): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        toks.getItem(0).cast(LongType).as("id"),
+        slice(toks, 2, nFeatures).cast(ArrayType(FloatType)).as("features"),
+        toks.getItem(nFeatures + 1).as("label"))
+  }
+
+  /** S7 — canonical node CSV sink (`nodes.to_csv(p)`, merge.py:46).
+    * Widens `features ARRAY<FLOAT>` back to the reference's header
+    * `0,1,...,n` (id column named `0`, pandas index-name parity).
+    * Single file for fixture parity.
+    */
+  def writeNodesCsv(nodes: DataFrame, path: String,
+                    nFeatures: Int = NumCoraFeatures): Unit = {
+    val wide = nodes.select(
+      col("id").as("0") +:
+        (1 to nFeatures).map(i => col("features").getItem(i - 1).as(i.toString)): _*)
+    writeSingleCsv(wide, path, header = true)
+  }
+
+  /** S7 — canonical edge CSV sink (`edges.to_csv(p, index=False)`,
+    * merge.py:47). Header `source,target`, single file.
+    */
+  def writeEdgesCsv(edges: DataFrame, path: String): Unit =
+    writeSingleCsv(edges.select(col("source"), col("target")), path, header = true)
+
+  /** S8 — embedding CSV sink (`emb.to_csv(path)` with a nameless index,
+    * fl_client_unsupervised.py:121-122, concat_embeddings.py:27-28).
+    * pandas writes header `,0,1,...,d-1` (leading empty cell for the
+    * index), which is not a legal Spark column name — so the header line
+    * is streamed in explicitly.
+    */
+  def writeEmbeddingsCsv(emb: DataFrame, path: String, dim: Int): Unit = {
+    val wide = emb.select(
+      col("id") +:
+        (0 until dim).map(i => col("embedding").getItem(i).as(i.toString)): _*)
+    writeSingleCsv(wide, path, header = false,
+      headerOverride = Some(("" +: (0 until dim).map(_.toString)).mkString(",")))
+  }
+
+  /** Embedding CSV scan (concat_embeddings.py:14-17): header
+    * `,0,...,d-1`, first column = node id. Explicit schema (header row
+    * skipped). Returns `(id LONG, embedding ARRAY<FLOAT>)`.
+    */
+  def readEmbeddingsCsv(spark: SparkSession, path: String, dim: Int): DataFrame = {
+    val schema = StructType(
+      StructField("id", LongType, nullable = false) +:
+        (0 until dim).map(i => StructField(s"e$i", FloatType, nullable = false)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .select(col("id"),
+        array((0 until dim).map(i => col(s"e$i")): _*).as("embedding"))
+  }
+
+  /** Scale-path sink: partitioned CSV directory (no coalesce). Use this
+    * instead of the single-file writers for anything non-fixture-sized.
+    */
+  def writeCsvDir(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** Write a DataFrame as exactly one CSV file at `path` (pandas
+    * `to_csv` parity). Coalesces to a single task — fixture-scale only.
+    */
+  private[graft] def writeSingleCsv(df: DataFrame, path: String, header: Boolean,
+                                    headerOverride: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    val tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", header.toString).csv(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp).resolve("."), conf)
+    val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+    val dest = new Path(path)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    headerOverride match {
+      case None => fs.rename(part, dest)
+      case Some(h) =>
+        val out = fs.create(dest, true)
+        out.write((h + "\n").getBytes("UTF-8"))
+        val in = fs.open(part)
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+        in.close(); out.close()
+    }
+    fs.delete(new Path(tmp), true)
+  }
+}
