@@ -1,0 +1,174 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/** G3 — EdgeSplitter.train_test_split parity
+  * (models/supervised.py:67-77: `method="global", keep_connected=True`,
+  * applied twice — test split p=0.1 off the full graph, then train split
+  * p=0.1 off the residual).
+  *
+  * Semantics reproduced:
+  *  - sample exactly `floor(p·|E|)` positive edges, uniformly (seeded),
+  *    such that removing them keeps every connected component of the
+  *    original graph connected;
+  *  - generate the same number of negative examples: uniformly sampled
+  *    node pairs that are NOT edges (either orientation) and not
+  *    self-pairs;
+  *  - return the reduced graph + labeled examples.
+  *
+  * Algorithm (sample-and-repair, fully distributed):
+  *  1. rank edges by a seeded hash (deterministic under any partitioning);
+  *  2. take the top `k` unbanned edges as a trial set;
+  *  3. run GraphX connectedComponents on the residual (edges minus
+  *     accepted minus trial); trial edges whose endpoints land in
+  *     different components would disconnect → ban them, keep the rest;
+  *  4. repeat until `k` positives are accepted (≤ `maxRounds` CC jobs —
+  *     in practice 1-3 for p≈0.1).
+  *
+  * Scale notes: each round is one CC job (log-diameter Pregel) plus
+  * hash-ranked `limit(k)`; the `limit` ships k edge ids through the
+  * driver — fine for k up to millions; a 100 TB deployment would swap it
+  * for an approximate-quantile hash threshold (documented deviation,
+  * same distribution). Negative sampling is ring-pairing over a
+  * zipWithIndex'd node list + anti-join against the edge set — no
+  * driver-side materialization, no rejection loop over collect.
+  */
+object EdgeSplitter {
+
+  /** `examples` columns: source LONG, target LONG, label INT (1 pos / 0 neg). */
+  final case class EdgeSplit(residual: PropertyGraph, examples: DataFrame,
+                             numPositives: Long)
+
+  def trainTestSplit(g: PropertyGraph, p: Double, seed: Long,
+                     maxRounds: Int = 8): EdgeSplit = {
+    val spark = g.nodes.sparkSession
+    val total = g.numEdges
+    val k = (p * total).toLong
+    require(k > 0, s"p=$p of $total edges yields an empty split")
+
+    // Stable per-row identity: parallel (s,t) edges get a duplicate
+    // index via a keyed window — deterministic, unlike
+    // monotonically_increasing_id. Rank = seeded hash of the identity.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy("source")
+    val ranked = g.edges
+      .withColumn("__dup", row_number().over(w))
+      .withColumn("__r", xxhash64(lit(seed), col("source"), col("target"), col("__dup")))
+      .cache()
+
+    var accepted = spark.emptyDataFrame
+    var acceptedCount = 0L
+    var banned = spark.emptyDataFrame
+    var haveAccepted = false
+    var haveBanned = false
+    var rounds = 0
+
+    while (acceptedCount < k && rounds < maxRounds) {
+      rounds += 1
+      val unbanned =
+        if (haveBanned) ranked.join(banned, Seq("source", "target", "__dup"), "left_anti")
+        else ranked
+      val pool =
+        if (haveAccepted) unbanned.join(accepted, Seq("source", "target", "__dup"), "left_anti")
+        else unbanned
+      val trial = pool.orderBy(col("__r"), col("source"), col("target"), col("__dup"))
+        .limit((k - acceptedCount).toInt).cache()
+      if (trial.isEmpty) {
+        rounds = maxRounds // no candidates left; stop
+      } else {
+        val removed = if (haveAccepted) accepted.unionByName(trial) else trial
+        val residualEdges = ranked.join(removed, Seq("source", "target", "__dup"), "left_anti")
+        val comp = components(spark, g.nodeIds, residualEdges)
+        val judged = trial
+          .join(comp.withColumnRenamed("id", "source").withColumnRenamed("component", "__cs"), Seq("source"))
+          .join(comp.withColumnRenamed("id", "target").withColumnRenamed("component", "__ct"), Seq("target"))
+        val safe = judged.filter(col("__cs") === col("__ct"))
+          .select("source", "target", "__dup", "__r").cache()
+        val bridge = judged.filter(col("__cs") =!= col("__ct"))
+          .select("source", "target", "__dup").cache()
+        val nSafe = safe.count()
+        accepted = if (haveAccepted) accepted.unionByName(safe) else safe
+        haveAccepted = true
+        acceptedCount += nSafe
+        if (bridge.head(1).nonEmpty) {
+          banned = if (haveBanned) banned.unionByName(bridge) else bridge
+          haveBanned = true
+        }
+        trial.unpersist()
+      }
+    }
+
+    val pos = accepted.select(col("source"), col("target"), col("__dup"))
+    // The split is an iterative product (anti-joins + CC per round): cut
+    // the lineage here, like Pregel's periodic checkpointing, so
+    // downstream consumers (double-split, training) start from a flat
+    // plan instead of re-deriving the whole iteration. Edges are 2 longs
+    // a row — cheap to materialize even at large |E|.
+    val residualEdges = ranked.join(pos, Seq("source", "target", "__dup"), "left_anti")
+      .select("source", "target")
+      .localCheckpoint()
+    val posExamples = accepted.select(col("source"), col("target"), lit(1).as("label"))
+    val negExamples = sampleNegatives(g, acceptedCount, seed)
+    val examples = posExamples.unionByName(negExamples).localCheckpoint()
+    ranked.unpersist()
+    EdgeSplit(PropertyGraph(g.nodes, residualEdges), examples, acceptedCount)
+  }
+
+  /** Uniform non-edge pairs, |result| = n, deterministic under seed.
+    * Ring pairing: index nodes 0..N-1 (sorted by id, distributed
+    * zipWithIndex), then for pseudorandom offsets o_j pair idx with
+    * (idx+o_j) mod N — each offset yields N candidate self-free pairs;
+    * anti-join the (symmetrized) edge set, rank by hash, take n.
+    */
+  private[graph] def sampleNegatives(g: PropertyGraph, n: Long, seed: Long): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val idx = g.nodeIds.orderBy("id").as[Long].rdd
+      .zipWithIndex().toDF("id", "idx").cache()
+    val count = idx.count()
+    require(count >= 2, "need at least 2 nodes for negative sampling")
+    // enough offsets that n negatives survive the anti-join whp
+    val nOffsets = math.max(2L, (2L * n) / count + 2L).toInt
+    val rng = new scala.util.Random(seed)
+    val offsets = Iterator.continually(1L + rng.nextLong().abs % (count - 1))
+      .distinct.take(math.min(nOffsets.toLong, count - 1).toInt).toSeq
+    val shifted = offsets.map { o =>
+      idx.select(col("id").as("source"),
+        pmod(col("idx") + lit(o), lit(count)).as("__pidx"))
+        .join(idx.withColumnRenamed("idx", "__pidx").withColumnRenamed("id", "target"), Seq("__pidx"))
+        .select("source", "target")
+    }.reduce(_ unionByName _)
+    val edgesBoth = g.symmetrizedEdges
+      .select(col("id").as("source"), col("nbr").as("target"))
+    shifted
+      .filter(col("source") =!= col("target"))
+      .join(edgesBoth, Seq("source", "target"), "left_anti")
+      .dropDuplicates("source", "target")
+      .orderBy(xxhash64(lit(seed + 1), col("source"), col("target")),
+        col("source"), col("target"))
+      .limit(n.toInt)
+      .select(col("source"), col("target"), lit(0).as("label"))
+  }
+
+  /** Connected components of (nodeIds, edges) → DataFrame(id, component).
+    * Component label = min vertex id in the component (GraphX CC
+    * contract) — deterministic.
+    */
+  private[graph] def components(spark: SparkSession, nodeIds: DataFrame,
+                                edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val vRDD = nodeIds.select(col("id").cast(LongType)).as[Long].rdd.map(id => (id: VertexId, ()))
+    val eRDD = edges.select(col("source"), col("target")).as[(Long, Long)]
+      .rdd.map { case (s, t) => Edge(s, t, ()) }
+    val graph = Graph(vRDD, eRDD, (),
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    val cc = graph.connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("id", "component")
+    cc
+  }
+}
