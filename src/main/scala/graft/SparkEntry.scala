@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalQueries
+import graft.queries.{LlmQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Aggregates the per-module query corpora; every entry in `queries`
@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (RelationalQueries.queries, RelationalQueries.oracleSql)
+      (RelationalQueries.queries, RelationalQueries.oracleSql),
+      (LlmQueries.queries, LlmQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads carried as opaque
+  * `BINARY` columns with typed metadata, plus the Spark-side plumbing
+  * for decode / feature-extract / resize / frame-sample.
+  *
+  * Design: the heavy per-row media work runs as batched per-partition
+  * functions (`mapPartitions` over the Dataset — the Scala analog of a
+  * pandas `mapInPandas` UDF): schema in/out is explicit, batches are
+  * partition-local, nothing touches the driver. Real codec libraries
+  * are NOT in this container, so the codec boundary is a `MediaDecoder`
+  * trait with a clearly-marked STUB for real decoding and a
+  * deterministic fake used to exercise the pipeline end-to-end; the
+  * Spark plumbing (schemas, partitioning, batch shape, join-back) is
+  * real and tested.
+  *
+  * Scale: payloads never shuffle unless the caller asks for it — all
+  * derived ops project metadata/features alongside the binary in place;
+  * repartitioning for decode parallelism is by row hash, not by
+  * payload. For 100 TB of media the parquet scan prunes to (id, meta)
+  * unless `data` is actually consumed.
+  */
+object Multimodal {
+
+  /** The canonical multimodal schema:
+    * id LONG, modality STRING('image'|'audio'|'video'),
+    * data BINARY, meta MAP<STRING,STRING>.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Decoded-media record produced by a `MediaDecoder`: fixed-size
+    * feature vector + decoded dimensions. Fake or real, the schema is
+    * the contract the downstream pipeline (dedup-by-feature, ANN) sees.
+    */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** Codec boundary. Implementations must be Serializable (they ship
+    * to executors) and deterministic for testability.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Decode one payload → (width, height, nFrames, feature vector). */
+    def decode(modality: String, data: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  /** REAL decoder — requires image/audio codec libraries that are not
+    * available in this environment. Wire e.g. javax.imageio / ffmpeg
+    * bindings here; the pipeline around it is already complete.
+    */
+  final class RealDecoder extends MediaDecoder {
+    def decode(modality: String, data: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      ??? // STUB: real codec unavailable in this container (by design)
+  }
+
+  /** Deterministic fake decoder: dimensions are read from the first
+    * payload bytes, the "feature" is a seeded hash-derived vector of
+    * the payload — byte-for-byte reproducible, so pipeline tests can
+    * assert exact outputs while exercising the identical plumbing the
+    * real decoder would use.
+    */
+  final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
+    def decode(modality: String, data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val w = if (data.length >= 2) ((data(0) & 0xff) << 8) | (data(1) & 0xff) else 0
+      val h = if (data.length >= 4) ((data(2) & 0xff) << 8) | (data(3) & 0xff) else 0
+      val frames = modality match {
+        case "video" => math.max(1, data.length / 16)
+        case _       => 1
+      }
+      var acc = 1125899906842597L // deterministic FNV-ish fold of the payload
+      data.foreach(b => acc = acc * 31 + (b & 0xff))
+      val feat = Array.tabulate(featureDim) { i =>
+        val v = acc * (i + 1) + i
+        ((v % 2000003L).toFloat / 1000001.5f) - 1.0f
+      }
+      (w, h, frames, feat)
+    }
+  }
+
+  /** Decode/feature-extract every row, batched per partition. The
+    * binary column is consumed here and NOT carried into the output —
+    * downstream work (dedup, ANN over `feature`) runs on small rows;
+    * join back on `id` if the payload is needed again.
+    */
+  def decodeFeatures(df: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    df.select(col("id"), col("modality"), col("data"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val mod = r.getString(1)
+          val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          val (w, h, f, feat) = decoder.decode(mod, bytes)
+          Row(id, mod, w, h, f, feat)
+        }
+      }(enc)
+  }
+
+  /** Frame-sample: keep every `stride`-th 16-byte frame of a video
+    * payload — pure built-in binary slicing (`substring` on BINARY),
+    * no UDF, stays in codegen. Non-video rows pass through untouched.
+    */
+  def frameSample(df: DataFrame, stride: Int, frameBytes: Int = 16): DataFrame = {
+    val nFrames = (length(col("data")) / frameBytes).cast("int")
+    val sampled = transform(
+      sequence(lit(0), greatest(ceil(nFrames.cast("double") / stride).cast("int") - 1, lit(0))),
+      i => col("data").substr(i * stride * frameBytes + 1, lit(frameBytes)))
+    df.withColumn("data",
+      when(col("modality") === "video" && length(col("data")) >= frameBytes,
+        concatBinary(sampled) // flatten sampled frames back to one BINARY
+      ).otherwise(col("data")))
+  }
+
+  // concat over an array-of-binary column: aggregate-fold, builtin-only
+  private def concatBinary(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(arr, lit(Array.empty[Byte]), (acc, x) => concat(acc, x))
+
+  /** Typed metadata projection: parse width/height from `meta` with
+    * explicit casts (the metadata contract: stringly-typed map at the
+    * storage boundary, typed columns in the pipeline).
+    */
+  def typedMeta(df: DataFrame): DataFrame =
+    df.select(col("id"), col("modality"),
+      element_at(col("meta"), "width").cast("int").as("meta_width"),
+      element_at(col("meta"), "height").cast("int").as("meta_height"),
+      element_at(col("meta"), "codec").as("codec"),
+      length(col("data")).as("payload_bytes"))
+
+  /** Synthesize a deterministic multimodal fixture table (for tests and
+    * demos): payload bytes are a seeded hash stream, dims embedded in
+    * the first 4 bytes exactly as FakeDecoder reads them.
+    */
+  def syntheticFixture(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val mod = Seq("image", "audio", "video")(i % 3)
+      val w = 64 + (i % 8) * 16; val h = 48 + (i % 5) * 16
+      val rng = new scala.util.Random(seed + i)
+      val payload = Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+        Array.fill[Byte](60 + (i % 4) * 16)(rng.nextInt(256).toByte)
+      Row(i.toLong, mod, payload, Map("width" -> w.toString, "height" -> h.toString,
+        "codec" -> s"fake-$mod"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+  }
+}

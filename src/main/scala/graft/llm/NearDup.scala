@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM training corpora: MinHash + banded
+  * LSH (Jaccard), SimHash (Hamming), and exact n-gram Jaccard as the
+  * verification / small-scale oracle.
+  *
+  * Everything is declarative DataFrame work over built-in functions —
+  * signatures are array expressions (codegen'd), candidate generation
+  * is an equi-join on (band, bandHash) buckets, verification joins the
+  * shingle sets back only for the candidate pairs. This is the 100 TB
+  * shape: the O(n²) pair space is never materialized; the only shuffles
+  * are the bucket join (keyed on band hashes, uniformly distributed by
+  * construction) and the verify join (keyed on doc id).
+  *
+  * Skew note: a degenerate corpus (millions of identical docs) makes
+  * one bucket huge; run `Dedup.exactByHash` first — exact dups are
+  * removed by hash-groupBy, so LSH only ever sees one representative
+  * per exact-content class.
+  */
+object NearDup {
+
+  /** MinHash signature of a shingle array: `sig[h] = min over shingles
+    * of xxhash64(seed, h, shingle)`, h = 0..numHashes-1. One array
+    * expression, no UDF; empty shingle sets get a null signature (no
+    * candidate pairs — a doc with < n tokens has no Jaccard identity).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long): Column =
+    when(size(shingles) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          h => array_min(transform(shingles, s => xxhash64(lit(seed), h, s)))))
+
+  /** Banded LSH bucket keys from a MinHash signature: the signature is
+    * cut into `bands` contiguous rows-per-band slices; each band's
+    * bucket key is the hash of its slice. Two docs collide in a band
+    * iff that band's slice matches exactly — P(collide) = 1-(1-j^r)^b
+    * for Jaccard j, the classic S-curve.
+    * Returns `array<struct<band int, bucket bigint>>`.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int, seed: Long): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.cast("int").as("band"),
+        xxhash64(lit(seed + 1), b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))
+          .cast("string")).as("bucket")))
+
+  /** Candidate near-dup pairs via MinHash-LSH: returns
+    * `(id_a, id_b)` with id_a < id_b, distinct. `df` must carry
+    * `idCol` (numeric) and `textCol`.
+    *
+    * Cost model: signature computation is a map; the self-join is on
+    * (band, bucket) — bucket population at threshold-tuned (bands,
+    * rows) is O(near-dup cluster size), so the join output is close to
+    * the true candidate count, not |pairs|.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(TextOps.wordShingles(col(textCol), shingleN), numHashes, seed)
+    val bucketed = df
+      .select(col(idCol).as("__id"), explode(lshBands(sig, bands, r, seed)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db))
+    val union = size(da) + size(db) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification:
+    * candidates from `candidatePairs`, then the true n-gram Jaccard is
+    * computed for each candidate (shingles joined back by id — only
+    * candidate pairs pay the set-intersection cost) and filtered by
+    * `threshold`. Returns `(id_a, id_b, jaccard)`.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.8, shingleN: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16,
+                   seed: Long = 42L): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    val sh = df.select(col(idCol).as("__sid"),
+      array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup GROUPS from the verified pair graph: connected components
+    * over near-dup pairs (union-find via GraphX), keep the minimum id
+    * as each group's representative. Returns `(id, keep_id)` for every
+    * doc in some group (singletons omitted). This is the "which rows
+    * do I drop" form a dedup pipeline actually consumes.
+    */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, shingleN: Int = 3,
+                    numHashes: Int = 64, bands: Int = 16,
+                    seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN, numHashes, bands, seed)
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    graph.connectedComponents().vertices.toDF("id", "keep_id")
+  }
+
+  /** Exact all-pairs n-gram Jaccard above `threshold` — O(n²)
+    * verification oracle for recall tests. Fixture scale ONLY (the
+    * cross join is the thing LSH exists to avoid).
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__sid"),
+      array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    sh.as("l").join(sh.as("r"), col("l.__sid") < col("r.__sid"))
+      .select(col("l.__sid").as("id_a"), col("r.__sid").as("id_b"),
+        jaccard(col("l.__sh"), col("r.__sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the whitespace tokens: bit b of the signature
+    * is 1 iff `sum over tokens of ±1 (sign of bit b of xxhash64(tok))`
+    * is positive. Near-dups have small Hamming distance. One nested
+    * array expression — codegen'd, no UDF.
+    */
+  def simhash64(text: Column, seed: Long = 42L): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(lit(seed), t))
+    // fold the 64 per-bit votes into a long: acc | (vote(b) << b)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        when(
+          aggregate(hashes, lit(0L),
+            (s, h) => s + when(h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0, lit(1L))
+              .otherwise(lit(-1L))) > 0,
+          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance ≤ `maxDist`.
+    * Pigeonhole blocking: split the 64-bit signature into `maxDist+1`
+    * blocks — any pair within distance maxDist matches exactly on at
+    * least one block, so candidates come from equi-joins on
+    * (block index, block value), then exact `bit_count(xor)` filters.
+    * Returns `(id_a, id_b, hamming)`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+    val nBlocks = maxDist + 1
+    val blockBits = 64 / nBlocks
+    val sigDf = df.select(col(idCol).as("__id"), simhash64(col(textCol), seed).as("__sig"))
+    val blocked = sigDf.select(col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(nBlocks - 1)),
+        b => struct(b.cast("int").as("blk"),
+          call_function("shiftrightunsigned", col("__sig"), (b * blockBits).cast("int"))
+            .bitwiseAND(lit((1L << blockBits) - 1)).as("blkval")))).as("bb"))
+      .select(col("__id"), col("__sig"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))
+    blocked.as("l")
+      .join(blocked.as("r"),
+        col("l.blk") === col("r.blk") && col("l.blkval") === col("r.blkval")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sig").bitwiseXOR(col("r.__sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

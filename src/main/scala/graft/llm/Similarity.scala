@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, plus two sub-linear
+  * scale paths — random-hyperplane LSH bucketing and an IVF
+  * (inverted-file / coarse-quantizer) index.
+  *
+  * All vector math is built-in array expressions (`zip_with` +
+  * `aggregate`) in Double precision — codegen'd, deterministic
+  * left-to-right accumulation, no UDFs.
+  *
+  * Scale shape: brute force is queries × corpus (only sane when one
+  * side broadcasts); LSH replaces it with an equi-join on bucket
+  * signatures; IVF with an equi-join on centroid ids probed per query.
+  * Both avoid ever shuffling the full pair space.
+  */
+object Similarity {
+
+  /** dot(a, b) in Double (inputs cast elementwise). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a); val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Exact brute-force cosine top-k: for every query row, the k most
+    * similar corpus rows (self-match excluded by id). The query side is
+    * broadcast — the intended use is "a batch of probe vectors against
+    * a huge corpus", which scans the corpus ONCE for all queries;
+    * ranking is a per-query window (shuffle keyed by query id).
+    *
+    * Ties and float determinism: ranking orders by similarity ROUNDED
+    * to 9 decimals, then corpus id — a total order that both Spark and
+    * external oracles reproduce bit-identically.
+    *
+    * Output: (query_id, neighbor_id, cos_sim, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a hash-derived
+    * value in [-1, 1) for (plane j, dimension d). No stored plane
+    * matrix — the "randomness" is recomputed anywhere, which is what
+    * makes the signature reproducible across executors and runs.
+    */
+  private def planeComponent(j: Column, d: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), j, d), lit(2000000)).cast("double") / 1000000.0) - 1.0
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · r_j) for
+    * `numPlanes` pseudo-random hyperplanes. P(bits agree) =
+    * 1 − angle/π — signatures Hamming-close ⇔ vectors cosine-close.
+    */
+  def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, j) => acc.bitwiseOR(
+        when(
+          aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") * planeComponent(j, d, seed)),
+            lit(0.0), (s, v) => s + v) > 0,
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * band slices of the hyperplane signature (multi-band = multi-probe:
+    * a pair is a candidate if ANY band matches); exact cosine is
+    * computed only for candidates, ranked per query.
+    *
+    * Recall/cost dial: more bands → higher recall, more candidates.
+    * Output schema matches `bruteForceTopK`.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val bits = numPlanes / bands
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
+      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed)
+      df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("__sig"))
+        .select(col(id), col(v),
+          explode(transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.cast("int").as("band"),
+              call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
+                .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
+        .select(col(id), col(v), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "__cv")
+    val q = bucketed(queries, "query_id", "__qv")
+    val cands = c.join(q, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val sim = cands.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Index build: `numCentroids` vectors are hash-sampled from the
+    * corpus as coarse centroids (deterministic under seed); every
+    * corpus vector is assigned to its nearest centroid — one broadcast
+    * join against the (small by construction) centroid set.
+    * Query: each query probes its `nProbe` nearest centroids and brute
+    * forces only those inverted lists — the classic FAISS IVF-Flat
+    * shape, expressed as two broadcast joins + one equi-join on
+    * centroid id.
+    *
+    * At 100 TB the centroid set stays driver/broadcast-sized (√n rule
+    * says ~10⁴–10⁵ centroids for 10⁹–10¹⁰ vectors — MBs), the
+    * assignment scan is embarrassingly parallel, and the probe join is
+    * keyed on centroid id, skew-bounded by list sizes.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    // deterministic hash-sample of centroid rows: the numCentroids
+    // smallest seeded hashes win (one small TakeOrdered).
+    val cents = corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("__centv"),
+        xxhash64(lit(seed), col(idCol)).as("__r"))
+      .orderBy(col("__r"), col("centroid_id")).limit(numCentroids)
+      .drop("__r")
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__d").desc, col("centroid_id").asc)
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .crossJoin(broadcast(cents))
+        .withColumn("__d", round(cosine(col(v), col("__centv")), 9))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .select(col(id), col(v), col("centroid_id"))
+    }
+    val cAssigned = assign(corpus, "neighbor_id", "__cv", 1)
+    val qAssigned = assign(queries, "query_id", "__qv", nProbe)
+    val sim = qAssigned.join(cAssigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of an approximate result against the exact one: fraction
+    * of (query, neighbor) pairs in the exact top-k that the approx
+    * result also returned. Test/monitoring utility.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val total = exact.count()
+    if (total == 0) 1.0
+    else exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / total
+  }
+}

@@ -1,0 +1,159 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is a pure `Column` expression over built-in Spark
+  * functions — codegen'd, pushdown-friendly, zero UDFs — so each op
+  * stays inside whole-stage codegen and scales as an ordinary
+  * projection: at 100 TB these are embarrassingly parallel map work
+  * with no shuffle at all.
+  *
+  * Cross-engine determinism: every expression has an exact ANSI-SQL
+  * twin runnable by the DuckDB oracle (see LlmQueries.oracleSql); the
+  * regex/stopword logic is restricted to constructs both engines
+  * evaluate identically (ASCII classes, global regexp_replace,
+  * whitespace split).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: trims, splits on runs of whitespace; empty
+    * or blank text yields an empty array (guarded — `split("")` would
+    * return `[""]`).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count under the whitespace tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segment count: runs of letters, runs of digits,
+    * and single other non-space characters each count as one token —
+    * the ASCII core of the GPT-2 pre-tokenizer pattern. A cheap,
+    * deterministic proxy for "how many BPE tokens will this text cost".
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** English stopword list used by the quality/lang heuristics. Small
+    * and fixed on purpose: it is part of the operator's contract (and
+    * of the oracle SQL), not a tunable.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  private def arrayLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /** Count of tokens that appear in `words` (multiset count: repeated
+    * stopwords count every time, as real quality filters do).
+    */
+  def wordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(arrayLit(words), t)))
+
+  /** Stopword ratio: stopword tokens / total tokens (0 for empty docs). */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(wordHits(toks, EnglishStopwords).cast("double") / size(toks).cast("double"))
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks).cast("double"))
+
+  /** ASCII punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\-]", ""))
+
+  /** Composite quality score, integer points 0–10 — the shape real
+    * LLM-corpus filters use (length band + stopword presence +
+    * word-length sanity), integer-valued so the score is bit-exact
+    * across engines:
+    *   4·(20 ≤ tokens ≤ 1000) + 3·(stopword ratio ≥ 0.02)
+    * + 3·(3 ≤ mean token len ≤ 12).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val lenOk = when(n >= 20 && n <= 1000, lit(4)).otherwise(lit(0))
+    val stopOk = when(stopwordRatio(toks) >= 0.02, lit(3)).otherwise(lit(0))
+    val mtl = meanTokenLen(toks)
+    val wordOk = when(mtl >= 3.0 && mtl <= 12.0, lit(3)).otherwise(lit(0))
+    (lenOk + stopOk + wordOk).cast("int")
+  }
+
+  /** Stopword marker lists for the language-ID heuristic. Deliberately
+    * tiny: language ID by function-word hit counting is the classic
+    * n-gram-free heuristic; ties break by list order (en first).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Heuristic language ID: the language whose marker words hit the
+    * most tokens wins; documents with zero hits in every list are
+    * "und" (undetermined). Ties break by `LangMarkers` order.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, words) => lang -> wordHits(toks, words) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * everything but ASCII alphanumerics and spaces, collapse whitespace
+    * runs, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text — robust to
+    * case/punctuation/whitespace edits, the standard first-pass dedup
+    * key after exact hashing.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles over the whitespace tokens; fewer than `n`
+    * tokens yields an empty array. Building block for MinHash and for
+    * repetition scoring.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Duplicated n-gram fraction: 1 − distinct/total shingles — the
+    * standard intra-document repetition signal (0 = no repetition;
+    * docs shorter than n tokens score 0).
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
+  /** 64-bit rolling-hash content fingerprint: xxhash64 folded over the
+    * word 3-gram shingles (order-independent min — so it is stable
+    * under partitioning) — a cheap locality-free content id.
+    */
+  def rollingFingerprint(text: Column, n: Int = 3, seed: Long = 42L): Column = {
+    val sh = wordShingles(text, n)
+    when(size(sh) === 0, xxhash64(lit(seed), normalized(text)))
+      .otherwise(array_min(transform(sh, s => xxhash64(lit(seed), s))))
+  }
+}

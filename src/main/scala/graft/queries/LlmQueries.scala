@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.{Similarity, TextOps}
+
+/** LLM training-data pipeline operators as first-class, oracle-checked
+  * queries over the `documents` / `embeddings` tables: exact dedup,
+  * text statistics, cosine top-k similarity search, quality scoring,
+  * language ID, fingerprint dedup, repetition scoring.
+  *
+  * Each query has an exact DuckDB twin in `oracleSql` (hash-compared by
+  * the driver at sf0.01). The non-SQL-expressible scale paths —
+  * MinHash-LSH, SimHash, hyperplane-LSH / IVF ANN — live in
+  * `graft.llm.*` with seeded recall tests (NearDupSpec, SimilaritySpec).
+  *
+  * Determinism notes baked into both sides of every pair:
+  *  - all ratios/averages are integer-sum ÷ integer-count in Double —
+  *    one division of identical operands, bit-equal across engines;
+  *  - cosine similarity is Double math rounded to 9 decimals, plus 0.0
+  *    to normalize a possible -0.0, ranked by (rounded sim, id) — a
+  *    total order both engines reproduce;
+  *  - tokenization is trim + split on \s+ with an explicit empty-text
+  *    guard (split('') is [''] in both engines, which is wrong).
+  */
+object LlmQueries {
+
+  // DuckDB twin of TextOps.tokens — kept next to the Scala so the two
+  // tokenizers evolve together.
+  private val sqlToks =
+    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  private def sqlHits(listSql: String): String =
+    s"len(list_filter(toks, t -> list_contains($listSql, t)))"
+
+  private val sqlStopwords =
+    TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash over documents (the first pass of
+    // every corpus pipeline). Hash-groupBy: only (hash, id) shuffles.
+    "q19_exact_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.Dedup.exactByHash(t.documents, "text", "doc_id")
+    }),
+
+    // Corpus statistics per language: doc/token/char counts, stopword
+    // hits. One scan + one groupBy; all aggregates integer-exact.
+    "q20_text_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      t.documents
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("__nt"),
+          col("n_chars"), TextOps.wordHits(toks, TextOps.EnglishStopwords).as("__sh"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("__sh")).as("stopword_hits"),
+          (sum(col("__nt")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+    }),
+
+    // Brute-force cosine top-5 for the first 10 probe vectors against
+    // the whole embedding corpus — the exact-ANN baseline. Probe side
+    // broadcasts; corpus scanned once; per-query window ranking.
+    "q21_cosine_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("cos_sim") + 0.0).as("cos_sim"), col("rank"))
+    }),
+
+    // Per-document quality scoring: token counts (whitespace + BPE-ish),
+    // mean token length, stopword hits, composite 0-10 quality points.
+    // Pure projection — stays in whole-stage codegen, no shuffle.
+    "q22_quality_score" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      t.documents.select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextOps.wordHits(toks, TextOps.EnglishStopwords).as("stopword_hits"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Heuristic language ID vs the labeled lang: confusion counts.
+    "q23_lang_id" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Fingerprint dedup: case/punctuation/whitespace-robust md5 over
+    // normalized text — the near-exact pass between exact-hash and LSH.
+    "q24_fingerprint_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(TextOps.fingerprint(col("text")).as("fingerprint"), col("doc_id"))
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    // Intra-document repetition: duplicated word-3-gram fraction, the
+    // standard low-quality-text signal. Integer shingle counts emitted
+    // alongside so the ratio is auditable.
+    "q25_repetition" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val sh = TextOps.wordShingles(col("text"), 3)
+      t.documents.select(
+        col("doc_id"),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct"),
+        TextOps.repetitionScore(col("text"), 3).as("repetition"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q19_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q20_text_stats" ->
+      s"""WITH tok AS (
+           SELECT lang, n_chars, $sqlToks AS toks FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(${sqlHits(sqlStopwords)}) AS BIGINT) AS stopword_hits,
+           CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+         FROM tok GROUP BY lang""",
+    "q21_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings),
+              sims AS (
+                SELECT qid AS query_id, nid AS neighbor_id,
+                  ROUND(list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9)
+                    AS cos_sim
+                FROM q, c WHERE qid != nid)
+         SELECT query_id, neighbor_id, cos_sim + 0.0 AS cos_sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM sims) t WHERE rank <= 5""",
+    "q22_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+         SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           ${sqlHits(sqlStopwords)} AS stopword_hits,
+           CAST(
+             CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+           + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+           + CASE WHEN len(toks) > 0
+                   AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                  THEN 3 ELSE 0 END AS INT) AS quality
+         FROM tok""",
+    "q23_lang_id" -> {
+      val markerHits = TextOps.LangMarkers.map { case (lang, words) =>
+        s"${sqlHits(words.map(w => s"'$w'").mkString("[", ", ", "]"))} AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val bestExpr = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+      val caseArms = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH tok AS (SELECT lang, $sqlToks AS toks FROM documents),
+              scored AS (SELECT lang, $markerHits FROM tok),
+              best AS (SELECT lang, $bestExpr AS best, * FROM scored)
+         SELECT lang, CASE $caseArms ELSE 'und' END AS pred_lang, COUNT(*) AS n_docs
+         FROM best GROUP BY 1, 2"""
+    },
+    "q24_fingerprint_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                        ' +', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q25_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+              sh AS (SELECT doc_id,
+                CASE WHEN len(toks) < 3 THEN []
+                     ELSE list_transform(range(0, len(toks) - 2),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END AS sh
+                FROM tok)
+         SELECT doc_id, len(sh) AS n_shingles, len(list_distinct(sh)) AS n_distinct,
+           CASE WHEN len(sh) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+           END AS repetition
+         FROM sh"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN search: brute-force cosine top-k is the exact baseline; the LSH
+  * and IVF paths are measured by recall@k against it on a clustered
+  * synthetic corpus (ANN recall is only meaningful when the data has
+  * neighborhood structure).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** `nClusters` seeded Gaussian-ish clusters of `perCluster` 16-dim
+    * vectors: cluster centers are well separated, members are center
+    * + small noise — nearest neighbors are overwhelmingly in-cluster.
+    */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int = 16,
+                        seed: Int = 11): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian() * 5))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(x => (x + rng.nextGaussian() * 0.3).toFloat)
+      ((c * perCluster + i).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine column: orthogonal 0, identical 1, zero-vector guard") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(0f, 0f), Array(1f, 2f), 0.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (c, want) => assert(math.abs(c - want) < 1e-9) }
+  }
+
+  test("brute-force top-k: in-cluster neighbors win on clustered data") {
+    val df = clustered(4, 10).cache()
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") < 3), k = 5)
+    val rows = out.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.length === 15) // 3 queries x 5
+    // queries 0,1,2 are in cluster 0 (ids 0..9): every top-5 neighbor in-cluster
+    rows.foreach { case (q, n, _) => assert(n < 10, s"query $q matched out-of-cluster $n") }
+    df.unpersist()
+  }
+
+  test("LSH top-k: recall@5 >= 0.8 on clustered data, deterministic") {
+    val df = clustered(4, 25).cache()
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5).cache()
+    val approx = Similarity.lshTopK(df, queries, k = 5, numPlanes = 32, bands = 8)
+    val r = Similarity.recallAtK(exact, approx)
+    assert(r >= 0.8, s"LSH recall@5 = $r")
+    val again = Similarity.lshTopK(df, queries, k = 5, numPlanes = 32, bands = 8)
+    assert(approx.collect().toSet === again.collect().toSet)
+    exact.unpersist(); df.unpersist()
+  }
+
+  test("IVF top-k: recall@5 >= 0.8 with nProbe=4 of 8 centroids") {
+    val df = clustered(4, 25).cache()
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5).cache()
+    val approx = Similarity.ivfTopK(df, queries, k = 5, numCentroids = 8, nProbe = 4)
+    val r = Similarity.recallAtK(exact, approx)
+    assert(r >= 0.8, s"IVF recall@5 = $r")
+    exact.unpersist(); df.unpersist()
+  }
+
+  test("hyperplane signature: close vectors agree on more bits than far ones") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f, 0f)),   // ~6 degrees from #1
+      (3L, Array(-1f, 0f, 0f, 0f))        // opposite
+    ).toDF("vec_id", "embedding")
+    val sigs = df.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("embedding"), 64, 42L).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    assert(ham(sigs(1L), sigs(3L)) > 48) // opposite vectors disagree on ~all planes
+  }
+}

@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("tokens: whitespace split with empty-text guard") {
+    assert(one[Int](TextOps.tokenCount(col("text")), "a  b\tc") === 3)
+    assert(one[Int](TextOps.tokenCount(col("text")), "") === 0)
+    assert(one[Int](TextOps.tokenCount(col("text")), "   ") === 0)
+    assert(one[Int](TextOps.tokenCount(col("text")), " solo ") === 1)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single punct") {
+    // "abc12 de!" -> [abc][12][de][!] = 4
+    assert(one[Int](TextOps.bpeTokenCount(col("text")), "abc12 de!") === 4)
+    assert(one[Int](TextOps.bpeTokenCount(col("text")), "") === 0)
+  }
+
+  test("quality score: integer points, length band + stopwords + word length") {
+    val good = (Seq.fill(10)("the quick brown") :+ "fox").mkString(" ") // 31 tokens, has 'the'
+    assert(one[Int](TextOps.qualityScore(col("text")), good) === 10)
+    assert(one[Int](TextOps.qualityScore(col("text")), "short text") === 3) // only word-len ok
+  }
+
+  test("langId: marker-word voting with en-priority tie-break") {
+    assert(one[String](TextOps.langId(col("text")), "the cat and the dog") === "en")
+    assert(one[String](TextOps.langId(col("text")), "der hund und die katze ist") === "de")
+    assert(one[String](TextOps.langId(col("text")), "xyzzy plugh") === "und")
+    // 'a' hits en list; 'y' hits es list — one each, en wins the tie
+    assert(one[String](TextOps.langId(col("text")), "a y") === "en")
+  }
+
+  test("fingerprint: invariant to case, punctuation, extra whitespace") {
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different"))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("wordShingles + repetitionScore") {
+    val sh = one[scala.collection.Seq[String]](TextOps.wordShingles(col("text"), 2), "a b c")
+    assert(sh.toSeq === Seq("a b", "b c"))
+    assert(one[scala.collection.Seq[String]](TextOps.wordShingles(col("text"), 5), "a b c").isEmpty)
+    // "a b a b a" 2-grams: [a b, b a, a b, b a] -> 2 distinct / 4 = 0.5 rep
+    assert(one[Double](TextOps.repetitionScore(col("text"), 2), "a b a b a") === 0.5)
+    assert(one[Double](TextOps.repetitionScore(col("text"), 2), "x") === 0.0)
+  }
+
+  test("rollingFingerprint: deterministic, shingle-content keyed") {
+    val a = one[Long](TextOps.rollingFingerprint(col("text")), "the quick brown fox jumps")
+    val b = one[Long](TextOps.rollingFingerprint(col("text")), "the quick brown fox jumps")
+    assert(a === b)
+  }
+}
