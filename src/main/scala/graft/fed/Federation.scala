@@ -44,11 +44,22 @@ object Federation {
   final case class RoundLog(round: Int, totalExamples: Long,
                             clientMetrics: Seq[(String, Map[String, Double])])
 
-  final case class Result(weights: Weights, history: Seq[RoundLog])
+  /** `finalMetrics`: per-client evaluation of the FINAL global weights
+    * — the reference client's on-STOP evaluate + F1
+    * (fl_client.py:129-142).
+    */
+  final case class Result(weights: Weights, history: Seq[RoundLog],
+                          finalMetrics: Seq[(String, Map[String, Double])])
 
   /** @param buildClient constructs/loads a partition's model ON AN
     *   EXECUTOR (must be a serializable closure; typically reads the
-    *   partition's node/edge files from shared storage)
+    *   partition's node/edge files from shared storage). Built ONCE:
+    *   clients live in a persisted RDD across rounds — like the
+    *   reference's long-lived client processes (fl_client.py:119-175),
+    *   only the weights travel per round; partition data is not
+    *   re-loaded and optimizer state persists. (If an executor is lost,
+    *   Spark recomputes the partition — the client reloads with fresh
+    *   optimizer slots; deterministic, weights-correct fallback.)
     * @param initial    round-0 global weights (the reference server
     *   builds a throwaway model just for these, fl_server.py:211-212)
     * @param weightsDir if set, checkpoint `weights_graphID:{gid}_V{r}`
@@ -64,18 +75,21 @@ object Federation {
              weightsDir: Option[String] = None,
              logger: GraftLogger = GraftLogger.stdout()): Result = {
     val sc = spark.sparkContext
+    val clients = sc.parallelize(partitions, partitions.size)
+      .map(p => (p.toString, buildClient(p)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    clients.count() // materialize every client (bundle load) exactly once
     var global = initial
     val history = Seq.newBuilder[RoundLog]
     val t0 = System.nanoTime()
     for (round <- 1 to rounds) {
       val bc = sc.broadcast(global)
-      val updates = sc.parallelize(partitions, partitions.size)
-        .map { p =>
-          val client = buildClient(p)
+      val updates = clients
+        .map { case (name, client) =>
           client.setWeights(bc.value)
           val before = client.evaluate()
           val w = client.fit(epochs)
-          (p.toString, client.numExamples, w, before)
+          (name, client.numExamples, w, before)
         }
         .collect()
         .toSeq
@@ -90,8 +104,99 @@ object Federation {
       logger.info(s"Training cycle $round done; clients=${updates.size}, " +
         s"examples=${log.totalExamples}")
     }
+    runFinalEval(sc, clients, global, history.result(), logger, t0, rounds)
+  }
+
+  private def runFinalEval(sc: org.apache.spark.SparkContext,
+                           clients: org.apache.spark.rdd.RDD[(String, FedModel)],
+                           global: Weights, history: Seq[RoundLog],
+                           logger: GraftLogger, t0: Long, rounds: Int): Result = {
+    // on-STOP evaluation of the final global model (fl_client.py:129-142)
+    val bcFinal = sc.broadcast(global)
+    val finalMetrics = clients.map { case (name, client) =>
+      client.setWeights(bcFinal.value)
+      (name, client.evaluate())
+    }.collect().toSeq
+    bcFinal.destroy()
+    clients.unpersist(blocking = false)
     logger.info(f"Federation finished: $rounds rounds in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-    Result(global, history.result())
+    Result(global, history, finalMetrics)
+  }
+
+  /** §3.2 — the SCHEDULED variant (fl_client_shed.py:151-206 +
+    * fl_server_shed.py:61-93): partitions are packed into groups under
+    * a RAM budget (`MemCost.pack` — the reference's `mem.py` admission
+    * model); per round, each GROUP is one executor task that trains its
+    * partitions SEQUENTIALLY — a fresh model per partition per round,
+    * exactly as the shed client builds and discards models
+    * (fl_client_shed.py:166-193) — and FedAvg runs over the
+    * PER-PARTITION `(n_p, W_p)` pairs, not per-group, matching
+    * fl_server_shed's accumulate loop.
+    *
+    * Scale: group parallelism × per-group sequential training bounds
+    * peak memory at `budgetGB` per task; the per-round rebuild is the
+    * POINT here (memory is released between partitions, the reference's
+    * `del` + `gc.collect()`), unlike `run`'s persistent clients.
+    */
+  def runScheduled[P: scala.reflect.ClassTag](spark: SparkSession,
+             partitions: Seq[P],
+             cost: P => Double,
+             budgetGB: Double,
+             buildClient: P => FedModel,
+             initial: Weights,
+             rounds: Int,
+             epochs: Int,
+             graphId: String = "0",
+             weightsDir: Option[String] = None,
+             logger: GraftLogger = GraftLogger.stdout()): Result = {
+    val sc = spark.sparkContext
+    val groups = MemCost.pack(partitions, budgetGB)(cost)
+    logger.info(s"scheduled federation: ${partitions.size} partitions in " +
+      s"${groups.size} groups under $budgetGB GB")
+    var global = initial
+    val history = Seq.newBuilder[RoundLog]
+    val t0 = System.nanoTime()
+    for (round <- 1 to rounds) {
+      val bc = sc.broadcast(global)
+      val updates = sc.parallelize(groups, groups.size)
+        .flatMap { group =>
+          // sequential within the group — at most one partition's model
+          // alive at a time (the budget contract)
+          group.map { p =>
+            val client = buildClient(p)
+            client.setWeights(bc.value)
+            val before = client.evaluate()
+            val w = client.fit(epochs)
+            (p.toString, client.numExamples, w, before)
+          }
+        }
+        .collect()
+        .toSeq
+      bc.destroy()
+      global = FedAvg.weighted(updates.map(u => (u._2, u._3)))
+      weightsDir.foreach { dir =>
+        WeightsIO.save(spark, global, s"$dir/weights_graphID:${graphId}_V$round")
+      }
+      val log = RoundLog(round, updates.map(_._2).sum,
+        updates.map(u => (u._1, u._4)))
+      history += log
+      logger.info(s"[shed] cycle $round done; partitions=${updates.size}, " +
+        s"examples=${log.totalExamples}")
+    }
+    // final evaluation with fresh per-partition models (shed clients are
+    // rebuilt every pass by design)
+    val bcFinal = sc.broadcast(global)
+    val finalMetrics = sc.parallelize(groups, groups.size)
+      .flatMap(_.map { p =>
+        val client = buildClient(p)
+        client.setWeights(bcFinal.value)
+        (p.toString, client.evaluate())
+      })
+      .collect().toSeq
+    bcFinal.destroy()
+    logger.info(f"[shed] federation finished: $rounds rounds in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Result(global, history.result(), finalMetrics)
   }
 }

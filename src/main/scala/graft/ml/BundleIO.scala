@@ -1,0 +1,124 @@
+package graft.ml
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.graph.{EdgeSplitter, PropertyGraph}
+
+/** Storage-backed partition bundles: the driver never materializes a
+  * partition's data.
+  *
+  * `write` runs the double edge split and DISTRIBUTED Spark text writes
+  * of features / adjacency / train / test under `dir/name/` — the only
+  * thing that returns to the driver is a `BundleRef` (paths + feature
+  * count). `load` runs INSIDE an executor task (plain Hadoop FS reads,
+  * no SparkSession) and builds the in-memory `PartitionBundle` the
+  * trainer owns — the same topology as the reference, where each client
+  * process reads its own partition's CSVs locally
+  * (fl_client.py:194-208).
+  *
+  * Scale: each sub-table is a partitioned text directory (no
+  * coalesce-to-1); a bundle is one graph PARTITION, sized to fit one
+  * task by the system's own admission model (mem.py), so the task-side
+  * load is bounded by design. Works on any Hadoop-compatible FS (local,
+  * HDFS, S3A) — on a 1000-executor cluster the loads are data-local
+  * reads with zero driver involvement.
+  */
+object BundleIO {
+
+  /** Everything the driver holds for one partition. */
+  final case class BundleRef(name: String, dir: String, numFeatures: Int)
+      extends Serializable {
+    override def toString: String = name
+  }
+
+  /** Split + persist one partition's training bundle; returns its ref.
+    * Layout: `dir/name/{features,adjacency,train,test}/part-*` —
+    * space-separated text: `id f…` / `id nbr…` / `src dst label`.
+    */
+  def write(spark: SparkSession, dir: String, name: String, g: PropertyGraph,
+            testP: Double = 0.1, trainP: Double = 0.1,
+            seed: Long = 42L): BundleRef = {
+    val testSplit = EdgeSplitter.trainTestSplit(g, testP, seed)
+    val trainSplit = EdgeSplitter.trainTestSplit(testSplit.residual, trainP, seed + 1)
+    val base = s"$dir/$name"
+    g.nodes
+      .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
+      .write.mode("overwrite").text(s"$base/features")
+    trainSplit.residual.adjacency()
+      .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
+      .write.mode("overwrite").text(s"$base/adjacency")
+    trainSplit.examples
+      .select(concat_ws(" ", col("source"), col("target"), col("label")))
+      .write.mode("overwrite").text(s"$base/train")
+    testSplit.examples
+      .select(concat_ws(" ", col("source"), col("target"), col("label")))
+      .write.mode("overwrite").text(s"$base/test")
+    val nF = g.nodes.select(size(col("features"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    BundleRef(name, dir, nF)
+  }
+
+  /** Unsupervised bundle (distributed_nograd.py:19-34 shape): NO edge
+    * split — the full graph's adjacency is the sampling structure, and
+    * the training set is the walk-co-occurrence pair corpus
+    * (UnsupervisedSampler parity via RandomWalk.unsupervisedPairs).
+    * `test` stores the same pairs (the nograd pipeline never evaluates;
+    * keeping the slot filled keeps one bundle format).
+    */
+  def writeUnsupervised(spark: SparkSession, dir: String, name: String,
+                        g: PropertyGraph,
+                        walkLength: Int = SageHyperParams.unsupervisedWalkLength,
+                        nWalks: Int = SageHyperParams.unsupervisedNumWalks,
+                        seed: Long = 42L): BundleRef = {
+    val base = s"$dir/$name"
+    g.nodes
+      .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
+      .write.mode("overwrite").text(s"$base/features")
+    g.adjacency()
+      .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
+      .write.mode("overwrite").text(s"$base/adjacency")
+    val pairs = graft.graph.RandomWalk.unsupervisedPairs(g, walkLength, nWalks, seed)
+      .select(concat_ws(" ", col("target"), col("context"), col("label")))
+      .localCheckpoint()
+    pairs.write.mode("overwrite").text(s"$base/train")
+    pairs.write.mode("overwrite").text(s"$base/test")
+    val nF = g.nodes.select(size(col("features"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    BundleRef(name, dir, nF)
+  }
+
+  /** Task-side bundle load: plain Hadoop FS, no Spark. */
+  def load(ref: BundleRef): PartitionBundle = {
+    val base = s"${ref.dir}/${ref.name}"
+    val features = readLines(s"$base/features").map { line =>
+      val t = line.split(' ')
+      t(0).toLong -> t.iterator.drop(1).map(_.toFloat).toArray
+    }.toMap
+    val adjacency = readLines(s"$base/adjacency").map { line =>
+      val t = line.split(' ')
+      t(0).toLong -> t.iterator.drop(1).map(_.toLong).toArray
+    }.toMap
+    def examples(sub: String): Array[(Long, Long, Int)] =
+      readLines(s"$base/$sub").map { line =>
+        val t = line.split(' ')
+        (t(0).toLong, t(1).toLong, t(2).toInt)
+      }.toArray
+    PartitionBundle(ref.name, features, adjacency,
+      examples("train"), examples("test"), ref.numFeatures)
+  }
+
+  private def readLines(dirPath: String): Iterator[String] = {
+    val conf = new Configuration()
+    val p = new Path(dirPath)
+    val fs = FileSystem.get(p.toUri, conf)
+    val parts = fs.globStatus(new Path(p, "part-*")).sortBy(_.getPath.getName)
+    parts.iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      src.getLines().filter(_.nonEmpty)
+    }
+  }
+}

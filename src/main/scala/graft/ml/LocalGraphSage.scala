@@ -22,6 +22,18 @@ final case class SageHyperParams(
     "layer sizes must be even (self/neighbor concat halves)")
 }
 
+object SageHyperParams {
+  /** The reference's unsupervised profile (models/unsupervised.py:29-46):
+    * samples [25,10], layers [256,256], batch 16, Adam 1e-3, no dropout;
+    * walk corpus = length-5 walks, 1 per node.
+    */
+  val unsupervised: SageHyperParams = SageHyperParams(
+    numSamples = (25, 10), layerSizes = (256, 256), batchSize = 16,
+    learningRate = 1e-3, dropout = 0.0)
+  val unsupervisedWalkLength = 5
+  val unsupervisedNumWalks = 1
+}
+
 /** G6–G10 — a 2-layer mean-aggregator GraphSAGE link-prediction model,
   * trained with hand-derived gradients + Adam (Spark has no autodiff;
   * SURVEY §7.4-1). One instance owns ONE graph partition's in-memory
@@ -67,6 +79,7 @@ final class LocalGraphSage(
   private var adamMb: Array[DenseVector[Double]] = _
   private var adamVb: Array[DenseVector[Double]] = _
   private val beta1 = 0.9; private val beta2 = 0.999; private val adamEps = 1e-7
+  resetAdam()
 
   /** Glorot-uniform init (Keras default), seeded. Resets Adam state. */
   def initializeWeights(): Weights = {
@@ -97,6 +110,11 @@ final class LocalGraphSage(
     toTensor(3, w2s), toTensor(4, w2n),
     LayerTensor(5, Seq(d2), b2.toArray.map(_.toFloat)))
 
+  /** Replace the weights, KEEPING optimizer slots — Keras `set_weights`
+    * semantics: the reference's long-lived clients receive fresh global
+    * weights every round while their Adam moments persist
+    * (fl_client.py:119-175). `initializeWeights` is the full reset.
+    */
   def setWeights(w: Weights): Unit = {
     require(w.length == 6, s"expected 6 layer tensors, got ${w.length}")
     w1s = fromTensor(w(0), numFeatures, h1)
@@ -105,7 +123,6 @@ final class LocalGraphSage(
     w2s = fromTensor(w(3), d1, h2)
     w2n = fromTensor(w(4), d1, h2)
     b2 = DenseVector(w(5).values.map(_.toDouble))
-    resetAdam()
   }
 
   private def toTensor(layer: Int, m: DenseMatrix[Double]): LayerTensor = {
@@ -524,7 +541,11 @@ final class LocalGraphSage(
       "binary_accuracy" -> (tp + tn).toDouble / math.max(scores.length, 1),
       "precision" -> precision,
       "recall" -> recall,
-      "auc" -> auc(scores, labels))
+      "auc" -> auc(scores, labels),
+      // F1 derived client-side per evaluation (fl_client.py:132-142);
+      // the reference logs "undefined" on P+R=0 — NaN is our marker.
+      "f1" -> graft.functions.GraftFunctions.f1Score(precision, recall)
+        .getOrElse(Double.NaN))
   }
 
   /** Rank-based AUC (Mann-Whitney U with tie correction). */

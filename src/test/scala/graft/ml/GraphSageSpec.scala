@@ -94,7 +94,12 @@ class GraphSageSpec extends AnyFunSuite {
     val m1 = sage.evaluate(examples)
     val m2 = sage.evaluate(examples)
     assert(m1 === m2)
-    assert(m1.keySet === Set("loss", "binary_accuracy", "precision", "recall", "auc"))
+    assert(m1.keySet === Set("loss", "binary_accuracy", "precision", "recall", "auc", "f1"))
+    // F1 consistent with its P/R (fl_client.py:132-137 derivation)
+    val f1 = m1("f1")
+    if (m1("precision") + m1("recall") == 0.0) assert(f1.isNaN)
+    else assert(math.abs(f1 - 2 * m1("precision") * m1("recall")
+      / (m1("precision") + m1("recall"))) < 1e-12)
     assert(m1("auc") >= 0.0 && m1("auc") <= 1.0)
   }
 
