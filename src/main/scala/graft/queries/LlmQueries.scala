@@ -108,15 +108,20 @@ object LlmQueries {
 
     // Intra-document repetition: duplicated word-3-gram fraction, the
     // standard low-quality-text signal. Integer shingle counts emitted
-    // alongside so the ratio is auditable.
+    // alongside so the ratio is auditable. Staged so the shingle array
+    // is computed ONCE per row (Catalyst keeps non-cheap aliases
+    // referenced more than once out of CollapseProject) and the ratio
+    // derives from the output counts.
     "q25_repetition" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val sh = TextOps.wordShingles(col("text"), 3)
-      t.documents.select(
-        col("doc_id"),
-        size(sh).as("n_shingles"),
-        size(array_distinct(sh)).as("n_distinct"),
-        TextOps.repetitionScore(col("text"), 3).as("repetition"))
+      t.documents
+        .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("__sh"))
+        .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+          size(array_distinct(col("__sh"))).as("n_distinct"))
+        .withColumn("repetition",
+          when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct").cast("double")
+              / col("n_shingles").cast("double")))
     })
   )
 
