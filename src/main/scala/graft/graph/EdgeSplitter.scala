@@ -29,11 +29,11 @@ import org.apache.spark.storage.StorageLevel
   *  4. repeat until `k` positives are accepted (≤ `maxRounds` CC jobs —
   *     in practice 1-3 for p≈0.1).
   *
-  * Scale notes: each round is one CC job (log-diameter Pregel) plus
-  * hash-ranked `limit(k)`; the `limit` ships k edge ids through the
-  * driver — fine for k up to millions; a 100 TB deployment would swap it
-  * for an approximate-quantile hash threshold (documented deviation,
-  * same distribution). Negative sampling is ring-pairing over a
+  * Scale notes: each round is one CC job (log-diameter Pregel) plus an
+  * exact smallest-k selection on the hash rank via `TopK.smallestBy` —
+  * plain orderBy+limit below the cutoff, approx-quantile threshold +
+  * distributed trim above it, so a billion-edge split never funnels
+  * through the driver. Negative sampling is ring-pairing over a
   * zipWithIndex'd node list + anti-join against the edge set — no
   * driver-side materialization, no rejection loop over collect.
   */
@@ -43,8 +43,14 @@ object EdgeSplitter {
   final case class EdgeSplit(residual: PropertyGraph, examples: DataFrame,
                              numPositives: Long)
 
+  /** @param exactTopKCutoff rank-selection sizes at or below this use
+    *   the exact orderBy+limit plan; larger ones take the distributed
+    *   threshold path (TopK.smallestBy). Tests force 0 to exercise the
+    *   scale path on fixtures; both paths are exact and identical.
+    */
   def trainTestSplit(g: PropertyGraph, p: Double, seed: Long,
-                     maxRounds: Int = 8): EdgeSplit = {
+                     maxRounds: Int = 8,
+                     exactTopKCutoff: Long = 1L << 20): EdgeSplit = {
     val spark = g.nodes.sparkSession
     val total = g.numEdges
     val k = (p * total).toLong
@@ -75,8 +81,8 @@ object EdgeSplitter {
       val pool =
         if (haveAccepted) unbanned.join(accepted, Seq("source", "target", "__dup"), "left_anti")
         else unbanned
-      val trial = pool.orderBy(col("__r"), col("source"), col("target"), col("__dup"))
-        .limit((k - acceptedCount).toInt).cache()
+      val trial = graft.operators.TopK.smallestBy(pool, "__r",
+        Seq("source", "target", "__dup"), k - acceptedCount, exactTopKCutoff).cache()
       if (trial.isEmpty) {
         rounds = maxRounds // no candidates left; stop
       } else {
@@ -112,7 +118,7 @@ object EdgeSplitter {
       .select("source", "target")
       .localCheckpoint()
     val posExamples = accepted.select(col("source"), col("target"), lit(1).as("label"))
-    val negExamples = sampleNegatives(g, acceptedCount, seed)
+    val negExamples = sampleNegatives(g, acceptedCount, seed, exactTopKCutoff)
     val examples = posExamples.unionByName(negExamples).localCheckpoint()
     ranked.unpersist()
     EdgeSplit(PropertyGraph(g.nodes, residualEdges), examples, acceptedCount)
@@ -124,7 +130,8 @@ object EdgeSplitter {
     * (idx+o_j) mod N — each offset yields N candidate self-free pairs;
     * anti-join the (symmetrized) edge set, rank by hash, take n.
     */
-  private[graph] def sampleNegatives(g: PropertyGraph, n: Long, seed: Long): DataFrame = {
+  private[graph] def sampleNegatives(g: PropertyGraph, n: Long, seed: Long,
+                                     exactTopKCutoff: Long = 1L << 20): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val idx = g.nodeIds.orderBy("id").as[Long].rdd
@@ -144,13 +151,13 @@ object EdgeSplitter {
     }.reduce(_ unionByName _)
     val edgesBoth = g.symmetrizedEdges
       .select(col("id").as("source"), col("nbr").as("target"))
-    shifted
+    val pool = shifted
       .filter(col("source") =!= col("target"))
       .join(edgesBoth, Seq("source", "target"), "left_anti")
       .dropDuplicates("source", "target")
-      .orderBy(xxhash64(lit(seed + 1), col("source"), col("target")),
-        col("source"), col("target"))
-      .limit(n.toInt)
+      .withColumn("__nr", xxhash64(lit(seed + 1), col("source"), col("target")))
+    graft.operators.TopK.smallestBy(pool, "__nr", Seq("source", "target"),
+        n, exactTopKCutoff)
       .select(col("source"), col("target"), lit(0).as("label"))
   }
 

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact smallest-k selection with a scale-aware physical plan.
+  *
+  * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — each
+  * partition's top k merge ON THE DRIVER, so driver memory is O(k).
+  * Fine for fixture-scale k; at 100 TB a p=0.1 edge split asks for
+  * BILLIONS of rows and the driver funnel (and `limit`'s Int cap) is
+  * the bottleneck (round-2 verdict, EdgeSplitter.scala:78-79).
+  *
+  * The scale path keeps the result EXACT while staying distributed:
+  *   1. approx-quantile the rank column → threshold t that over-covers
+  *      k by the error margin; filter to candidates (rank ≤ t) — a
+  *      pushdown-friendly scan, ~k(1+ε) rows survive;
+  *   2. exact trim inside the candidate set: global sort (range
+  *      shuffle of the ~k candidates only) + `zipWithIndex` (its
+  *      per-partition offsets come from a lightweight count job) →
+  *      keep global index < k. Nothing larger than a partition ever
+  *      coalesces, no driver materialization.
+  * Falls back to the whole input if the threshold under-covers (hash
+  * ranks make that a tail event of the quantile sketch error).
+  */
+object TopK {
+
+  /** Rows with the k smallest values of `rankCol` (ties broken by
+    * `tieBreak`, making selection total and deterministic).
+    *
+    * @param exactCutoff below this k, use plain orderBy+limit (exact,
+    *   cheapest at small k); above it, threshold + distributed trim.
+    */
+  def smallestBy(df: DataFrame, rankCol: String, tieBreak: Seq[String], k: Long,
+                 exactCutoff: Long = 1L << 20): DataFrame = {
+    require(k >= 0)
+    val order: Seq[Column] = col(rankCol).asc +: tieBreak.map(col(_).asc)
+    if (k == 0) df.limit(0)
+    else if (k <= exactCutoff) df.orderBy(order: _*).limit(k.toInt)
+    else {
+      val spark = df.sparkSession
+      val n = df.count()
+      if (k >= n) df
+      else {
+        // rank is a 64-bit hash; double rounding near 2^63 shifts the
+        // threshold by ~2^11 out of 2^64 — absorbed by the 5% margin.
+        val frac = math.min(1.0, k.toDouble / n * 1.05 + 0.01)
+        val err = math.min(0.01, math.max(1e-6, 0.02 * k / n))
+        val thr = df.select(col(rankCol).cast("double").as("__q"))
+          .stat.approxQuantile("__q", Array(frac), err)(0)
+        val cands = df.filter(col(rankCol).cast("double") <= lit(thr))
+        val base = if (cands.count() >= k) cands else df // under-cover fallback
+        val schema = base.schema
+        val trimmed = base.orderBy(order: _*).rdd
+          .zipWithIndex()
+          .filter(_._2 < k)
+          .map(_._1)
+        spark.createDataFrame(trimmed, schema)
+      }
+    }
+  }
+}

@@ -50,6 +50,17 @@ class EdgeSplitterSpec extends SparkSpec {
     assert(!(a sameElements c))
   }
 
+  test("scale path (forced threshold selection) produces the identical split") {
+    val exact = EdgeSplitter.trainTestSplit(cora, 0.1, seed = 42)
+    val scale = EdgeSplitter.trainTestSplit(cora, 0.1, seed = 42, exactTopKCutoff = 0L)
+    assert(scale.numPositives === exact.numPositives)
+    val a = exact.examples.orderBy("label", "source", "target").collect()
+    val b = scale.examples.orderBy("label", "source", "target").collect()
+    assert(a === b)
+    assert(scale.residual.numEdges === exact.residual.numEdges)
+    assert(scale.residual.numConnectedComponents === cora.numConnectedComponents)
+  }
+
   test("double split (test off full, train off residual) as the reference applies it") {
     val testS = EdgeSplitter.trainTestSplit(cora, 0.1, seed = 42)
     val trainS = EdgeSplitter.trainTestSplit(testS.residual, 0.1, seed = 43)
