@@ -68,9 +68,10 @@ object NeighborSampler {
       .join(adjacency.withColumnRenamed("id", "__n1"), Seq("__n1"), "left")
       .withColumn("__sub",
         sampleK(col("neighbors"), k2, seed ^ 0x9e3779b97f4a7c15L, 2,
-          // mix the slot into the example identity so parallel slots of
-          // the same node sample independently
-          col(exampleIdCol) * lit(10007) + col("__slot"), col("__n1")))
+          // (exampleId, slot) hashed as a struct: parallel slots of the
+          // same node sample independently with no arithmetic-mixing
+          // collisions (ids 10007 apart no longer share slot streams)
+          struct(col(exampleIdCol), col("__slot")), col("__n1")))
       .groupBy(col(exampleIdCol), col(nodeCol), col("layer1"))
       .agg(flatten(array_sort(collect_list(struct(col("__slot"), col("__sub"))))
         .getField("__sub")).as("layer2"))

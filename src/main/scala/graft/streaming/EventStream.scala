@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, user_id, event_type, value, ts).
+  *
+  * The reference has no streaming (SURVEY §2.8) — this is the
+  * north-star extension the engine needs at 100 TB: the same
+  * declarative plans run incrementally. Both operators are written
+  * against DataFrames/Datasets so they execute identically in batch
+  * (`q15_time_bucket` is the batch twin of `hourlyAgg`) and as a
+  * `readStream` source with watermark-bounded state.
+  *
+  * Scale: windowed aggregation state is (window × event_type) — tiny;
+  * the watermark bounds it. Sessionization state is per-user and
+  * evicted by event-time timeout, so state size tracks ACTIVE users,
+  * not history. Both shuffle once on their grouping key.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: Double, ts: Timestamp)
+
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                           n_events: Int, total_value: Double)
+
+  // public: the state encoder's generated code instantiates it
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** Event-time hourly aggregate per event type — the streaming twin of
+    * q15 (same grouping, same exact-decimal sums). On a stream the
+    * watermark closes windows `delay` after their end; in batch the
+    * watermark is a no-op and results equal the relational query.
+    */
+  def hourlyAgg(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val D = DecimalType(18, 4)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("win.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+  }
+
+  /** Per-user sessionization with an inactivity gap — custom streaming
+    * state via `flatMapGroupsWithState` (event-time timeout): a session
+    * closes, and is emitted exactly once, when the watermark passes
+    * `last event + gap`. The classic stateful op Spark has no built-in
+    * operator for.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            // fold the micro-batch's events into (possibly several)
+            // sessions; emit every closed one, keep the open one in state
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
