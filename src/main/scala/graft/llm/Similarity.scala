@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in Double (inputs cast elementwise). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in Double — the native codegen'd `VecDot` expression
+    * (bit-identical to the `aggregate(zip_with(...))` composition it
+    * replaced: per-element Double widening, left-to-right sum).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

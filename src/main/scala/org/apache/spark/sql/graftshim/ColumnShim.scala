@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters — the
+  * standard shim pattern Spark extension libraries use to register
+  * custom Catalyst expressions as Columns (the public API in Spark 4
+  * goes through ColumnNode, whose classic converter lives behind
+  * `private[sql]`).
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** VecDot: value parity with the built-in composition (bit-exact),
+  * null/length semantics, and both codegen + interpreted paths.
+  */
+class VecDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def builtinDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("bit-exact parity with aggregate(zip_with(...)) on random float vectors") {
+    val rng = new scala.util.Random(5)
+    val df = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val got = df.select(col("id"), VecDot(col("a"), col("b")).as("d"),
+      builtinDot(col("a"), col("b")).as("want"))
+    assert(got.filter(col("d") =!= col("want")).count() === 0L)
+  }
+
+  test("null in, null out; shorter length wins") {
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f), Array(2f, 3f)),   // 1*2 + 2*3 = 8
+      (2L, null.asInstanceOf[Array[Float]], Array(1f, 2f))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"), VecDot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === Some(8.0))
+    assert(rows(2L) === None)
+  }
+
+  test("double arrays and mixed float/double are accepted") {
+    val df = Seq((Array(0.5, 2.0), Array(4.0, 0.25))).toDF("a", "b")
+    assert(df.select(VecDot(col("a"), col("b"))).head().getDouble(0) === 2.5)
+    val mixed = Seq((Array(1f, 2f), Array(3.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(VecDot(col("a"), col("b"))).head().getDouble(0) === 11.0)
+  }
+
+  test("interpreted eval matches codegen") {
+    val a = VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1f, 2f, 3f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2f, 2f, 2f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(a.eval(null) === 12.0)
+  }
+
+  test("stays inside whole-stage codegen (no fallback in the plan)") {
+    // LocalTableScan of a literal Seq never codegens — use a range scan
+    val df = spark.range(100).select(
+      array(col("id").cast("float"), (col("id") + 1).cast("float")).as("a"),
+      array(lit(1f), lit(2f)).as("b"))
+    val proj = df.select(VecDot(col("a"), col("b")).as("d"))
+    // `*(n)` is the WholeStageCodegen marker in the simple plan string
+    assert(proj.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(proj.agg(sum("d")).head().getDouble(0) > 0)
+  }
+}
