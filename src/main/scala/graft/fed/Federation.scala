@@ -64,6 +64,9 @@ object Federation {
     *   builds a throwaway model just for these, fl_server.py:211-212)
     * @param weightsDir if set, checkpoint `weights_graphID:{gid}_V{r}`
     *   per round (S9 parity, fl_server.py:79-80)
+    * @param unweighted true = A2 aggregation, every client counts once
+    *   (`np.mean`, fl_server_unsupervised.py:58-67 — the unsupervised
+    *   server's rule); false = A1 example-count-weighted FedAvg
     */
   def run[P: scala.reflect.ClassTag](spark: SparkSession,
              partitions: Seq[P],
@@ -73,6 +76,7 @@ object Federation {
              epochs: Int,
              graphId: String = "0",
              weightsDir: Option[String] = None,
+             unweighted: Boolean = false,
              logger: GraftLogger = GraftLogger.stdout()): Result = {
     val sc = spark.sparkContext
     val clients = sc.parallelize(partitions, partitions.size)
@@ -94,7 +98,9 @@ object Federation {
         .collect()
         .toSeq
       bc.destroy()
-      global = FedAvg.weighted(updates.map(u => (u._2, u._3)))
+      global =
+        if (unweighted) FedAvg.mean(updates.map(_._3))
+        else FedAvg.weighted(updates.map(u => (u._2, u._3)))
       weightsDir.foreach { dir =>
         WeightsIO.save(spark, global, s"$dir/weights_graphID:${graphId}_V$round")
       }

@@ -3,71 +3,110 @@ package graft.ml
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.ConcatEmbeddings
+import graft.fed.Federation
 import graft.graph.PropertyGraph
 import graft.sources.{GraftLogger, GraphIO}
 
-/** The zero-federation unsupervised producer
-  * (distributed_nograd.py:19-34 + fl_client_unsupervised.py:117-122
-  * parity): per partition, train an unsupervised GraphSAGE on the
-  * walk-pair corpus, run the encoder over EVERY node, write
-  * `embeddings_nograd_{gid}_{pid}.csv`; then the concat job unions and
-  * keep-first-dedups the per-partition tables into
-  * `embeddings_nograd_{gid}.csv` (concat_embeddings.py:12-28 — the
-  * consumer half already lives in ConcatEmbeddings).
+/** The unsupervised embedding producers:
+  *
+  *  - `run` — ZERO-federation baseline (distributed_nograd.py:19-34):
+  *    each partition trains independently on its walk-pair corpus and
+  *    writes `embeddings_nograd_{gid}_{pid}.csv`.
+  *  - `runFederated` — the federated variant (fl_server_unsupervised +
+  *    fl_client_unsupervised): R rounds of walk-pair training with the
+  *    UNWEIGHTED model mean (A2, fl_server_unsupervised.py:58-67),
+  *    then every client runs the FINAL global encoder over its nodes
+  *    and writes `embeddings_{gid}_{pid}.csv`
+  *    (fl_client_unsupervised.py:117-122).
+  *
+  * Both feed ConcatEmbeddings (concat_embeddings.py:12-28) to union +
+  * keep-first-dedup the per-partition tables.
   *
   * Execution shape: one Spark task per partition — the task loads its
   * bundle (data-local), trains, and EMITS the embedding rows as RDD
   * output; embeddings flow task → CSV sink as a DataFrame, never
-  * through a driver collect. Training is independent per partition
-  * (that is the point of the nograd baseline), so the job is
-  * embarrassingly parallel.
+  * through a driver collect. Weights (KB–MB) are the only thing the
+  * driver holds.
   */
 object UnsupervisedPipeline {
 
-  /** @param parts (partitionId, graph) pairs
-    * @return the concatenated embedding table (id, embedding)
+  /** Per-partition unsupervised bundles (walk pairs as the train set). */
+  private def writeBundles(spark: SparkSession, parts: Seq[(String, PropertyGraph)],
+                           graphId: String, outDir: String, hp: SageHyperParams,
+                           walkLength: Int, nWalks: Int): Seq[(String, BundleIO.BundleRef)] =
+    parts.map { case (pid, g) =>
+      pid -> BundleIO.writeUnsupervised(spark, s"$outDir/bundles",
+        s"${graphId}_$pid", g, walkLength, nWalks, hp.seed)
+    }
+
+  /** Run `train` in one task per partition, emit every node's embedding,
+    * write the per-partition CSVs (S8 naming `embeddings_{tag}_...`),
+    * then concat. No driver collect anywhere.
     */
+  private def emitEmbeddings(spark: SparkSession,
+                             refs: Seq[(String, BundleIO.BundleRef)],
+                             train: SageLinkModel => Unit,
+                             hp: SageHyperParams, graphId: String, tag: String,
+                             outDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = hp.layerSizes._2
+    val embRows = spark.sparkContext
+      .parallelize(refs, refs.size)
+      .flatMap { case (pid, ref) =>
+        val model = SageLinkModel.fromRef(ref, hp)
+        train(model)
+        model.genEmbeddings(model.nodeIds).iterator
+          .map { case (id, vec) => (pid, id, vec) }
+      }
+      .toDF("pid", "id", "embedding")
+      .cache()
+    embRows.count() // one training job across all partitions
+    refs.foreach { case (pid, _) =>
+      GraphIO.writeEmbeddingsCsv(
+        embRows.filter($"pid" === pid).select($"id", $"embedding"),
+        s"$outDir/embeddings_${tag}_${graphId}_$pid.csv", dim)
+    }
+    val out = ConcatEmbeddings.run(spark, outDir, tag, graphId, refs.map(_._1), dim)
+    embRows.unpersist()
+    out
+  }
+
+  /** Zero-federation baseline. @return concatenated (id, embedding). */
   def run(spark: SparkSession, parts: Seq[(String, PropertyGraph)],
           graphId: String, epochs: Int, outDir: String,
           hp: SageHyperParams = SageHyperParams.unsupervised,
           walkLength: Int = SageHyperParams.unsupervisedWalkLength,
           nWalks: Int = SageHyperParams.unsupervisedNumWalks,
           logger: GraftLogger = GraftLogger.stdout()): DataFrame = {
-    import spark.implicits._
-    val dim = hp.layerSizes._2
-
-    // 1. per-partition bundles: features + full-graph adjacency + walk
-    //    pairs (all distributed writes)
-    val refs = parts.map { case (pid, g) =>
-      pid -> BundleIO.writeUnsupervised(spark, s"$outDir/bundles",
-        s"${graphId}_$pid", g, walkLength, nWalks, hp.seed)
-    }
-
-    // 2. one training task per partition; embeddings come back as rows
-    val embRows = spark.sparkContext
-      .parallelize(refs, refs.size)
-      .flatMap { case (pid, ref) =>
-        val model = SageLinkModel.fromRef(ref, hp)
-        model.initialize()
-        model.fit(epochs)
-        model.genEmbeddings(model.nodeIds).iterator
-          .map { case (id, vec) => (pid, id, vec) }
-      }
-      .toDF("pid", "id", "embedding")
-      .cache()
-    embRows.count() // train all partitions once, before the per-pid writes
-
-    // 3. per-partition CSV artifacts (S8 naming,
-    //    distributed_nograd.py:33-34), then the concat/dedup consumer
-    refs.foreach { case (pid, _) =>
-      GraphIO.writeEmbeddingsCsv(
-        embRows.filter($"pid" === pid).select($"id", $"embedding"),
-        s"$outDir/embeddings_nograd_${graphId}_$pid.csv", dim)
-    }
-    logger.info(s"unsupervised nograd: trained ${refs.size} partitions, dim=$dim")
-    val out = ConcatEmbeddings.run(spark, outDir, "nograd", graphId,
-      refs.map(_._1), dim)
-    embRows.unpersist()
+    val refs = writeBundles(spark, parts, graphId, outDir, hp, walkLength, nWalks)
+    val out = emitEmbeddings(spark, refs,
+      m => { m.initialize(); m.fit(epochs) }, hp, graphId, "nograd", outDir)
+    logger.info(s"unsupervised nograd: trained ${refs.size} partitions, " +
+      s"dim=${hp.layerSizes._2}")
     out
+  }
+
+  /** Federated unsupervised training + embedding generation.
+    * @return (federation result, concatenated (id, embedding))
+    */
+  def runFederated(spark: SparkSession, parts: Seq[(String, PropertyGraph)],
+                   graphId: String, rounds: Int, epochs: Int, outDir: String,
+                   hp: SageHyperParams = SageHyperParams.unsupervised,
+                   walkLength: Int = SageHyperParams.unsupervisedWalkLength,
+                   nWalks: Int = SageHyperParams.unsupervisedNumWalks,
+                   logger: GraftLogger = GraftLogger.stdout()): (Federation.Result, DataFrame) = {
+    val refs = writeBundles(spark, parts, graphId, outDir, hp, walkLength, nWalks)
+    val init = new LocalGraphSage(hp, Map.empty, Map.empty,
+      refs.head._2.numFeatures).initializeWeights()
+    val result = Federation.run(spark, refs,
+      (r: (String, BundleIO.BundleRef)) => SageLinkModel.fromRef(r._2, hp),
+      init, rounds, epochs, graphId,
+      weightsDir = Some(s"$outDir/weights"),
+      unweighted = true, // A2: the unsupervised server's np.mean
+      logger = logger)
+    // every client runs the FINAL global encoder over its nodes
+    val out = emitEmbeddings(spark, refs,
+      m => m.setWeights(result.weights), hp, graphId, "fed", outDir)
+    (result, out)
   }
 }

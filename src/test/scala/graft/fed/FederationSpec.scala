@@ -57,6 +57,16 @@ class FederationSpec extends SparkSpec {
     assert(metrics.head._2("mean_w") === 10.0)
   }
 
+  test("unweighted flag uses the A2 model mean regardless of client sizes") {
+    // weighted would give w + 2.5/round (see first test); unweighted:
+    // w -> ((w+1) + (w+3))/2 = w + 2 per round
+    val res = Federation.run(spark,
+      partitions = Seq(("a", 2L, 1f), ("b", 6L, 3f)),
+      buildClient = (p: (String, Long, Float)) => new ShiftModel(p._2, p._3),
+      initial = init, rounds = 2, epochs = 1, unweighted = true)
+    assert(res.weights.head.values.toSeq === Seq(4.0f, 14.0f))
+  }
+
   test("per-round weight checkpoints are written and loadable (S9 parity)") {
     val dir = java.nio.file.Files.createTempDirectory("fed-w").toString
     Federation.run(spark,

@@ -60,6 +60,33 @@ class UnsupervisedPipelineSpec extends SparkSpec {
     assert(math.abs(norm.getDouble(1) - 1.0) < 1e-3)
   }
 
+  test("federated unsupervised: A2 rounds train, final encoder is shared by all clients") {
+    val fedDir = java.nio.file.Files.createTempDirectory("fed-unsup").toString
+    val parts = Seq("0", "1").map { pid =>
+      val m = graft.etl.MergePipeline.merge(
+        spark, "/root/reference/data", "/root/reference/data", "4", pid)
+      pid -> graft.graph.PropertyGraph(m.nodes, m.edges).cache()
+    }
+    val (fedRes, emb) = UnsupervisedPipeline.runFederated(
+      spark, parts, "4", rounds = 2, epochs = 1, fedDir, hp)
+    parts.foreach(_._2.unpersist())
+    assert(fedRes.history.map(_.round) === Seq(1, 2))
+    // A2 rounds actually averaged: per-round checkpoints exist and differ
+    val w1 = graft.sources.WeightsIO.load(spark, s"$fedDir/weights/weights_graphID:4_V1")
+    val w2 = graft.sources.WeightsIO.load(spark, s"$fedDir/weights/weights_graphID:4_V2")
+    assert(w1.flatMap(_.values.toSeq) !== w2.flatMap(_.values.toSeq))
+    // per-partition artifacts exist with the S8 layout; concat dedups
+    // shared cut-edge nodes (each client embeds them under its own local
+    // neighborhood — the dedup is WHY concat_embeddings.py exists)
+    val p0 = GraphIO.readEmbeddingsCsv(spark,
+      s"$fedDir/embeddings_fed_4_0.csv", hp.layerSizes._2)
+    val p1 = GraphIO.readEmbeddingsCsv(spark,
+      s"$fedDir/embeddings_fed_4_1.csv", hp.layerSizes._2)
+    assert(p0.count() === 1451 && p1.count() === 1431)
+    assert(emb.count() === emb.select("id").distinct().count())
+    assert(emb.count() < p0.count() + p1.count()) // overlap deduped
+  }
+
   test("shared nodes keep the FIRST partition's embedding (concat priority)") {
     result.count()
     val p0 = GraphIO.readEmbeddingsCsv(spark,
