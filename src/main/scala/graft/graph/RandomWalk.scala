@@ -14,13 +14,18 @@ import org.apache.spark.sql.functions._
   * start, since traversal follows undirected adjacency).
   *
   * Training pairs follow the reference sampler's shape: positives
-  * `(walk[0], walk[i]) i=1..len-1` labeled 1; one uniformly sampled
-  * global negative per positive labeled 0 (the reference smooths the
-  * negative distribution by degree^0.75; uniform is the documented
-  * deviation — same pair schema, same cardinality).
+  * `(walk[0], walk[i]) i=1..len-1` labeled 1; one global negative per
+  * positive labeled 0, drawn ∝ degree^0.75 like the reference sampler
+  * (word2vec's unigram smoothing) via a distributed sampling table —
+  * each positive-degree node appears `round(w_i/W · T)` times in a
+  * zipWithIndex'd table of size T ≈ 10·|V|, and a seeded hash picks
+  * table rows. `smoothing = 0` falls back to uniform over all nodes.
   *
   * Scale: `length-1` shuffle joins against adjacency; walk state is
-  * (ids + fixed-length array), linear in |V|·length. No collects.
+  * (ids + fixed-length array), linear in |V|·length; the sampling
+  * table is O(10·|V|) rows of 2 longs, built distributed (explode +
+  * zipWithIndex — per-partition offsets via a count job). Only two
+  * scalar aggregates (total weight, table size) touch the driver.
   */
 object RandomWalk {
 
@@ -54,10 +59,11 @@ object RandomWalk {
   }
 
   /** UnsupervisedSampler pairs: `(target, context, label)` — positives
-    * from walk co-occurrence, equal-count uniform negatives.
+    * from walk co-occurrence, equal-count degree^`smoothing` negatives.
     */
   def unsupervisedPairs(g: PropertyGraph, length: Int, nWalks: Int,
-                        seed: Long, maxDegree: Int = Int.MaxValue): DataFrame = {
+                        seed: Long, maxDegree: Int = Int.MaxValue,
+                        smoothing: Double = 0.75): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     val walks = uniformWalks(g, length, nWalks, seed, maxDegree)
@@ -66,17 +72,44 @@ object RandomWalk {
         posexplode(slice(col("walk"), 2, length - 1)).as(Seq("__i", "context")))
       .select(col("walk_id"), col("__i"), col("target"), col("context"),
         lit(1).as("label"))
-    // negatives: same (walk_id, slot) identity, context drawn uniformly
-    // from the node list via a hash-ranked join on a random index
-    val n = g.numNodes
-    val idx = g.nodeIds.orderBy("id").rdd.map(_.getLong(0))
-      .zipWithIndex().map(_.swap).toDF("__idx", "context")
+    // negatives: same (walk_id, slot) identity; context drawn from the
+    // sampling table via a seeded hash index
+    val table = negativeTable(g, smoothing).cache()
+    val tableN = table.count()
     val neg = pos
       .select(col("walk_id"), col("__i"), col("target"),
-        pmod(xxhash64(lit(seed + 17), col("walk_id"), col("__i")), lit(n)).as("__idx"))
-      .join(idx, Seq("__idx"))
+        pmod(xxhash64(lit(seed + 17), col("walk_id"), col("__i")), lit(tableN)).as("__idx"))
+      .join(table, Seq("__idx"))
       .select(col("walk_id"), col("__i"), col("target"), col("context"),
         lit(0).as("label"))
     pos.unionByName(neg).select("target", "context", "label")
+  }
+
+  /** Negative-sampling table `(__idx, context)`: uniform over all nodes
+    * when `smoothing = 0`; otherwise each positive-degree node appears
+    * `max(1, round(deg^smoothing / W · T))` times (T ≈ 10·|V|) so a
+    * uniform index draw realizes the smoothed distribution. Ordered
+    * before zipWithIndex → deterministic under any partitioning.
+    */
+  private[graph] def negativeTable(g: PropertyGraph, smoothing: Double): org.apache.spark.sql.DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    if (smoothing == 0.0) {
+      g.nodeIds.orderBy("id").rdd.map(_.getLong(0))
+        .zipWithIndex().map(_.swap).toDF("__idx", "context")
+    } else {
+      val deg = g.degrees.filter(col("degree") > 0)
+        .select(col("id"), pow(col("degree").cast("double"), lit(smoothing)).as("__w"))
+      val totalW = deg.agg(sum(col("__w"))).head().getDouble(0)
+      val targetSize = math.max(1000L, 10L * deg.count())
+      deg
+        .select(col("id").as("context"),
+          greatest(lit(1L),
+            round(col("__w") / totalW * targetSize).cast("long")).as("__copies"))
+        .orderBy("context")
+        .select(col("context"), explode(sequence(lit(1L), col("__copies"))))
+        .select("context")
+        .rdd.map(_.getLong(0)).zipWithIndex().map(_.swap).toDF("__idx", "context")
+    }
   }
 }

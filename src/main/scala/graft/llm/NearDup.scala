@@ -26,12 +26,23 @@ object NearDup {
     * of xxhash64(seed, h, shingle)`, h = 0..numHashes-1. One array
     * expression, no UDF; empty shingle sets get a null signature (no
     * candidate pairs — a doc with < n tokens has no Jaccard identity).
+    *
+    * Loop order matters: the shingle array is the OUTER collection
+    * (`aggregate` over shingles, folding a 64-wide running minimum).
+    * The transposed form — `transform(hashIndices, h -> min over
+    * shingles)` — embeds the shingle expression inside the lambda,
+    * which Spark re-evaluates per hash index: 64 tokenizer runs per
+    * row (and 1024 when banding re-evaluates the signature). Same
+    * values, ~100× less work.
     */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long): Column =
     when(size(shingles) === 0, lit(null).cast("array<bigint>"))
       .otherwise(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          h => array_min(transform(shingles, s => xxhash64(lit(seed), h, s)))))
+        aggregate(shingles,
+          transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+          (acc, s) => zip_with(acc,
+            transform(sequence(lit(0), lit(numHashes - 1)), h => xxhash64(lit(seed), h, s)),
+            (a, b) => least(a, b))))
 
   /** Banded LSH bucket keys from a MinHash signature: the signature is
     * cut into `bands` contiguous rows-per-band slices; each band's
@@ -61,10 +72,19 @@ object NearDup {
                      seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    val sig = minhashSignature(TextOps.wordShingles(col(textCol), shingleN), numHashes, seed)
+    // staged: shingles → signature → bands, so each is computed once
+    // per row (explode is a Generate node — the signature projection
+    // under it is not collapsed into the generator expression)
     val bucketed = df
-      .select(col(idCol).as("__id"), explode(lshBands(sig, bands, r, seed)).as("bb"))
+      .select(col(idCol).as("__id"),
+        TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
+      .select(col("__id"), minhashSignature(col("__sh"), numHashes, seed).as("__sig"))
+      .select(col("__id"), explode(lshBands(col("__sig"), bands, r, seed)).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // materialize once: both sides of the self-join read the tiny
+      // (id, band, bucket) table instead of re-running the signature
+      // scan (LSH indexes are persisted artifacts at any scale)
+      .localCheckpoint()
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
@@ -141,17 +161,22 @@ object NearDup {
     * array expression — codegen'd, no UDF.
     */
   def simhash64(text: Column, seed: Long = 42L): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(lit(seed), t))
-    // fold the 64 per-bit votes into a long: acc | (vote(b) << b)
+    // token hashes are the OUTER collection (one pass, folding a
+    // 64-wide vote vector); the transposed per-bit form re-evaluates
+    // the tokenizer 64× per row
+    val votes = aggregate(
+      transform(TextOps.tokens(text), t => xxhash64(lit(seed), t)),
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(
+          h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0,
+          lit(1L)).otherwise(lit(-1L))))
+    // positive vote -> bit set; bits are disjoint, OR-fold packs them
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        when(
-          aggregate(hashes, lit(0L),
-            (s, h) => s + when(h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0, lit(1L))
-              .otherwise(lit(-1L))) > 0,
-          call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(lit(0L))))
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** SimHash near-dup candidate pairs with Hamming distance ≤ `maxDist`.
@@ -172,6 +197,7 @@ object NearDup {
           call_function("shiftrightunsigned", col("__sig"), (b * blockBits).cast("int"))
             .bitwiseAND(lit((1L << blockBits) - 1)).as("blkval")))).as("bb"))
       .select(col("__id"), col("__sig"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))
+      .localCheckpoint() // one signature scan feeds both join sides
     blocked.as("l")
       .join(blocked.as("r"),
         col("l.blk") === col("r.blk") && col("l.blkval") === col("r.blkval")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Similarity, TextOps}
+import graft.llm.{NearDup, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -122,6 +122,46 @@ object LlmQueries {
           when(col("n_shingles") === 0, lit(0.0))
             .otherwise(lit(1.0) - col("n_distinct").cast("double")
               / col("n_shingles").cast("double")))
+    }),
+
+    // ---- non-SQL-expressible scale paths (no oracle twin → the driver
+    // records rows-only; semantics are recall/invariant-tested in
+    // NearDupSpec / SimilaritySpec). These keep the 100 TB designs in
+    // the measured bench surface. ----
+
+    // IVF approximate ANN: centroid assignment + probed inverted lists.
+    "q26_ann_ivf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numCentroids = 16, nProbe = 4)
+    }),
+
+    // MinHash-LSH near-dup detection at standard settings (3-gram
+    // shingles, threshold 0.6, 16 bands): the corpus is `documents`
+    // plus a 10-char-truncated twin of every doc — the classic
+    // "same text, trailing edit" near-dup class a crawl dedup must
+    // catch. Each original must pair with its twin; unrelated docs
+    // stay below every band's collision bar, so candidates are O(n),
+    // not O(n²). (The raw table has no near-dups, truthfully — with
+    // permissive small-vocab settings the bucket join degenerates
+    // toward all-pairs, which is exactly what LSH must avoid.)
+    "q27_minhash_neardup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val twins = t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1), greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
+      NearDup.nearDupPairs(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 3, numHashes = 64, bands = 16)
+    }),
+
+    // SimHash near-dup candidates via pigeonhole Hamming blocking over
+    // the raw corpus (synthetic small-vocab docs do collide in simhash
+    // space — the query surfaces them with exact bit_count verification).
+    "q28_simhash_neardup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      NearDup.simhashPairs(t.documents, "doc_id", "text", maxDist = 3)
     })
   )
 

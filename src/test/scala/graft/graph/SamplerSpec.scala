@@ -77,6 +77,28 @@ class SamplerSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("negative sampling follows the degree^0.75 distribution (hub oversampled)") {
+    // star: hub 0 has degree 10, leaves degree 1 → hub weight 10^.75≈5.6
+    // of total ≈15.6 → hub ≈36% of table rows; uniform would give 1/11
+    val star = PropertyGraph(
+      (0L to 10L).map(i => (i, Seq(i.toFloat))).toDF("id", "features"),
+      (1L to 10L).map(i => (0L, i)).toDF("source", "target"))
+    val table = RandomWalk.negativeTable(star, 0.75)
+    val counts = table.groupBy("context").count()
+      .as[(Long, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    val hubShare = counts(0L) / total
+    assert(hubShare > 0.25 && hubShare < 0.45, s"hub share $hubShare")
+    // leaves all present with equal copies
+    (1L to 10L).foreach(i => assert(counts.contains(i)))
+    // isolated nodes never sampled under smoothing
+    val withIsolated = PropertyGraph(
+      (0L to 11L).map(i => (i, Seq(i.toFloat))).toDF("id", "features"),
+      (1L to 10L).map(i => (0L, i)).toDF("source", "target"))
+    assert(!RandomWalk.negativeTable(withIsolated, 0.75)
+      .filter(col("context") === 11L).head(1).nonEmpty)
+  }
+
   test("unsupervisedPairs: pos from walks, |neg| = |pos|, labels 1/0") {
     val pairs = RandomWalk.unsupervisedPairs(path, length = 3, nWalks = 2, seed = 21)
     val pos = pairs.filter(col("label") === 1)
