@@ -166,6 +166,55 @@ object Similarity {
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
+    * (any shared band → candidate) with exact cosine verification at
+    * `tau` — the embedding-space analog of MinHash near-dup detection
+    * (catches semantic duplicates exact/fuzzy text hashing misses).
+    * Returns `(id_a, id_b, cos_sim)`, id_a < id_b. O(candidates), the
+    * pair space never materializes.
+    */
+  def cosinePairs(df: DataFrame, tau: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0)
+    val bits = numPlanes / bands
+    val bucketed = df
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        hyperplaneSignature(col(vecCol), numPlanes, seed).as("__sig"))
+      .select(col("__id"), col("__v"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.cast("int").as("band"),
+            call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
+              .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
+      .select(col("__id"), col("__v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint() // one signature scan feeds both join sides
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("l.__v").as("__va"), col("r.__v").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** Embedding near-dup GROUPS: connected components over `cosinePairs`,
+    * min id as representative — the "which rows to drop" form.
+    */
+  def cosineDupGroups(df: DataFrame, tau: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = cosinePairs(df, tau, idCol, vecCol, numPlanes, bands, seed)
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices.toDF("id", "keep_id")
+  }
+
   /** Recall@k of an approximate result against the exact one: fraction
     * of (query, neighbor) pairs in the exact top-k that the approx
     * result also returned. Test/monitoring utility.

@@ -51,6 +51,17 @@ object EventStream {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Streaming exact dedup by event id with watermark-bounded state:
+    * duplicates arriving within `watermarkDelay` of the original are
+    * dropped; state for ids older than the watermark is evicted, so
+    * memory tracks the delay window, not the stream's history — the
+    * streaming twin of the batch pipeline's exact dedup pass.
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user sessionization with an inactivity gap — custom streaming
     * state via `flatMapGroupsWithState` (event-time timeout): a session
     * closes, and is emitted exactly once, when the watermark passes

@@ -73,6 +73,28 @@ class SimilaritySpec extends SparkSpec {
     exact.unpersist(); df.unpersist()
   }
 
+  test("embedding-cosine near-dup: planted near-identical copies are grouped") {
+    val rng = new scala.util.Random(3)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // every 5th vector gets a near-identical copy (tiny perturbation)
+    val dups = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(x => x + rng.nextGaussian().toFloat * 1e-3f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding").cache()
+    val pairs = Similarity.cosinePairs(df, tau = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = base.filter(_._1 % 5 == 0).map(b => (b._1, b._1 + 1000L)).toSet
+    // near-identical vectors share every LSH band -> full recall; random
+    // 16-dim Gaussians are nowhere near cos 0.999 -> no false pairs
+    assert(pairs === want)
+    val groups = Similarity.cosineDupGroups(df, tau = 0.999)
+      .as[(Long, Long)].collect().toMap
+    want.foreach { case (a, b) =>
+      assert(groups(a) === a && groups(b) === a) // min id is representative
+    }
+    df.unpersist()
+  }
+
   test("hyperplane signature: close vectors agree on more bits than far ones") {
     val df = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),

@@ -73,6 +73,23 @@ class EventStreamSpec extends SparkSpec {
     assert(u200.map(_.n_events).toSeq === Seq(1, 1))
   }
 
+  test("streaming dedup drops in-window duplicate event ids") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = dedupEvents(source.toDF(), "30 minutes").writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    source.addData(
+      Event(1, 100, "click", 1.0, ts(1)),
+      Event(1, 100, "click", 1.0, ts(2)),   // duplicate id within window
+      Event(2, 100, "view", 2.0, ts(3)))
+    q.processAllAvailable()
+    source.addData(Event(1, 100, "click", 9.0, ts(10))) // late duplicate, still in window
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
   test("batch twin: hourlyAgg grouping matches q15's on the events table") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val agg = hourlyAgg(t.events)

@@ -58,13 +58,19 @@ def main(sf_dir: str, out_dir: str) -> None:
         if len(got_c) != len(want_c):
             print(f"FAIL {name}: rows {len(got_c)} vs {len(want_c)}")
             n_fail += 1; continue
+        # vectorized compare: exact equality OR both-NaN/None, per column;
+        # fall back to stringified equality for dtype-mismatched columns.
         bad = None
-        for i in range(len(got_c)):
-            for c in got_c.columns:
-                a, b = got_c.iloc[i][c], want_c.iloc[i][c]
-                if not cell_eq(a, b):
-                    bad = (i, c, a, b); break
-            if bad: break
+        for c in got_c.columns:
+            a, b = got_c[c], want_c[c]
+            eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+            if not eq.all():
+                sa, sb = a.astype(str).values, b.astype(str).values
+                eq = eq | (sa == sb)
+                if not eq.all():
+                    i = int((~eq).argmax())
+                    bad = (i, c, a.iloc[i], b.iloc[i])
+                    break
         if bad:
             i, c, a, b = bad
             print(f"FAIL {name}: row {i} col {c}: spark={a!r} oracle={b!r}")
