@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators for shuffle elimination and skew control —
+  * the two levers that decide whether a 100 TB join finishes.
+  */
+object Layout {
+
+  /** Persist `df` as a bucketed+sorted managed table. Joins and
+    * aggregations between tables bucketed the same way on the same
+    * keys run with ZERO shuffle — the co-located-join layout for fact
+    * tables that are joined repeatedly on the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted inner equi-join for skewed keys: the big side gets a
+    * deterministic salt in [0, saltFactor) per row; the small side is
+    * replicated saltFactor× so every (key, salt) bucket still matches.
+    * A single hot key's rows spread over `saltFactor` tasks instead of
+    * one straggler. Semantics identical to `big.join(small, keys)`
+    * (inner); AQE's skew handling covers sort-merge cases, this covers
+    * the ones it can't re-plan (e.g. followed by an aggregation on the
+    * same key, or disabled AQE).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1)
+    val keyCols: Seq[Column] = keys.map(col)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(keyCols :+ monotonically_increasing_id(): _*),
+        lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

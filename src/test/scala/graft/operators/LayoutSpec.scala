@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Physical layout levers: bucketed joins must plan with zero
+  * shuffle, salted joins must preserve join semantics while spreading
+  * hot keys.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no Exchange in the plan") {
+    val a = spark.range(0, 10000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 10000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+    Layout.writeBucketed(a, "graft_bkt_a", buckets = 4, keys = Seq("k"))
+    Layout.writeBucketed(b, "graft_bkt_b", buckets = 4, keys = Seq("k"))
+    val joined = spark.table("graft_bkt_a").hint("merge")
+      .join(spark.table("graft_bkt_b").hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+    assert(joined.count() === 10000L)
+    spark.sql("DROP TABLE graft_bkt_a")
+    spark.sql("DROP TABLE graft_bkt_b")
+  }
+
+  test("saltedJoin: identical multiset result to the plain join on skewed data") {
+    // 90% of the big side is one hot key
+    val big = spark.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(0, 100).select(col("id").as("k"), (col("id") * 5).as("dim"))
+    val plain = big.join(small, Seq("k"))
+    val salted = Layout.saltedJoin(big, small, Seq("k"), saltFactor = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+  }
+
+  test("salting actually spreads the hot key across salt buckets") {
+    val big = spark.range(0, 4000).select(lit(7L).as("k"), col("id").as("payload"))
+    val salts = big.withColumn("__salt",
+      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"hot key landed in only $salts salt buckets")
+  }
+}
