@@ -91,4 +91,16 @@ object VecDot {
   def apply(a: Column, b: Column): Column =
     ColumnShim.column(
       VecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Make `vec_dot(a, b)` callable from SQL text in this session
+    * (`spark.sql("SELECT vec_dot(embedding, q) ...")`). Idempotent.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => {
+        require(exprs.length == 2, s"vec_dot takes 2 arguments, got ${exprs.length}")
+        VecDot(exprs(0), exprs(1))
+      },
+      "built-in")
 }

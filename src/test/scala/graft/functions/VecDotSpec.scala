@@ -50,6 +50,13 @@ class VecDotSpec extends SparkSpec {
     assert(a.eval(null) === 12.0)
   }
 
+  test("registered as a SQL function: vec_dot callable from sql text") {
+    VecDot.register(spark)
+    Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("vdots")
+    val got = spark.sql("SELECT vec_dot(a, b) AS d FROM vdots").head().getDouble(0)
+    assert(got === 11.0)
+  }
+
   test("stays inside whole-stage codegen (no fallback in the plan)") {
     // LocalTableScan of a literal Seq never codegens — use a range scan
     val df = spark.range(100).select(
