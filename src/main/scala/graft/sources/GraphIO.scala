@@ -147,6 +147,43 @@ object GraphIO {
   def writeCsvDir(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(dir)
 
+  /** The long-term catalog (SURVEY §1.4): graphs as PARTITIONED PARQUET
+    * under `root/{nodes,edges}/graph_id=G/partition_id=P/` — columnar,
+    * schema-embedded, partition-pruned reads (asking for one graph
+    * partition scans only its directory). The CSV writers above exist
+    * for fixture parity; this is what a 100 TB deployment stores.
+    */
+  def writeGraphParquet(nodes: DataFrame, edges: DataFrame, root: String,
+                        graphId: String, partitionId: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    // dynamic overwrite: replace only this (graph, partition) directory,
+    // never sibling partitions already in the catalog
+    nodes.withColumn("graph_id", lit(graphId))
+      .withColumn("partition_id", lit(partitionId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("graph_id", "partition_id")
+      .parquet(s"$root/nodes")
+    edges.withColumn("graph_id", lit(graphId))
+      .withColumn("partition_id", lit(partitionId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("graph_id", "partition_id")
+      .parquet(s"$root/edges")
+  }
+
+  /** Read one graph partition from the parquet catalog — the
+    * graph_id/partition_id filters prune to a single directory pair
+    * (verify with PushedFilters/partition pruning in the plan).
+    */
+  def readGraphParquet(spark: SparkSession, root: String,
+                       graphId: String, partitionId: String): (DataFrame, DataFrame) = {
+    def part(sub: String) = spark.read.parquet(s"$root/$sub")
+      .filter(col("graph_id") === graphId && col("partition_id") === partitionId)
+      .drop("graph_id", "partition_id")
+    (part("nodes"), part("edges"))
+  }
+
   /** Write a DataFrame as exactly one CSV file at `path` (pandas
     * `to_csv` parity). Coalesces to a single task — fixture-scale only.
     */
