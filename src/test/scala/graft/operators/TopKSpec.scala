@@ -28,6 +28,25 @@ class TopKSpec extends SparkSpec {
     assert(TopK.smallestBy(df, "r", Seq("id"), 0L).count() === 0L)
   }
 
+  test("property: both paths equal sorted-take-k for random sizes and ks") {
+    val rng = new scala.util.Random(99)
+    (1 to 10).foreach { _ =>
+      val n = 1 + rng.nextInt(3000)
+      val k = rng.nextInt(3500)
+      val seed = rng.nextLong()
+      val data = spark.range(0, n)
+        .select(col("id"), xxhash64(lit(seed), col("id")).as("r"))
+      val want = data.collect().map(r => (r.getLong(1), r.getLong(0)))
+        .sorted.take(k).map(_._2).toSet
+      val exact = TopK.smallestBy(data, "r", Seq("id"), k, exactCutoff = Long.MaxValue)
+        .select("id").as[Long].collect().toSet
+      val scale = TopK.smallestBy(data, "r", Seq("id"), k, exactCutoff = 0L)
+        .select("id").as[Long].collect().toSet
+      assert(exact === want, s"exact path n=$n k=$k seed=$seed")
+      assert(scale === want, s"scale path n=$n k=$k seed=$seed")
+    }
+  }
+
   test("tie-break makes duplicate ranks deterministic on both paths") {
     val ties = spark.range(0, 1000)
       .select(col("id"), (col("id") % 10).as("r")).cache()
