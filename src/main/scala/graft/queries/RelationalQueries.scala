@@ -229,6 +229,45 @@ object RelationalQueries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     }),
 
+    // CUBE with grouping_id: all aggregation lattices of (segment,
+    // priority) in one pass (map-side partial agg per grouping set).
+    "q29_cube" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+    }),
+
+    // Pivot on a small known key domain — compiles to one pass of
+    // conditional aggregation (no shuffle per pivot value).
+    "q30_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // Exact interpolated percentiles per group (sort-based exact
+    // percentile — the approx_percentile sketch is the 100 TB variant,
+    // traded here for oracle-exactness).
+    "q31_percentiles" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // Running aggregate window (frame-based) per supplier over ship time.
     "q18_window_running" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -349,6 +388,24 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
          CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-         FROM lineitem WHERE l_suppkey <= 20"""
+         FROM lineitem WHERE l_suppkey <= 20""",
+    "q29_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE (c_mktsegment, o_orderpriority)""",
+    "q30_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q31_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50_qty,
+         quantile_cont(l_extendedprice, 0.9) AS p90_price,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }
