@@ -3,6 +3,7 @@ package graft.fed
 import org.apache.spark.sql.SparkSession
 
 import graft.etl.MergePipeline
+import graft.fed.FedAvg.Weights
 import graft.graph.PropertyGraph
 import graft.ml.{BundleIO, LocalGraphSage, SageHyperParams, SageLinkModel}
 import graft.sources.GraftLogger
@@ -63,17 +64,73 @@ object FedTrain {
     SessionResult(result, refs)
   }
 
+  /** Scheduled variant (fl_client_shed/fl_server_shed): partitions
+    * packed under `budgetGB` by the mem.py cost model, per-group
+    * sequential training.
+    */
+  def runScheduledSession(spark: SparkSession, storeDir: String, graphId: String,
+                          pids: Seq[String], rounds: Int, epochs: Int,
+                          outDir: String, budgetGB: Double,
+                          hp: SageHyperParams = SageHyperParams(),
+                          logger: GraftLogger = GraftLogger.stdout()): Federation.Result = {
+    val withCost = pids.map { pid =>
+      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+      val g = PropertyGraph(m.nodes, m.edges).cache()
+      val cost = MemCost.ramGB(g.numNodes, g.numEdges)
+      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+        seed = hp.seed)
+      g.unpersist()
+      (ref, cost)
+    }
+    val init = new LocalGraphSage(hp, Map.empty, Map.empty,
+      withCost.head._1.numFeatures).initializeWeights()
+    Federation.runScheduled(spark, withCost,
+      cost = (p: (BundleIO.BundleRef, Double)) => p._2,
+      budgetGB = budgetGB,
+      buildClient = (p: (BundleIO.BundleRef, Double)) => SageLinkModel.fromRef(p._1, hp),
+      initial = init, rounds = rounds, epochs = epochs, graphId = graphId,
+      weightsDir = Some(s"$outDir/weights"), logger = logger)
+  }
+
+  private val Modes = Set("supervised", "unsupervised", "nograd", "scheduled")
+
+  /** CLI mirroring the reference's four deployment variants:
+    *   runMain graft.fed.FedTrain [mode] <storeDir> <gid> <pids>
+    *       <rounds> <epochs> <outDir> [budgetGB]
+    * mode ∈ supervised (default; fl_server+fl_client) | unsupervised
+    * (fl_*_unsupervised) | nograd (distributed_nograd) | scheduled
+    * (fl_*_shed, budgetGB applies).
+    */
   def main(args: Array[String]): Unit = {
-    val storeDir = args.lift(0).getOrElse("/root/reference/data")
-    val graphId = args.lift(1).getOrElse("4")
-    val pids = args.lift(2).getOrElse("0,1").split(",").toSeq
-    val rounds = args.lift(3).map(_.toInt).getOrElse(3)
-    val epochs = args.lift(4).map(_.toInt).getOrElse(2)
-    val outDir = args.lift(5).getOrElse("/tmp/graft-fed")
+    val (mode, rest) =
+      if (args.nonEmpty && Modes(args(0))) (args(0), args.drop(1))
+      else ("supervised", args)
+    val storeDir = rest.lift(0).getOrElse("/root/reference/data")
+    val graphId = rest.lift(1).getOrElse("4")
+    val pids = rest.lift(2).getOrElse("0,1").split(",").toSeq
+    val rounds = rest.lift(3).map(_.toInt).getOrElse(3)
+    val epochs = rest.lift(4).map(_.toInt).getOrElse(2)
+    val outDir = rest.lift(5).getOrElse("/tmp/graft-fed")
+    val budgetGB = rest.lift(6).map(_.toDouble).getOrElse(5.0)
     val spark = graft.GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, app = "graft-fedtrain")
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, app = s"graft-$mode")
     spark.sparkContext.setLogLevel("WARN")
-    try runSession(spark, storeDir, graphId, pids, rounds, epochs, outDir)
-    finally spark.stop()
+    def graphs(): Seq[(String, PropertyGraph)] = pids.map { pid =>
+      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+      pid -> PropertyGraph(m.nodes, m.edges).cache()
+    }
+    try mode match {
+      case "supervised" =>
+        runSession(spark, storeDir, graphId, pids, rounds, epochs, outDir)
+      case "unsupervised" =>
+        graft.ml.UnsupervisedPipeline.runFederated(
+          spark, graphs(), graphId, rounds, epochs, outDir)
+      case "nograd" =>
+        graft.ml.UnsupervisedPipeline.run(
+          spark, graphs(), graphId, epochs, outDir)
+      case "scheduled" =>
+        runScheduledSession(spark, storeDir, graphId, pids, rounds, epochs,
+          outDir, budgetGB)
+    } finally spark.stop()
   }
 }

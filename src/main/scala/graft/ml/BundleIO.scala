@@ -38,16 +38,20 @@ object BundleIO {
     * Layout: `dir/name/{features,adjacency,train,test}/part-*` —
     * space-separated text: `id f…` / `id nbr…` / `src dst label`.
     */
+  /** @param maxDegree adjacency cap per node (deterministic smallest
+    *   ids win) — REQUIRED at web-graph scale to bound hub-node array
+    *   size in both storage and trainer memory; unbounded for fixtures.
+    */
   def write(spark: SparkSession, dir: String, name: String, g: PropertyGraph,
             testP: Double = 0.1, trainP: Double = 0.1,
-            seed: Long = 42L): BundleRef = {
+            seed: Long = 42L, maxDegree: Int = Int.MaxValue): BundleRef = {
     val testSplit = EdgeSplitter.trainTestSplit(g, testP, seed)
     val trainSplit = EdgeSplitter.trainTestSplit(testSplit.residual, trainP, seed + 1)
     val base = s"$dir/$name"
     g.nodes
       .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/features")
-    trainSplit.residual.adjacency()
+    trainSplit.residual.adjacency(maxDegree)
       .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/adjacency")
     trainSplit.examples
@@ -72,12 +76,12 @@ object BundleIO {
                         g: PropertyGraph,
                         walkLength: Int = SageHyperParams.unsupervisedWalkLength,
                         nWalks: Int = SageHyperParams.unsupervisedNumWalks,
-                        seed: Long = 42L): BundleRef = {
+                        seed: Long = 42L, maxDegree: Int = Int.MaxValue): BundleRef = {
     val base = s"$dir/$name"
     g.nodes
       .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/features")
-    g.adjacency()
+    g.adjacency(maxDegree)
       .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/adjacency")
     val pairs = graft.graph.RandomWalk.unsupervisedPairs(g, walkLength, nWalks, seed)

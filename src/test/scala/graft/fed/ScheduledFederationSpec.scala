@@ -47,6 +47,20 @@ class ScheduledFederationSpec extends SparkSpec {
     assert(flat.weights.head.values.toSeq === shed.weights.head.values.toSeq)
   }
 
+  test("scheduled CORA session: mem.py-costed groups train end to end") {
+    val outDir = java.nio.file.Files.createTempDirectory("shed-cora").toString
+    // CORA partitions cost ~2.06 GB each (mem.py example); budget 5 GB
+    // packs both into ONE group trained sequentially in one task
+    val res = FedTrain.runScheduledSession(spark, "/root/reference/data", "4",
+      Seq("0", "1"), rounds = 1, epochs = 1, outDir, budgetGB = 5.0)
+    assert(res.history.size === 1)
+    assert(res.history.head.clientMetrics.size === 2) // per-partition FedAvg inputs
+    assert(res.history.head.totalExamples > 600)
+    assert(res.finalMetrics.forall(_._2.contains("test_auc")))
+    val w1 = graft.sources.WeightsIO.load(spark, s"$outDir/weights/weights_graphID:4_V1")
+    assert(w1.nonEmpty)
+  }
+
   test("oversized partition gets its own group instead of being dropped") {
     val res = Federation.runScheduled(spark, Seq(("big", 5L, 1f), ("small", 1L, 1f)),
       cost = (p: (String, Long, Float)) => if (p._1 == "big") 99.0 else 1.0,
