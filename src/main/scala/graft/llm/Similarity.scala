@@ -83,30 +83,42 @@ object Similarity {
           call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * band slices of the hyperplane signature (multi-band = multi-probe:
-    * a pair is a candidate if ANY band matches); exact cosine is
-    * computed only for candidates, ranked per query.
+    * band slices of the hyperplane signature (a pair is a candidate if
+    * ANY band matches); exact cosine is computed only for candidates,
+    * ranked per query.
     *
-    * Recall/cost dial: more bands → higher recall, more candidates.
+    * Recall/cost dials: more bands → higher recall, more candidates;
+    * `multiProbe` additionally probes, per band, every bucket ONE bit
+    * flip away from the query's (a near-miss neighbor disagrees on
+    * exactly one plane far more often than on several) — query-side
+    * bucket rows grow ×(1 + bits), the corpus index is untouched.
     * Output schema matches `bruteForceTopK`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+              numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L,
+              multiProbe: Boolean = false): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String, probe: Boolean): DataFrame = {
       val sig = hyperplaneSignature(col(vecCol), numPlanes, seed)
-      df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("__sig"))
+      val base = df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("__sig"))
         .select(col(id), col(v),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.cast("int").as("band"),
               call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
                 .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
         .select(col(id), col(v), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      if (!probe) base
+      else base.select(col(id), col(v), col("band"),
+        explode(concat(
+          array(col("bucket")),
+          transform(sequence(lit(0), lit(bits - 1)),
+            j => col("bucket").bitwiseXOR(
+              call_function("shiftleft", lit(1L), j.cast("int")))))).as("bucket"))
     }
-    val c = bucketed(corpus, "neighbor_id", "__cv")
-    val q = bucketed(queries, "query_id", "__qv")
+    val c = bucketed(corpus, "neighbor_id", "__cv", probe = false)
+    val q = bucketed(queries, "query_id", "__qv", probe = multiProbe)
     val cands = c.join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))

@@ -23,8 +23,11 @@ object ProbeLlm {
     val t = Tables(spark, dir)
     val emb = t.embeddings
     val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5)
     println("LSH-ANN recall@5 vs exact: " + Similarity.recallAtK(
-      Similarity.bruteForceTopK(emb, probes, 5), Similarity.lshTopK(emb, probes, 5)))
+      exact, Similarity.lshTopK(emb, probes, 5)))
+    println("LSH-ANN multiprobe recall@5: " + Similarity.recallAtK(
+      exact, Similarity.lshTopK(emb, probes, 5, multiProbe = true)))
     spark.stop()
   }
 }

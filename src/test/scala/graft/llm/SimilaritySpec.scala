@@ -51,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("LSH top-k: recall@5 >= 0.8 on clustered data, deterministic") {
+  test("LSH top-k: recall@5 >= 0.8 on clustered data, deterministic; multiprobe >=") {
     val df = clustered(4, 25).cache()
     val queries = df.filter(col("vec_id") % 10 === 0)
     val exact = Similarity.bruteForceTopK(df, queries, k = 5).cache()
@@ -60,6 +60,10 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, s"LSH recall@5 = $r")
     val again = Similarity.lshTopK(df, queries, k = 5, numPlanes = 32, bands = 8)
     assert(approx.collect().toSet === again.collect().toSet)
+    // multiprobe widens the candidate set -> recall can only improve
+    val probed = Similarity.lshTopK(df, queries, k = 5, numPlanes = 32, bands = 8,
+      multiProbe = true)
+    assert(Similarity.recallAtK(exact, probed) >= r)
     exact.unpersist(); df.unpersist()
   }
 
