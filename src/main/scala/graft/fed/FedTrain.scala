@@ -3,7 +3,6 @@ package graft.fed
 import org.apache.spark.sql.SparkSession
 
 import graft.etl.MergePipeline
-import graft.fed.FedAvg.Weights
 import graft.graph.PropertyGraph
 import graft.ml.{BundleIO, LocalGraphSage, SageHyperParams, SageLinkModel}
 import graft.sources.GraftLogger
