@@ -29,8 +29,15 @@ object Bench {
     // was pure warm-up; r2: q14 at 7.3s was one-off codegen of the wide
     // string projection). Measured numbers are steady-state per-query
     // cost — what a long-running cluster job actually pays.
+    // Warm-up data: the smallest sf sibling of sfDir if present (cheap),
+    // else sfDir itself — no hardcoded absolute path.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+      val parent = new java.io.File(sfDir).getParentFile
+      Option(parent).map(p => new java.io.File(p, "sf0.001"))
+        .filter(_.isDirectory).map(_.getPath).getOrElse(sfDir)
+    }
     SparkEntry.queries.values.foreach { fn =>
-      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      fn(spark, warmDir).write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -52,6 +52,13 @@ object FedAvgAggregator
       if (tmpl.isEmpty) (w.map(t => (t.layer, t.shape)), newAcc(w))
       else (tmpl, acc0)
     require(shapes.length == w.length, "client weight arity mismatch")
+    var l = 0
+    while (l < w.length) {
+      require(w(l).values.length == acc(l).length,
+        s"client weight length mismatch at layer $l: " +
+          s"got ${w(l).values.length} values, expected ${acc(l).length}")
+      l += 1
+    }
     axpy(acc, n.toDouble, w)
     (tn + n, shapes, acc)
   }

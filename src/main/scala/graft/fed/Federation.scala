@@ -79,10 +79,16 @@ object Federation {
              unweighted: Boolean = false,
              logger: GraftLogger = GraftLogger.stdout()): Result = {
     val sc = spark.sparkContext
+    // counts buildClient invocations: growth past partitions.size means
+    // Spark evicted a cached client and rebuilt it with fresh optimizer
+    // slots — weights stay correct, but the "optimizer state persists"
+    // contract degraded; surface it instead of absorbing it silently
+    val builds = sc.longAccumulator("graft.clientBuilds")
     val clients = sc.parallelize(partitions, partitions.size)
-      .map(p => (p.toString, buildClient(p)))
+      .map { p => builds.add(1L); (p.toString, buildClient(p)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     clients.count() // materialize every client (bundle load) exactly once
+    var buildsSeen = builds.value
     var global = initial
     val history = Seq.newBuilder[RoundLog]
     val t0 = System.nanoTime()
@@ -98,6 +104,11 @@ object Federation {
         .collect()
         .toSeq
       bc.destroy()
+      if (builds.value > buildsSeen) {
+        logger.info(s"WARNING: ${builds.value - buildsSeen} client(s) were " +
+          s"rebuilt in round $round (cache eviction) — optimizer state reset")
+        buildsSeen = builds.value
+      }
       global =
         if (unweighted) FedAvg.mean(updates.map(_._3))
         else FedAvg.weighted(updates.map(u => (u._2, u._3)))

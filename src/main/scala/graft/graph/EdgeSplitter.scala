@@ -92,10 +92,16 @@ object EdgeSplitter {
         val judged = trial
           .join(comp.withColumnRenamed("id", "source").withColumnRenamed("component", "__cs"), Seq("source"))
           .join(comp.withColumnRenamed("id", "target").withColumnRenamed("component", "__ct"), Seq("target"))
+        // localCheckpoint (not cache): the accumulators `accepted` and
+        // `banned` are unions of these per-round pieces, and each piece's
+        // lineage nests trial → pool → accepted → previous rounds. A
+        // cache keeps the nested ANALYZED plan alive (round-3 verdict:
+        // 127M-char plan strings); a checkpoint flattens each piece to a
+        // scan, so the accumulators stay O(rounds) plan nodes.
         val safe = judged.filter(col("__cs") === col("__ct"))
-          .select("source", "target", "__dup", "__r").cache()
+          .select("source", "target", "__dup", "__r").localCheckpoint()
         val bridge = judged.filter(col("__cs") =!= col("__ct"))
-          .select("source", "target", "__dup").cache()
+          .select("source", "target", "__dup").localCheckpoint()
         val nSafe = safe.count()
         accepted = if (haveAccepted) accepted.unionByName(safe) else safe
         haveAccepted = true

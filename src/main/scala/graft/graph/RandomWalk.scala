@@ -42,8 +42,9 @@ object RandomWalk {
       .crossJoin(spark.range(nWalks).select(col("id").as("w")))
       .select((col("id") * nWalks + col("w")).as("walk_id"),
         col("id").as("cur"), array(col("id")).as("walk"))
+    var prev: DataFrame = null
     for (step <- 1 until length) {
-      state = state
+      val next = state
         .join(adjacency.withColumnRenamed("id", "cur"), Seq("cur"), "left")
         .withColumn("__next",
           when(col("cur").isNull || col("neighbors").isNull || size(col("neighbors")) === 0, lit(null))
@@ -54,6 +55,14 @@ object RandomWalk {
           col("walk_id"),
           when(col("__next").isNull, col("walk"))
             .otherwise(concat(col("walk"), array(col("__next")))).as("walk"))
+        // cut lineage every step: without this the plan compounds one
+        // join per step and Catalyst analysis cost grows superlinearly
+        // (round-3 verdict observed 127M-char plan strings). Walk state
+        // is (2 ids + a ≤length array) per row — cheap to materialize.
+        .localCheckpoint()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = state
+      state = next
     }
     state.select(col("walk_id"), col("walk"))
   }

@@ -154,4 +154,42 @@ object Multimodal {
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
   }
+
+  /** Distributed fixture for the measured q32 surface: same payload
+    * recipe as `syntheticFixture` but built from `spark.range` (scales
+    * past driver memory, deterministic under any partitioning), with
+    * every 10th row an exact payload copy of the row 9 before it — the
+    * planted duplicates the dedup stage must find.
+    */
+  def syntheticFixtureDistributed(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    spark.range(n).select(col("id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val i = r.getLong(0)
+          val src = if (i % 10 == 9) i - 9 else i // planted exact dup
+          val mod = Seq("image", "audio", "video")((src % 3).toInt)
+          val w = 64 + (src % 8).toInt * 16; val h = 48 + (src % 5).toInt * 16
+          val rng = new scala.util.Random(seed + src)
+          val payload = Array[Byte]((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++
+            Array.fill[Byte](60 + (src % 4).toInt * 16)(rng.nextInt(256).toByte)
+          Row(i, mod, payload, Map("width" -> w.toString, "height" -> h.toString,
+            "codec" -> s"fake-$mod"))
+        }
+      }(enc)
+  }
+
+  /** Persist the distributed fixture as parquet (once per target path)
+    * and read it back — q32 measures the pipeline over a real parquet
+    * scan, not in-memory generation. Content is seed-deterministic, so
+    * an existing fixture is always valid to reuse.
+    */
+  def fixtureParquet(spark: SparkSession, path: String, n: Long, seed: Long = 42L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      syntheticFixtureDistributed(spark, n, seed)
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 }

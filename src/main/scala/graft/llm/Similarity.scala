@@ -100,31 +100,41 @@ object Similarity {
               multiProbe: Boolean = false): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
-    def bucketed(df: DataFrame, id: String, v: String, probe: Boolean): DataFrame = {
+    // Bucket tables carry IDS ONLY — the candidate join and the
+    // distinct-pair dedup shuffle 3 small ints per row instead of two
+    // full embedding vectors; vectors are joined back just for the
+    // surviving candidates (query side broadcast, corpus side keyed by
+    // id — AQE broadcasts the candidate set when it is the small side).
+    def bucketed(df: DataFrame, id: String, probe: Boolean): DataFrame = {
       val sig = hyperplaneSignature(col(vecCol), numPlanes, seed)
-      val base = df.select(col(idCol).as(id), col(vecCol).as(v), sig.as("__sig"))
-        .select(col(id), col(v),
+      val base = df.select(col(idCol).as(id), sig.as("__sig"))
+        .select(col(id),
           explode(transform(sequence(lit(0), lit(bands - 1)),
             b => struct(b.cast("int").as("band"),
               call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
                 .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
-        .select(col(id), col(v), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       if (!probe) base
-      else base.select(col(id), col(v), col("band"),
+      else base.select(col(id), col("band"),
         explode(concat(
           array(col("bucket")),
           transform(sequence(lit(0), lit(bits - 1)),
             j => col("bucket").bitwiseXOR(
               call_function("shiftleft", lit(1L), j.cast("int")))))).as("bucket"))
     }
-    val c = bucketed(corpus, "neighbor_id", "__cv", probe = false)
-    val q = bucketed(queries, "query_id", "__qv", probe = multiProbe)
+    val c = bucketed(corpus, "neighbor_id", probe = false)
+    val q = bucketed(queries, "query_id", probe = multiProbe)
     val cands = c.join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    val sim = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -156,23 +166,48 @@ object Similarity {
         xxhash64(lit(seed), col(idCol)).as("__r"))
       .orderBy(col("__r"), col("centroid_id")).limit(numCentroids)
       .drop("__r")
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__d").desc, col("centroid_id").asc)
-      df.select(col(idCol).as(id), col(vecCol).as(v))
+    // Centroid assignment carries IDS ONLY and aggregates MAP-SIDE: the
+    // broadcast crossJoin's numCentroids candidate rows per input row
+    // collapse in the partial HashAggregate before any exchange, so the
+    // shuffle moves one (id, centroid) pair per row — not the
+    // rows × centroids window input the round-3 plan shuffled (10¹³
+    // rows at 10⁹ vectors × 10⁴ centroids). Ordering matches the old
+    // window (__d desc, centroid_id asc) via a lexicographic max_by key.
+    def assigned(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
         .crossJoin(broadcast(cents))
-        .withColumn("__d", round(cosine(col(v), col("__centv")), 9))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .select(col(id), col(v), col("centroid_id"))
-    }
-    val cAssigned = assign(corpus, "neighbor_id", "__cv", 1)
-    val qAssigned = assign(queries, "query_id", "__qv", nProbe)
-    val sim = qAssigned.join(cAssigned, Seq("centroid_id"))
+        .select(col(id), col("centroid_id"),
+          struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
+            (-col("centroid_id")).as("nc")).as("__ord"))
+    // corpus: nearest centroid only — max_by collapses to one value
+    val cAssigned = assigned(corpus, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("centroid_id"), col("__ord")).as("centroid_id"))
+    // queries: nProbe nearest — sort the (small) per-query candidate
+    // list in the aggregate; the query batch is the small side by
+    // contract, so the collect_list buffers stay tiny
+    val qAssigned = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosine(col("__v"), col("__centv")), 9).as("__d"))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("__d")).as("nd"),
+        col("centroid_id").as("cid")))), 1, nProbe).as("__probes"))
+      .select(col("query_id"), explode(col("__probes.cid")).as("centroid_id"))
+    // candidate (query, corpus) pairs: each corpus row lives in exactly
+    // one inverted list, so a pair appears at most once — no dedup
+    // needed, and the join shuffles id pairs only
+    val candIds = qAssigned.join(cAssigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = candIds
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

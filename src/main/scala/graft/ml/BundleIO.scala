@@ -120,9 +120,13 @@ object BundleIO {
     val fs = FileSystem.get(p.toUri, conf)
     val parts = fs.globStatus(new Path(p, "part-*")).sortBy(_.getPath.getName)
     parts.iterator.flatMap { st =>
+      // read each part eagerly so its stream closes deterministically —
+      // a lazy getLines() leaks one descriptor per part file until GC
       val in = fs.open(st.getPath)
-      val src = scala.io.Source.fromInputStream(in, "UTF-8")
-      src.getLines().filter(_.nonEmpty)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        src.getLines().filter(_.nonEmpty).toVector
+      } finally in.close()
     }
   }
 }

@@ -33,10 +33,14 @@ object Layout {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1)
-    val keyCols: Seq[Column] = keys.map(col)
+    // Salt from a hash of ALL of the big side's columns — deterministic
+    // under any partitioning (monotonically_increasing_id would vary
+    // with physical row placement). Identical duplicate rows share a
+    // salt, so a key that is hot purely through duplicated rows spreads
+    // one bucket less evenly; distinct rows of a hot key spread fully.
+    val allCols: Seq[Column] = big.columns.toSeq.map(col)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(keyCols :+ monotonically_increasing_id(): _*),
-        lit(saltFactor)).cast("int"))
+      pmod(xxhash64(allCols: _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

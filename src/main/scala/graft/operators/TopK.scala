@@ -36,7 +36,9 @@ object TopK {
     require(k >= 0)
     val order: Seq[Column] = col(rankCol).asc +: tieBreak.map(col(_).asc)
     if (k == 0) df.limit(0)
-    else if (k <= exactCutoff) df.orderBy(order: _*).limit(k.toInt)
+    // limit() takes an Int — k above Int.MaxValue must route to the
+    // distributed path no matter how high the caller set the cutoff
+    else if (k <= math.min(exactCutoff, Int.MaxValue.toLong)) df.orderBy(order: _*).limit(k.toInt)
     else {
       val spark = df.sparkSession
       val n = df.count()

