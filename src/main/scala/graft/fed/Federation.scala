@@ -41,6 +41,28 @@ trait FedModel extends Serializable {
   */
 object Federation {
 
+  /** How per-round client updates are combined into the global model.
+    * The algebra is identical across strategies (FedAvgAggregatorSpec /
+    * FedAvgSpec assert fold ≡ tree ≡ Aggregator); they differ in WHERE
+    * the combine runs:
+    *  - DriverFold: collect every (n_i, W_i) and fold on the driver —
+    *    the reference server's topology, right up to thousands of
+    *    clients (weights are KB–MB).
+    *  - TreeAggregate: `FedAvg.weightedTree` — O(log n) combine depth
+    *    across executors, driver receives ONE model. The million-client
+    *    path.
+    *  - SqlAggregator: `FedAvgAggregator` through Spark's aggregation
+    *    machinery (map-side partial buffers + exchange) — same scale
+    *    story as TreeAggregate, and the same code path a SQL-surface
+    *    caller (`updates.select(FedAvgAggregator.column)`) gets.
+    */
+  sealed trait AggStrategy
+  object AggStrategy {
+    case object DriverFold extends AggStrategy
+    case object TreeAggregate extends AggStrategy
+    case object SqlAggregator extends AggStrategy
+  }
+
   final case class RoundLog(round: Int, totalExamples: Long,
                             clientMetrics: Seq[(String, Map[String, Double])])
 
@@ -77,6 +99,7 @@ object Federation {
              graphId: String = "0",
              weightsDir: Option[String] = None,
              unweighted: Boolean = false,
+             agg: AggStrategy = AggStrategy.DriverFold,
              logger: GraftLogger = GraftLogger.stdout()): Result = {
     val sc = spark.sparkContext
     // counts buildClient invocations: growth past partitions.size means
@@ -94,31 +117,54 @@ object Federation {
     val t0 = System.nanoTime()
     for (round <- 1 to rounds) {
       val bc = sc.broadcast(global)
-      val updates = clients
+      val updatesRdd = clients
         .map { case (name, client) =>
           client.setWeights(bc.value)
           val before = client.evaluate()
           val w = client.fit(epochs)
           (name, client.numExamples, w, before)
         }
-        .collect()
-        .toSeq
+      val (nClients, totalExamples, clientMetrics) = agg match {
+        case AggStrategy.DriverFold =>
+          // reference topology: every (n_i, W_i) lands on the driver
+          val updates = updatesRdd.collect().toSeq
+          global =
+            if (unweighted) FedAvg.mean(updates.map(_._3))
+            else FedAvg.weighted(updates.map(u => (u._2, u._3)))
+          (updates.size, updates.map(_._2).sum, updates.map(u => (u._1, u._4)))
+        case distributed =>
+          // scale topology: weights combine across executors; the
+          // driver collects only the (name, n, metrics) metadata.
+          // MEMORY_AND_DISK: eviction spills rather than re-running
+          // fit() (a re-run would advance optimizer state twice).
+          updatesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val weightedUpdates = updatesRdd
+            .map { case (_, n, w, _) => (if (unweighted) 1L else n, w) }
+          global = distributed match {
+            case AggStrategy.TreeAggregate => FedAvg.weightedTree(weightedUpdates)
+            case _ =>
+              implicit val enc: org.apache.spark.sql.Encoder[(Long, Weights)] =
+                org.apache.spark.sql.Encoders.kryo[(Long, Weights)]
+              spark.createDataset(weightedUpdates)
+                .select(FedAvgAggregator.column).head()
+          }
+          val meta = updatesRdd
+            .map { case (name, n, _, before) => (name, n, before) }.collect().toSeq
+          updatesRdd.unpersist(blocking = false)
+          (meta.size, meta.map(_._2).sum, meta.map(m => (m._1, m._3)))
+      }
       bc.destroy()
       if (builds.value > buildsSeen) {
         logger.info(s"WARNING: ${builds.value - buildsSeen} client(s) were " +
           s"rebuilt in round $round (cache eviction) — optimizer state reset")
         buildsSeen = builds.value
       }
-      global =
-        if (unweighted) FedAvg.mean(updates.map(_._3))
-        else FedAvg.weighted(updates.map(u => (u._2, u._3)))
       weightsDir.foreach { dir =>
         WeightsIO.save(spark, global, s"$dir/weights_graphID:${graphId}_V$round")
       }
-      val log = RoundLog(round, updates.map(_._2).sum,
-        updates.map(u => (u._1, u._4)))
+      val log = RoundLog(round, totalExamples, clientMetrics)
       history += log
-      logger.info(s"Training cycle $round done; clients=${updates.size}, " +
+      logger.info(s"Training cycle $round done; clients=$nClients, " +
         s"examples=${log.totalExamples}")
     }
     runFinalEval(sc, clients, global, history.result(), logger, t0, rounds)

@@ -197,8 +197,11 @@ object Similarity {
       .select(col("query_id"), explode(col("__probes.cid")).as("centroid_id"))
     // candidate (query, corpus) pairs: each corpus row lives in exactly
     // one inverted list, so a pair appears at most once — no dedup
-    // needed, and the join shuffles id pairs only
-    val candIds = qAssigned.join(cAssigned, Seq("centroid_id"))
+    // needed. The probe list is (queries × nProbe) rows of two ids —
+    // broadcast it, so the inverted-list join never shuffles the corpus
+    // assignment; the verify join's shape is left to AQE (candIds is
+    // broadcast-sized in probe mode, corpus-sized in exact mode).
+    val candIds = broadcast(qAssigned).join(cAssigned, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -225,23 +228,28 @@ object Similarity {
                   numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
+    // index carries ids only (the checkpoint and the self-join never
+    // touch vectors); vectors join back per surviving candidate pair
     val bucketed = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      .select(col(idCol).as("__id"),
         hyperplaneSignature(col(vecCol), numPlanes, seed).as("__sig"))
-      .select(col("__id"), col("__v"),
+      .select(col("__id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.cast("int").as("band"),
             call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
               .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
-      .select(col("__id"), col("__v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint() // one signature scan feeds both join sides
-    bucketed.as("l")
+    val candIds = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        col("l.__v").as("__va"), col("r.__v").as("__vb"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    candIds
+      .join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), Seq("id_a"))
+      .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
       .filter(col("cos_sim") >= tau)

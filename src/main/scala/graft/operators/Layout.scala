@@ -33,16 +33,19 @@ object Layout {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltFactor: Int): DataFrame = {
     require(saltFactor >= 1)
-    // Salt from a hash of ALL of the big side's columns — deterministic
-    // under any partitioning (monotonically_increasing_id would vary
-    // with physical row placement). Identical duplicate rows share a
-    // salt, so a key that is hot purely through duplicated rows spreads
-    // one bucket less evenly; distinct rows of a hot key spread fully.
-    val allCols: Seq[Column] = big.columns.toSeq.map(col)
-    val salted = big.withColumn("__salt",
-      pmod(xxhash64(allCols: _*), lit(saltFactor)).cast("int"))
+    val salted = big.withColumn("__salt", saltExpr(big, saltFactor))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<int>")))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Salt from a hash of ALL of `df`'s columns — a pure row function,
+    * so each row's salt is identical under any physical partitioning
+    * (monotonically_increasing_id would vary with row placement and
+    * quietly break reproducibility). Identical duplicate rows share a
+    * salt, so a key hot purely through duplicated rows spreads one
+    * bucket less evenly; distinct rows of a hot key spread fully.
+    */
+  private[graft] def saltExpr(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(saltFactor)).cast("int")
 }

@@ -193,6 +193,36 @@ object LlmQueries {
         numCentroids = 16, nProbe = 4)
     }),
 
+    // Embedding-cosine near-duplicate pairs (the semantic-dedup pass):
+    // corpus = embeddings plus a per-dimension-perturbed twin of every
+    // vector (cos(original, twin) ≈ 0.997 — the "re-encoded same
+    // content" class); hyperplane-LSH candidates, exact cosine ≥ 0.8
+    // verification. Oracle: exact all-pairs cosine ≥ 0.8 (DuckDB twin
+    // below). Equality holds like q27's: every LSH pair is
+    // exact-verified (LSH ⊆ exact), and at the planted pairs' cosine
+    // the 8-band miss probability is ~1e-8 while the natural pair
+    // distribution tops out at 0.51 — no borderline band exists.
+    "q34_cosine_neardup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      // twin perturbation mirrors the DuckDB twin exactly: double math,
+      // dim index i (0-based here, 1-based in DuckDB — hence i+1).
+      // STAGED: the perturbation must run in a select of its own —
+      // referencing col("vec_id") in a lambda alongside an
+      // `(vec_id + 1000000).as("vec_id")` alias in the SAME select
+      // resolves against the ALIAS, not the input column.
+      val twins = t.embeddings
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => x + lit(0.005) *
+              (pmod(col("vec_id") + i.cast("bigint") + 1, lit(7)) - 3).cast("double"))
+            .as("embedding"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.cosinePairs(base.unionByName(twins), tau = 0.8,
+        idCol = "vec_id", vecCol = "embedding")
+    }),
+
     // Multimodal pipeline over a persisted parquet fixture (seeded,
     // deterministic, ~10% planted exact-duplicate payloads): typed-meta
     // projection feeds nothing here — the measured path is video
@@ -275,6 +305,24 @@ object LlmQueries {
               AND LEAST(a.n, b.n) >= 0.6 * GREATEST(a.n, b.n))
         SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
         FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.6""",
+    // Exact all-pairs cosine ≥ 0.8 over embeddings + perturbed twins —
+    // the ground truth for q34's LSH + exact-verify path. The twin's
+    // (x, i) lambda index is 1-based in DuckDB (Spark side adds 1).
+    "q34_cosine_neardup" ->
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    (x, i) -> x + CAST(0.005 AS DOUBLE) * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
+           FROM embeddings),
+         sims AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9)
+               AS cos_sim
+           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.8""",
     "q19_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",

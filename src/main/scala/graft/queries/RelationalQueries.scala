@@ -280,6 +280,31 @@ object RelationalQueries {
             .cast("double"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("running_qty"))
+    }),
+
+    // Batch sessionization (gaps-and-islands): the batch-surface twin
+    // of EventStream.sessionize — a new session starts at a > 30 min
+    // gap per user; sessions summarized. Two windows over ONE
+    // (user_id-keyed) exchange + the final groupBy; micros-integer gap
+    // math is engine-exact.
+    "q35_sessionize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .withColumn("__gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__new",
+          when(col("__gap_us").isNull || col("__gap_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          dsum(col("value")).as("sum_value"))
     })
   )
 
@@ -406,6 +431,24 @@ object RelationalQueries {
          quantile_cont(l_quantity, 0.5) AS p50_qty,
          quantile_cont(l_extendedprice, 0.9) AS p90_price,
          COUNT(*) AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q35_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, event_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM marked)
+       SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       FROM sessions GROUP BY user_id, session_idx"""
   )
 }

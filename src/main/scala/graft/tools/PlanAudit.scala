@@ -12,10 +12,16 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val reads = plan.split("\n").filter(_.contains("ReadSchema"))
+      val lines = plan.split("\n")
+      val reads = lines.filter(_.contains("ReadSchema"))
         .map(_.replaceAll(".*ReadSchema: ", "").take(90)).distinct
-      val exchanges = plan.split("\n").count(_.contains("Exchange"))
-      println(s"AUDIT $name shuffles=$exchanges reads=${reads.mkString(" ; ")}")
+      // a BroadcastExchange moves a small side to every executor — NOT
+      // a shuffle; count the two separately so the audit grades the
+      // right thing (shuffles repartition the big side)
+      val broadcasts = lines.count(_.contains("BroadcastExchange"))
+      val shuffles = lines.count(_.contains("Exchange")) - broadcasts
+      println(s"AUDIT $name shuffles=$shuffles broadcasts=$broadcasts " +
+        s"reads=${reads.mkString(" ; ")}")
     }
     spark.stop()
   }

@@ -67,6 +67,33 @@ class FederationSpec extends SparkSpec {
     assert(res.weights.head.values.toSeq === Seq(4.0f, 14.0f))
   }
 
+  test("TreeAggregate and SqlAggregator strategies reproduce the DriverFold trace") {
+    // same setup as the hand-computed trace: w -> w + 2.5 per round;
+    // the distributed paths must match bit-for-bit, and the round logs
+    // must still carry every client's metadata
+    for (strategy <- Seq(Federation.AggStrategy.TreeAggregate,
+                         Federation.AggStrategy.SqlAggregator)) {
+      val res = Federation.run(spark,
+        partitions = Seq(("a", 2L, 1f), ("b", 6L, 3f)),
+        buildClient = (p: (String, Long, Float)) => new ShiftModel(p._2, p._3),
+        initial = init, rounds = 2, epochs = 1, agg = strategy)
+      assert(res.weights.head.values.toSeq === Seq(5.0f, 15.0f), strategy)
+      assert(res.history.head.totalExamples === 8L, strategy)
+      assert(res.history.head.clientMetrics.size === 2, strategy)
+      assert(res.finalMetrics.size === 2, strategy)
+    }
+  }
+
+  test("unweighted A2 mean also works through the distributed strategies") {
+    // unweighted trace: w -> w + 2 per round (see A2 test above)
+    val res = Federation.run(spark,
+      partitions = Seq(("a", 2L, 1f), ("b", 6L, 3f)),
+      buildClient = (p: (String, Long, Float)) => new ShiftModel(p._2, p._3),
+      initial = init, rounds = 2, epochs = 1, unweighted = true,
+      agg = Federation.AggStrategy.SqlAggregator)
+    assert(res.weights.head.values.toSeq === Seq(4.0f, 14.0f))
+  }
+
   test("per-round weight checkpoints are written and loadable (S9 parity)") {
     val dir = java.nio.file.Files.createTempDirectory("fed-w").toString
     Federation.run(spark,

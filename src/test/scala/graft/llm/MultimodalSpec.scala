@@ -57,6 +57,35 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("payload_bytes") > 4)
   }
 
+  test("distributed fixture: deterministic under partitioning, planted dups exact") {
+    val a = Multimodal.syntheticFixtureDistributed(spark, 40)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    val b = Multimodal.syntheticFixtureDistributed(spark, 40).repartition(7)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(a === b, "fixture payloads changed across builds/partitioning")
+    // every 10th row duplicates the payload 9 rows before it
+    (0 until 40).foreach { i =>
+      if (i % 10 == 9) assert(a(i.toLong) === a((i - 9).toLong), s"row $i not a dup of ${i - 9}")
+      else if (i % 10 != 9) assert(!a.exists { case (j, p) => j != i && j % 10 != 9 && p == a(i.toLong) },
+        s"unexpected dup of row $i")
+    }
+  }
+
+  test("q32 pipeline shape: feature-key dedup groups = planted payload dups") {
+    val fix = Multimodal.syntheticFixtureDistributed(spark, 40)
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.frameSample(fix, stride = 2), new Multimodal.FakeDecoder(8))
+    val groups = decoded
+      .select(col("id"), md5(concat_ws(",", col("feature").cast("array<string>"))).as("fk"))
+      .groupBy("fk").agg(count(lit(1)).as("n"), min("id").as("keep"))
+      .collect()
+    // 40 rows, 4 planted dup pairs (9->0, 19->10, 29->20, 39->30)
+    assert(groups.map(_.getAs[Long]("n")).sum === 40L)
+    val dupGroups = groups.filter(_.getAs[Long]("n") > 1L)
+    assert(dupGroups.length === 4, s"expected 4 dup groups, got ${dupGroups.length}")
+    assert(dupGroups.map(_.getAs[Long]("keep")).sorted.toSeq === Seq(0L, 10L, 20L, 30L))
+  }
+
   test("frameSample: keeps every stride-th 16-byte frame of video payloads") {
     val df = Multimodal.syntheticFixture(spark, 12)
     val before = df.select(col("id"), col("modality"), length(col("data")).as("len"))

@@ -39,9 +39,20 @@ class LayoutSpec extends SparkSpec {
 
   test("salting actually spreads the hot key across salt buckets") {
     val big = spark.range(0, 4000).select(lit(7L).as("k"), col("id").as("payload"))
-    val salts = big.withColumn("__salt",
-      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8)).cast("int"))
+    val salts = big.withColumn("__salt", Layout.saltExpr(big, 8))
       .select("__salt").distinct().count()
     assert(salts >= 6, s"hot key landed in only $salts salt buckets")
+  }
+
+  test("salt assignment is deterministic under repartitioning") {
+    val big = spark.range(0, 4000)
+      .select((col("id") % 13).as("k"), col("id").as("payload"))
+    def salts(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.withColumn("__salt", Layout.saltExpr(df, 8))
+        .select("payload", "__salt").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val once = salts(big)
+    val again = salts(big.repartition(17))
+    assert(once === again, "per-row salt changed with physical partitioning")
   }
 }
