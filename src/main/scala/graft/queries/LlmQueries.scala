@@ -219,8 +219,13 @@ object LlmQueries {
               (pmod(col("vec_id") + i.cast("bigint") + 1, lit(7)) - 3).cast("double"))
             .as("embedding"))
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      // 80 planes × 8 bands = 10 bits/band: at the planted pairs'
+      // cosine (≈0.997, per-plane agree 0.974) a twin misses all 8
+      // bands with p ≈ 7e-6, while unrelated pairs (cosine ≤ 0.51)
+      // collide in ~0.8% of buckets — the 4-bit default bucketed 3.2M
+      // of the 8M possible pairs at sf0.1; 10 bits cuts that ~50×.
       Similarity.cosinePairs(base.unionByName(twins), tau = 0.8,
-        idCol = "vec_id", vecCol = "embedding")
+        idCol = "vec_id", vecCol = "embedding", numPlanes = 80, bands = 8)
     }),
 
     // Multimodal pipeline over a persisted parquet fixture (seeded,

@@ -106,10 +106,24 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(-1f, 0f, 0f, 0f))        // opposite
     ).toDF("vec_id", "embedding")
     val sigs = df.select(col("vec_id"),
-      Similarity.hyperplaneSignature(col("embedding"), 64, 42L).as("sig"))
+      Similarity.hyperplaneSignature(col("embedding"), 64, 42L, dim = 4).as("sig"))
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
     assert(ham(sigs(1L), sigs(3L)) > 48) // opposite vectors disagree on ~all planes
+  }
+
+  test("driver-built plane matrix is bit-identical to the expression formula") {
+    // the literal-matrix signature must replicate the expression
+    // `(pmod(xxhash64(lit(seed), j, d), 2000000).cast("double")/1e6)-1`
+    // exactly — same catalyst XXH64, same fold order, same pmod
+    val df = Seq((0, 0)).toDF("a", "b")
+    for (j <- Seq(0, 1, 31); d <- Seq(0, 5, 63); seed <- Seq(42L, 7L)) {
+      val expr = df.select(
+        ((pmod(xxhash64(lit(seed), lit(j), lit(d)), lit(2000000)).cast("double")
+          / 1000000.0) - 1.0).as("v")).head().getDouble(0)
+      val driver = Similarity.planeComponent(j, d, seed)
+      assert(driver === expr, s"plane ($j,$d,$seed): driver $driver vs expr $expr")
+    }
   }
 }
