@@ -166,6 +166,73 @@ object Similarity {
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over an embedding column — trains the IVF coarse
+    * quantizer (cosine geometry, like `ivfTopK`'s assignment). The
+    * centroid set is driver-resident by design — the FAISS shape: a
+    * coarse quantizer is k × dim values (MBs at 10⁴ centroids), and
+    * keeping it a literal makes per-iteration assignment a PURE
+    * PROJECTION:
+    *  - assignment: argmax over the norm-scaled centroid literal (the
+    *    row's norm is constant across centroids, so argmax of
+    *    dot(v, c/|c|) ≡ argmax of cosine) — zero shuffle, vectors
+    *    never leave their partitions;
+    *  - update: posexplode to (centroid, dim, x) and aggregate — the
+    *    only shuffle, carrying k × dim partial sums after map-side
+    *    combine, independent of corpus size.
+    * Train on a sample at very large n (standard quantizer practice).
+    * Double sums across partitions make low-order centroid bits run-
+    * dependent — fine for an index structure (results are verified by
+    * exact distance anyway).
+    *
+    * @return k centroids (empty clusters keep their previous centroid)
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
+                      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1 && iters >= 0)
+    val vecD = col(vecCol).cast("array<double>")
+    // seeded hash-sample init (the numCentroids smallest hashes win)
+    var cents: Array[Array[Double]] = df
+      .select(vecD.as("__v"), xxhash64(lit(seed), col(vecCol).cast("array<string>")).as("__r"))
+      .orderBy(col("__r")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 1 to iters) {
+      val normed = cents.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0) c else c.map(_ / n)
+      }
+      val centsLit = typedlit(normed.map(_.toSeq).toSeq)
+      // both branches cast to one named struct type — aliases inside
+      // lambda bodies are stripped, which otherwise breaks CASE typing
+      val ordType = "struct<d:double,i:int>"
+      val bestIdx = aggregate(
+        sequence(lit(0), lit(cents.length - 1)),
+        struct(lit(Double.MinValue), lit(-1)).cast(ordType),
+        (acc, j) => {
+          val d = aggregate(zip_with(col("__v"),
+            element_at(centsLit, j.cast("int") + 1), (x, c) => x * c),
+            lit(0.0), (s, v) => s + v)
+          when(d > acc.getField("d"), struct(d, j.cast("int")).cast(ordType))
+            .otherwise(acc)
+        }).getField("i")
+      val sums = df.select(vecD.as("__v"))
+        .select(bestIdx.as("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      val counts = Array.fill(cents.length)(0L)
+      val acc = Array.fill(cents.length)(new Array[Double](cents.head.length))
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        acc(c)(d) = r.getDouble(2); counts(c) = r.getLong(3)
+      }
+      for (c <- cents.indices if counts(c) > 0)
+        next(c) = acc(c).map(_ / counts(c))
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k.
     *
     * Index build: `numCentroids` vectors are hash-sampled from the
@@ -184,14 +251,25 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    // deterministic hash-sample of centroid rows: the numCentroids
-    // smallest seeded hashes win (one small TakeOrdered).
-    val cents = corpus
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("__centv"),
-        xxhash64(lit(seed), col(idCol)).as("__r"))
-      .orderBy(col("__r"), col("centroid_id")).limit(numCentroids)
-      .drop("__r")
+              numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              kmeansIters: Int = 0): DataFrame = {
+    // Centroids: seeded hash-sample of corpus rows (the numCentroids
+    // smallest hashes win — one small TakeOrdered), optionally refined
+    // by `kmeansIters` Lloyd iterations (tighter inverted lists →
+    // better recall at the same nProbe).
+    val cents =
+      if (kmeansIters > 0) {
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        kmeansCentroids(corpus, numCentroids, kmeansIters, vecCol, seed)
+          .zipWithIndex.toSeq
+          .map { case (v, i) => (i.toLong, v.toSeq) }
+          .toDF("centroid_id", "__centv")
+      } else corpus
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("__centv"),
+          xxhash64(lit(seed), col(idCol)).as("__r"))
+        .orderBy(col("__r"), col("centroid_id")).limit(numCentroids)
+        .drop("__r")
     // Centroid assignment carries IDS ONLY and aggregates MAP-SIDE: the
     // broadcast crossJoin's numCentroids candidate rows per input row
     // collapse in the partial HashAggregate before any exchange, so the

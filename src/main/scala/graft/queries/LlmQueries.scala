@@ -193,6 +193,22 @@ object LlmQueries {
         numCentroids = 16, nProbe = 4)
     }),
 
+    // Near-dup GROUPS — the "which rows do I drop" form a dedup
+    // pipeline consumes: connected components (GraphX) over q27's
+    // verified near-dup pair graph, min doc id as each group's
+    // representative. Oracle: recursive min-label propagation in SQL
+    // over the exact pair set (q27's oracle proved LSH pairs = exact
+    // pairs, and CC is a deterministic function of the pair graph).
+    "q36_neardup_groups" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val twins = t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1), greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
+      NearDup.nearDupGroups(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+    }),
+
     // Embedding-cosine near-duplicate pairs (the semantic-dedup pass):
     // corpus = embeddings plus a per-dimension-perturbed twin of every
     // vector (cos(original, twin) ≈ 0.997 — the "re-encoded same
@@ -261,6 +277,33 @@ object LlmQueries {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
       .getOrElse(0.01)
 
+  // Exact near-dup pair set over documents + truncated twins (shared
+  // by the q27 and q36 oracles): shingles, length-ratio-pruned
+  // all-pairs Jaccard, threshold 0.6.
+  private def sqlExactPairCtes: String =
+    s"""corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1)) FROM documents),
+          tok AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
+          sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN []
+                 ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS sh
+            FROM tok),
+          sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
+          cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   a.n + b.n - len(list_intersect(a.sh, b.sh)) AS u
+            FROM sized a, sized b
+            WHERE a.doc_id < b.doc_id
+              AND LEAST(a.n, b.n) >= 0.6 * GREATEST(a.n, b.n)),
+          pairs AS (
+            SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+            FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.6)"""
+
   // Exact cosine top-5 for probes vec_id < 10 — the ground truth for
   // both q21 (brute force) and q26 (IVF with every list probed, which
   // degenerates to the same exact answer).
@@ -289,27 +332,24 @@ object LlmQueries {
     // length-ratio prefilter is exactness-preserving: jaccard ≤
     // min(|a|,|b|)/max(|a|,|b|), so ratio < 0.6 pairs can never pass.
     "q27_minhash_neardup" ->
-      s"""WITH corpus AS (
-            SELECT doc_id, text FROM documents
+      s"""WITH $sqlExactPairCtes
+        SELECT id_a, id_b, jaccard FROM pairs""",
+    // Connected components of the exact near-dup pair graph via
+    // recursive min-label propagation: every node starts labeled with
+    // itself and each neighbor, labels flow along edges until the
+    // fixpoint (UNION dedup terminates it), min label per node = the
+    // component's minimum id — exactly GraphX CC's contract.
+    "q36_neardup_groups" ->
+      s"""WITH RECURSIVE $sqlExactPairCtes,
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
             UNION ALL
-            SELECT doc_id + 1000000,
-                   substring(text, 1, greatest(length(text) - 10, 1)) FROM documents),
-          tok AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
-          sh AS (SELECT doc_id,
-            CASE WHEN len(toks) < 3 THEN []
-                 ELSE list_distinct(list_transform(range(0, len(toks) - 2),
-                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS sh
-            FROM tok),
-          sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh WHERE len(sh) > 0),
-          cand AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.sh, b.sh)) AS i,
-                   a.n + b.n - len(list_intersect(a.sh, b.sh)) AS u
-            FROM sized a, sized b
-            WHERE a.doc_id < b.doc_id
-              AND LEAST(a.n, b.n) >= 0.6 * GREATEST(a.n, b.n))
-        SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
-        FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.6""",
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b)
+        SELECT id, MIN(k) AS keep_id FROM lbl GROUP BY id""",
     // Exact all-pairs cosine ≥ 0.8 over embeddings + perturbed twins —
     // the ground truth for q34's LSH + exact-verify path. The twin's
     // (x, i) lambda index is 1-based in DuckDB (Spark side adds 1).

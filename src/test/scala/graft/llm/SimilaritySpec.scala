@@ -77,6 +77,42 @@ class SimilaritySpec extends SparkSpec {
     exact.unpersist(); df.unpersist()
   }
 
+  test("kmeans centroids recover planted cluster centers; trained IVF recall >= floor") {
+    val nClusters = 4
+    val df = clustered(nClusters, 25).cache()
+    val cents = Similarity.kmeansCentroids(df, k = nClusters, iters = 5, seed = 11L)
+    assert(cents.length === nClusters)
+    // with k = #true clusters and well-separated centers, each trained
+    // centroid should sit in some cluster: cosine to its nearest TRUE
+    // center far above the cross-cluster level
+    val trueCenters = df.as[(Long, Array[Float])].collect()
+      .groupBy(_._1 / 25).values.map { mem =>
+        val dim = mem.head._2.length
+        Array.tabulate(dim)(d => mem.map(_._2(d).toDouble).sum / mem.size)
+      }.toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    cents.foreach { c =>
+      val best = trueCenters.map(t => cos(c, t)).max
+      assert(best > 0.98, s"trained centroid matches no true center (best cos $best)")
+    }
+    // and every true center is claimed by some trained centroid
+    trueCenters.foreach { t =>
+      assert(cents.map(c => cos(c, t)).max > 0.98, "a true cluster lost its centroid")
+    }
+    val queries = df.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5).cache()
+    val trained = Similarity.ivfTopK(df, queries, k = 5,
+      numCentroids = nClusters, nProbe = 1, kmeansIters = 5)
+    // nProbe=1 with per-cluster centroids: in-cluster neighbors are the
+    // whole top-5, so even a single probed list must score high
+    val r = Similarity.recallAtK(exact, trained)
+    assert(r >= 0.9, s"trained-IVF recall@5 at nProbe=1 = $r")
+    exact.unpersist(); df.unpersist()
+  }
+
   test("embedding-cosine near-dup: planted near-identical copies are grouped") {
     val rng = new scala.util.Random(3)
     val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
