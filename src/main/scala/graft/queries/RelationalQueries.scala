@@ -305,6 +305,22 @@ object RelationalQueries {
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           dsum(col("value")).as("sum_value"))
+    }),
+
+    // Skew-controlled join through Layout.saltedJoin — semantically a
+    // plain inner join (the oracle IS the plain join), physically the
+    // big side spreads each key over 8 salt buckets so one hot
+    // supplier cannot straggle a task. Keeps the salting operator in
+    // the measured, oracle-checked surface.
+    "q37_salted_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem.select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      val supp = t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Layout.saltedJoin(items, supp, Seq("l_suppkey"), saltFactor = 8)
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
     })
   )
 
@@ -449,6 +465,12 @@ object RelationalQueries {
          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-       FROM sessions GROUP BY user_id, session_idx"""
+       FROM sessions GROUP BY user_id, session_idx""",
+    "q37_salted_join" ->
+      """SELECT l.l_suppkey, s.s_name, COUNT(*) AS n_items,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2"""
   )
 }

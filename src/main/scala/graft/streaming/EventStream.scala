@@ -62,6 +62,17 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–static enrichment join: each event picks up its user's
+    * dimension attributes. The static side is re-planned per
+    * micro-batch (so a dimension refresh is picked up without restart)
+    * and broadcast when it is small — the standard streaming-ETL
+    * enrichment shape; no streaming state at all, so it scales with
+    * the micro-batch, not the stream's history.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id",
+             broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
+
   /** Per-user sessionization with an inactivity gap — custom streaming
     * state via `flatMapGroupsWithState` (event-time timeout): a session
     * closes, and is emitted exactly once, when the watermark passes

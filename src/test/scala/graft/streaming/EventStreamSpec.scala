@@ -90,6 +90,22 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("enrich: stream-static join decorates events, unmatched keys keep nulls") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val dim = Seq((100L, "gold"), (300L, "silver")).toDF("user_id", "tier")
+    val q = EventStream.enrich(source.toDF(), dim).writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    source.addData(fixture: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched")
+      .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("gold") && out(4L) === Some("gold"))
+    assert(out(3L) === None, "user 200 has no dim row -> null tier")
+    assert(out.size === fixture.size, "left join must keep every event")
+  }
+
   test("batch twin: hourlyAgg grouping matches q15's on the events table") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val agg = hourlyAgg(t.events)
