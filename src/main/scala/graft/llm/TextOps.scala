@@ -125,6 +125,45 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    * character `k`-gram of the normalized text, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum, dedupe — a
+    * LOCAL document sketch: any shared substring of length ≥ k+w-1
+    * between two documents is guaranteed to contribute a shared
+    * fingerprint, which makes it the partial-overlap detector (plagiarism
+    * / quotation / near-copy regions) that whole-document hashing (q24)
+    * and set-level MinHash (q27) cannot provide.
+    *
+    * The "hash" is md5 hex with STRING ordering for the window minimum —
+    * both deterministic and reproducible in external engines (DuckDB has
+    * the same md5), which keeps the op oracle-checkable. Pure array
+    * expressions over the codegen'd builtins; texts shorter than k yield
+    * no fingerprints.
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 2 && w >= 1)
+    winnowSelect(charGramHashes(normalized(text), k), w)
+  }
+
+  /** md5 of every character `k`-gram of `normText` (pass an ALREADY
+    * staged/aliased normalized-text column: this expression is
+    * referenced per gram, and an unstaged `normalized(...)` would
+    * re-run its regexes once per position — the O(n²) lambda trap).
+    */
+  def charGramHashes(normText: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(normText) - (k - 1), lit(0))),
+      i => md5(normText.substr(i, lit(k))))
+
+  /** Winnowing selection over a STAGED gram-hash array column: the
+    * distinct minima of every `w`-wide window (string ordering). Fewer
+    * than `w` grams yields no fingerprints.
+    */
+  def winnowSelect(gramHashes: Column, w: Int): Column =
+    when(size(gramHashes) < w, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(gramHashes) - (w - 1)),
+          j => array_min(slice(gramHashes, j, lit(w))))))
+
   /** Word n-gram shingles over the whitespace tokens; fewer than `n`
     * tokens yields an empty array. Building block for MinHash and for
     * repetition scoring.

@@ -193,6 +193,22 @@ object LlmQueries {
         numCentroids = 16, nProbe = 4)
     }),
 
+    // Winnowing (rolling-hash) document fingerprints — the LOCAL
+    // sketch that detects partial overlap (quoted/plagiarized/copied
+    // REGIONS) which whole-doc hashing (q24) and set-level MinHash
+    // (q27) can't localize: any shared normalized substring of length
+    // ≥ k+w-1 = 11 guarantees a shared fingerprint. Staged so the
+    // normalization regexes and the gram-hash array are each computed
+    // once per row (the per-element lambda re-evaluation trap).
+    "q38_winnowing" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), TextOps.normalized(col("text")).as("__norm"))
+        .select(col("doc_id"), TextOps.charGramHashes(col("__norm"), 8).as("__gh"))
+        .select(col("doc_id"),
+          explode(TextOps.winnowSelect(col("__gh"), 4)).as("fingerprint"))
+    }),
+
     // Near-dup GROUPS — the "which rows do I drop" form a dedup
     // pipeline consumes: connected components (GraphX) over q27's
     // verified near-dup pair graph, min doc id as each group's
@@ -371,6 +387,27 @@ object LlmQueries {
     "q19_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // Winnowing twin: same normalization as q24's fingerprint, md5 of
+    // every 8-char-gram, distinct minima of 4-wide windows (md5 hex is
+    // ASCII, so string min is collation-independent in both engines).
+    "q38_winnowing" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+           FROM documents),
+         gh AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(length(norm) - 7, 0) + 1),
+               i -> md5(substr(norm, i, 8))) AS gh
+           FROM norm),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN len(gh) < 4 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(gh) - 3 + 1),
+                    j -> list_min(gh[j:j+3]))) END AS fps
+           FROM gh)
+       SELECT doc_id, unnest(fps) AS fingerprint FROM fp""",
     "q20_text_stats" ->
       s"""WITH tok AS (
            SELECT lang, n_chars, $sqlToks AS toks FROM documents)

@@ -59,4 +59,21 @@ class TextOpsSpec extends SparkSpec {
     val b = one[Long](TextOps.rollingFingerprint(col("text")), "the quick brown fox jumps")
     assert(a === b)
   }
+
+  test("winnowing: shared substring of length >= k+w-1 guarantees a shared fingerprint") {
+    val k = 8; val w = 4
+    def fps(text: String): Set[String] =
+      Seq(text).toDF("text")
+        .select(TextOps.winnowingFingerprints(col("text"), k, w).as("v"))
+        .collect()(0).getSeq[String](0).toSet
+    val shared = "a very distinctive copied passage sits here"
+    val d1 = fps(s"completely unrelated preamble text then $shared and a tail")
+    val d2 = fps(s"other document entirely $shared closing differently")
+    val d3 = fps("nothing in common with the others at all whatsoever")
+    assert(d1.intersect(d2).nonEmpty, "copied region must share a fingerprint")
+    assert(d1.intersect(d3).isEmpty || d1.intersect(d3).size < d1.intersect(d2).size)
+    // deterministic; short text -> no fingerprints
+    assert(fps(shared) === fps(shared))
+    assert(fps("tiny") === Set.empty)
+  }
 }
