@@ -164,6 +164,30 @@ object TextOps {
         transform(sequence(lit(1), size(gramHashes) - (w - 1)),
           j => array_min(slice(gramHashes, j, lit(w))))))
 
+  /** PII patterns shared by the detector and the redactor. Kept to
+    * RE2-compatible constructs (character classes, bounded repeats, no
+    * backreferences/lookaround) so external engines reproduce the
+    * matches exactly.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4"  -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+
+  /** Occurrences of one PII pattern class in `text`. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact every occurrence of all PII classes with `[CLASS]` tags —
+    * the standard pre-training scrub pass. Order matters (emails before
+    * phones, so digits inside an already-redacted email aren't
+    * re-matched); pure codegen'd regex projection, zero shuffle.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
   /** Word n-gram shingles over the whitespace tokens; fewer than `n`
     * tokens yields an empty array. Building block for MinHash and for
     * repetition scoring.

@@ -193,6 +193,30 @@ object LlmQueries {
         numCentroids = 16, nProbe = 4)
     }),
 
+    // PII detection + redaction — the scrub pass every pre-training
+    // pipeline runs. The synthetic corpus has no real PII, so each doc
+    // gets a deterministic planted contact line (email + phone + IP
+    // derived from doc_id, identically constructed in the oracle);
+    // the query counts per-class occurrences and emits the redacted
+    // text's hash (proving the replacement itself matches). Pure
+    // regex projections — zero shuffle, RE2-safe patterns.
+    "q39_pii_redact" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit("-1234 from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".7"))
+      t.documents
+        .select(col("doc_id"), planted.as("__t"))
+        .select(col("doc_id"),
+          TextOps.piiCount(col("__t"), TextOps.PiiPatterns(0)._2).as("n_emails"),
+          TextOps.piiCount(col("__t"), TextOps.PiiPatterns(1)._2).as("n_phones"),
+          TextOps.piiCount(col("__t"), TextOps.PiiPatterns(2)._2).as("n_ips"),
+          md5(TextOps.piiRedact(col("__t"))).as("redacted_hash"))
+    }),
+
     // Winnowing (rolling-hash) document fingerprints — the LOCAL
     // sketch that detects partial overlap (quoted/plagiarized/copied
     // REGIONS) which whole-doc hashing (q24) and set-level MinHash
@@ -387,6 +411,30 @@ object LlmQueries {
     "q19_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    // PII twin: identical planted contact line, identical RE2-safe
+    // patterns, identical replace order (emails, then phones, then
+    // IPs). Kept in lockstep with TextOps.PiiPatterns.
+    "q39_pii_redact" -> {
+      val email = TextOps.PiiPatterns(0)._2
+      val phone = TextOps.PiiPatterns(1)._2
+      val ip = TextOps.PiiPatterns(2)._2
+      s"""WITH planted AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '$email')) AS n_emails,
+           len(regexp_extract_all(t, '$phone')) AS n_phones,
+           len(regexp_extract_all(t, '$ip')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '$email', '[EMAIL]', 'g'),
+                 '$phone', '[PHONE]', 'g'),
+                 '$ip', '[IPV4]', 'g')) AS redacted_hash
+         FROM planted"""
+    },
     // Winnowing twin: same normalization as q24's fingerprint, md5 of
     // every 8-char-gram, distinct minima of 4-wide windows (md5 hex is
     // ASCII, so string min is collation-independent in both engines).

@@ -60,6 +60,22 @@ class TextOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("PII: counts find planted identifiers; redaction replaces all and only them") {
+    val text = "write to alice.smith+x@corp-mail.co.uk or call +44-123-4567 " +
+      "from host 192.168.0.1; plain words 123 stay"
+    def cnt(p: (String, String)) = one[Int](TextOps.piiCount(col("text"), p._2), text)
+    assert(cnt(TextOps.PiiPatterns(0)) === 1)
+    assert(cnt(TextOps.PiiPatterns(1)) === 1)
+    assert(cnt(TextOps.PiiPatterns(2)) === 1)
+    val red = one[String](TextOps.piiRedact(col("text")), text)
+    assert(red.contains("[EMAIL]") && red.contains("[PHONE]") && red.contains("[IPV4]"))
+    assert(!red.contains("alice") && !red.contains("192.168"))
+    assert(red.contains("plain words 123 stay"), s"over-redacted: $red")
+    // no PII -> text unchanged
+    val clean = "nothing sensitive here at all"
+    assert(one[String](TextOps.piiRedact(col("text")), clean) === clean)
+  }
+
   test("winnowing: shared substring of length >= k+w-1 guarantees a shared fingerprint") {
     val k = 8; val w = 4
     def fps(text: String): Set[String] =
