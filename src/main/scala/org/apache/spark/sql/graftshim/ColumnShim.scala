@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a `SparkSessionExtensions`' injected functions to a
+    * registry (`registerFunctions` is `private[sql]`) — lets tests
+    * exercise the extension path without building a new SparkSession
+    * (a shared-session test JVM can't re-run session construction).
+    */
+  def applyFunctionExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
 }

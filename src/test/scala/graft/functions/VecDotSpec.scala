@@ -57,6 +57,20 @@ class VecDotSpec extends SparkSpec {
     assert(got === 11.0)
   }
 
+  test("GraftExtensions injects vec_dot into a session's function registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.graftshim.ColumnShim
+      .applyFunctionExtensions(ext,
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    assert(registry.functionExists(FunctionIdentifier("vec_dot")))
+    val expr = registry.lookupFunction(FunctionIdentifier("vec_dot"),
+      Seq(Literal.create(Array(1f, 2f)), Literal.create(Array(3f, 4f))))
+    assert(expr.eval(null) === 11.0)
+  }
+
   test("stays inside whole-stage codegen (no fallback in the plan)") {
     // LocalTableScan of a literal Seq never codegens — use a range scan
     val df = spark.range(100).select(
