@@ -181,16 +181,18 @@ object LlmQueries {
     }),
 
     // IVF ANN at the PRODUCTION approximate setting (nProbe = 4 of 16
-    // lists probed — the latency/recall dial). NO ORACLE by
+    // lists probed — the latency/recall dial), with the coarse
+    // quantizer refined by 2 Lloyd iterations (kmeansCentroids — the
+    // trained-index path in the measured surface). NO ORACLE by
     // construction: which neighbors fall in unprobed lists depends on
-    // the seeded centroid sample, so no engine-independent SQL defines
-    // the output; the machinery itself is oracle-proven exactly by q26
+    // the trained centroids, so no engine-independent SQL defines the
+    // output; the machinery itself is oracle-proven exactly by q26
     // (nProbe = all) and recall-floor-tested in SimilaritySpec.
     "q33_ann_ivf_probe" -> ((s, dir) => {
       val t = Tables(s, dir)
       val emb = t.embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        numCentroids = 16, nProbe = 4)
+        numCentroids = 16, nProbe = 4, kmeansIters = 2)
     }),
 
     // PII detection + redaction — the scrub pass every pre-training
