@@ -33,6 +33,11 @@ object EventStream {
   // public: the state encoder's generated code instantiates it
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+  final case class Trending(window_start: Timestamp, event_type: String,
+                            n_events: Long, rank: Int)
+  // per-window accumulator: event_type -> count
+  final case class TrendState(counts: Map[String, Long])
+
   /** Event-time hourly aggregate per event type — the streaming twin of
     * q15 (same grouping, same exact-decimal sums). On a stream the
     * watermark closes windows `delay` after their end; in batch the
@@ -61,6 +66,46 @@ object EventStream {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-window trending top-k event types — streaming RANKING, which
+    * append-mode window functions cannot express: counts accumulate in
+    * per-window state (`flatMapGroupsWithState` keyed by window start)
+    * and the window's top `k` is emitted EXACTLY ONCE, when the
+    * watermark passes its end — the leaderboard pattern.
+    *
+    * Scale: state is (window × distinct event types) counters —
+    * independent of event volume; the shuffle is keyed by window
+    * start, and ties rank deterministically by (count desc, type).
+    */
+  def trendingTopK(events: Dataset[Event], k: Int, windowMinutes: Int): Dataset[Trending] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winMs = windowMinutes * 60000L
+    events
+      .withWatermark("ts", s"$windowMinutes minutes")
+      .groupByKey(e => e.ts.getTime / winMs * winMs)
+      .flatMapGroupsWithState[TrendState, Trending](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[Event], state: GroupState[TrendState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.iterator.map { case ((t, n), i) =>
+                Trending(new Timestamp(winStart), t, n, i + 1)
+              }
+          } else {
+            val cur = state.getOption.map(_.counts).getOrElse(Map.empty)
+            val upd = rows.foldLeft(cur) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TrendState(upd))
+            // close once the watermark passes the window end
+            state.setTimeoutTimestamp(winStart + winMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Stream–static enrichment join: each event picks up its user's
     * dimension attributes. The static side is re-planned per

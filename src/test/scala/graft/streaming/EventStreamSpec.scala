@@ -106,6 +106,30 @@ class EventStreamSpec extends SparkSpec {
     assert(out.size === fixture.size, "left join must keep every event")
   }
 
+  test("trendingTopK: per-window leaderboard emitted once when the window closes") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    // window 0: 3 clicks, 2 views, 1 error -> top-2 = click, view
+    val w0 = Seq(
+      Event(1, 1, "click", 0, ts(1)), Event(2, 1, "click", 0, ts(2)),
+      Event(3, 2, "click", 0, ts(3)), Event(4, 2, "view", 0, ts(4)),
+      Event(5, 3, "view", 0, ts(5)), Event(6, 3, "error", 0, ts(6)))
+    val q = EventStream.trendingTopK(source.toDS(), k = 2, windowMinutes = 60)
+      .writeStream.format("memory").queryName("trend").outputMode("append").start()
+    source.addData(w0: _*)
+    q.processAllAvailable()
+    // watermark hasn't passed the window end yet -> nothing emitted
+    assert(spark.table("trend").count() === 0)
+    source.addData(Event(99, 9, "late", 0, ts(10000))) // push watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("trend")
+      .as[Trending].collect().filter(_.window_start.getTime == 0L)
+      .sortBy(_.rank)
+    assert(out.map(t => (t.event_type, t.n_events, t.rank)).toSeq ===
+      Seq(("click", 3L, 1), ("view", 2L, 2)))
+  }
+
   test("batch twin: hourlyAgg grouping matches q15's on the events table") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val agg = hourlyAgg(t.events)
