@@ -47,6 +47,19 @@ object SageHyperParams {
   * link score = `sigmoid(dot(e_src, e_dst))` ("ip" edge embedding,
   * models/supervised.py:94-96); loss = binary cross-entropy.
   *
+  * Execution shape (the GEMM batching that gives reference-stack
+  * throughput): a batch is evaluated over its DEDUPED node sets — every
+  * distinct node at each tree level is sampled and forwarded ONCE per
+  * batch (GraphSAGE §3.2 minibatch style), and the mean over k
+  * neighbor samples-with-replacement is reconstructed from the multiset
+  * counts (`Σ count_v · x_v / k` — the identical estimator, computed
+  * without materializing duplicate rows). All layer applications are
+  * (distinct-nodes × features) GEMMs through netlib BLAS; feature
+  * matrices are built feature-major so each node is one contiguous
+  * column and dgemm absorbs the transpose. Dropout masks are drawn per
+  * distinct node per batch. Both link towers (src ++ dst) share one
+  * batch evaluation, so src/dst overlap dedups too.
+  *
   * Math is Double-precision Breeze (weights cross the FedModel boundary
   * as Float per the engine-wide LayerTensor contract). Neighbor
   * sampling inside the trainer is seeded-deterministic; sentinel -1
@@ -63,6 +76,12 @@ final class LocalGraphSage(
   private val (d1, d2) = hp.layerSizes
   private val h1 = d1 / 2
   private val h2 = d2 / 2
+
+  /** Inference batches are sized so the deduped level-1 feature matrix
+    * stays small (~tens of MB) even on high-degree graphs: D1 is at most
+    * chunk·k1 distinct nodes.
+    */
+  private val inferChunk = math.max(hp.batchSize, 8192 / math.max(k1, 1))
 
   // ---- weights (row-major LayerTensor <-> Breeze col-major) ----
   private var w1s = DenseMatrix.zeros[Double](numFeatures, h1)
@@ -140,139 +159,252 @@ final class LocalGraphSage(
     m
   }
 
-  // ---- sampling (seeded, task-local) ----
-  private def sampleNeighborsOf(v: Long, k: Int, rng: java.util.Random): Array[Long] = {
+  // ---- batch plan: the deduped sample tree ----
+
+  /** One batch's sample tree over DISTINCT nodes. `rootPos(i)` maps
+    * batch position i to its row in the distinct-root set `u0`; each
+    * distinct root carries its level-1 sample multiset as (index into
+    * `u1`, count) with counts summing to k1; each distinct level-1 node
+    * carries its level-2 sample multiset as (node id, count) summing to
+    * k2. Sampling happens once per DISTINCT node per batch.
+    */
+  private final class BatchPlan(
+      val rootPos: Array[Int],
+      val u0: Array[Long],
+      val l1idx: Array[Array[Int]], val l1cnt: Array[Array[Int]],
+      val u1: Array[Long],
+      val l2ids: Array[Array[Long]], val l2cnt: Array[Array[Int]])
+
+  private def sampleOne(v: Long, rng: java.util.Random): Long = {
     val nbrs = if (v == -1L) null else adjacency.getOrElse(v, null)
-    val out = new Array[Long](k)
+    if (nbrs == null || nbrs.isEmpty) -1L else nbrs(rng.nextInt(nbrs.length))
+  }
+
+  /** Sample k neighbors-with-replacement of `v`, returned as the
+    * first-seen-ordered multiset (ids, counts).
+    */
+  private def sampleMultiset(v: Long, k: Int, rng: java.util.Random): (Array[Long], Array[Int]) = {
+    val counts = new java.util.LinkedHashMap[Long, Array[Int]]()
+    var t = 0
+    while (t < k) {
+      val s = sampleOne(v, rng)
+      val c = counts.get(s)
+      if (c == null) counts.put(s, Array(1)) else c(0) += 1
+      t += 1
+    }
+    val ids = new Array[Long](counts.size()); val cnt = new Array[Int](counts.size())
+    val it = counts.entrySet().iterator(); var j = 0
+    while (it.hasNext) { val e = it.next(); ids(j) = e.getKey; cnt(j) = e.getValue()(0); j += 1 }
+    (ids, cnt)
+  }
+
+  private def planBatch(roots: Array[Long], rng: java.util.Random): BatchPlan = {
+    val u0map = new java.util.LinkedHashMap[Long, Integer]()
+    val rootPos = new Array[Int](roots.length)
     var i = 0
-    while (i < k) {
-      out(i) = if (nbrs == null || nbrs.isEmpty) -1L else nbrs(rng.nextInt(nbrs.length))
+    while (i < roots.length) {
+      var idx = u0map.get(roots(i))
+      if (idx == null) { idx = Integer.valueOf(u0map.size()); u0map.put(roots(i), idx) }
+      rootPos(i) = idx.intValue()
       i += 1
+    }
+    val u0 = new Array[Long](u0map.size())
+    u0map.forEach((k, v) => u0(v.intValue()) = k)
+    val u1map = new java.util.LinkedHashMap[Long, Integer]()
+    val l1idx = new Array[Array[Int]](u0.length)
+    val l1cnt = new Array[Array[Int]](u0.length)
+    var j = 0
+    while (j < u0.length) {
+      val (ids, cnt) = sampleMultiset(u0(j), k1, rng)
+      val idxs = new Array[Int](ids.length)
+      var t = 0
+      while (t < ids.length) {
+        var idx = u1map.get(ids(t))
+        if (idx == null) { idx = Integer.valueOf(u1map.size()); u1map.put(ids(t), idx) }
+        idxs(t) = idx.intValue()
+        t += 1
+      }
+      l1idx(j) = idxs; l1cnt(j) = cnt
+      j += 1
+    }
+    val u1 = new Array[Long](u1map.size())
+    u1map.forEach((k, v) => u1(v.intValue()) = k)
+    val l2ids = new Array[Array[Long]](u1.length)
+    val l2cnt = new Array[Array[Int]](u1.length)
+    j = 0
+    while (j < u1.length) {
+      val (ids, cnt) = sampleMultiset(u1(j), k2, rng)
+      l2ids(j) = ids; l2cnt(j) = cnt
+      j += 1
+    }
+    new BatchPlan(rootPos, u0, l1idx, l1cnt, u1, l2ids, l2cnt)
+  }
+
+  // ---- dense kernels (feature-major construction, contiguous columns) ----
+
+  /** Column j of feature-major `m` (numFeatures × D) := features(v). */
+  private def fillCol(m: DenseMatrix[Double], j: Int, v: Long): Unit =
+    if (v != -1L) features.get(v) match {
+      case Some(f) =>
+        val d = m.data; val base = j * numFeatures
+        var c = 0; while (c < numFeatures) { d(base + c) = f(c); c += 1 }
+      case None => // absent feature row contributes zeros (StellarGraph pad)
+    }
+
+  /** Column j of feature-major `m` += s · features(v). */
+  private def addColScaled(m: DenseMatrix[Double], j: Int, v: Long, s: Double): Unit =
+    if (v != -1L) features.get(v) match {
+      case Some(f) =>
+        val d = m.data; val base = j * numFeatures
+        var c = 0; while (c < numFeatures) { d(base + c) += s * f(c); c += 1 }
+      case None =>
+    }
+
+  /** Inverted-dropout in place: element := element/keep w.p. keep else 0. */
+  private def maskInPlace(m: DenseMatrix[Double], rng: java.util.Random): Unit = {
+    val keep = 1.0 - hp.dropout
+    val d = m.data
+    var i = 0
+    while (i < d.length) { if (rng.nextDouble() < keep) d(i) /= keep else d(i) = 0.0; i += 1 }
+  }
+
+  private def newMask(rows: Int, cols: Int, rng: java.util.Random): DenseMatrix[Double] = {
+    val keep = 1.0 - hp.dropout
+    val m = DenseMatrix.zeros[Double](rows, cols)
+    val d = m.data
+    var i = 0
+    while (i < d.length) { if (rng.nextDouble() < keep) d(i) = 1.0 / keep; i += 1 }
+    m
+  }
+
+  private def relu(m: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val out = DenseMatrix.zeros[Double](m.rows, m.cols)
+    val s = m.data; val d = out.data
+    var i = 0
+    while (i < s.length) { if (s(i) > 0) d(i) = s(i); i += 1 }
+    out
+  }
+
+  /** `[zs | zn] + bias` (zs n×h, zn n×h, bias length 2h). */
+  private def concatBias(zs: DenseMatrix[Double], zn: DenseMatrix[Double],
+                         bias: DenseVector[Double]): DenseMatrix[Double] = {
+    val n = zs.rows
+    val out = DenseMatrix.zeros[Double](n, zs.cols + zn.cols)
+    val d = out.data
+    var c = 0
+    while (c < zs.cols) {
+      val b = bias(c); val base = c * n
+      var i = 0; while (i < n) { d(base + i) = zs(i, c) + b; i += 1 }
+      c += 1
+    }
+    c = 0
+    while (c < zn.cols) {
+      val b = bias(zs.cols + c); val base = (zs.cols + c) * n
+      var i = 0; while (i < n) { d(base + i) = zn(i, c) + b; i += 1 }
+      c += 1
     }
     out
   }
 
-  private def featRow(m: DenseMatrix[Double], row: Int, v: Long): Unit = {
-    if (v != -1L) features.get(v).foreach { f =>
-      var c = 0; while (c < numFeatures) { m(row, c) = f(c); c += 1 }
-    } // else leave zeros (StellarGraph zero-pad)
+  private def colSums(m: DenseMatrix[Double]): DenseVector[Double] = {
+    val out = DenseVector.zeros[Double](m.cols)
+    val d = m.data
+    var c = 0
+    while (c < m.cols) {
+      var s = 0.0; val base = c * m.rows
+      var i = 0; while (i < m.rows) { s += d(base + i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
   }
 
   // ---- forward ----
-  /** Per-tower forward cache for backprop. */
-  private final case class TowerCache(
-      x0: DenseMatrix[Double], m1: DenseMatrix[Double],
-      x1: DenseMatrix[Double], m2: DenseMatrix[Double],
-      a1root: DenseMatrix[Double], h1root: DenseMatrix[Double],
-      a1n: DenseMatrix[Double], h1n: DenseMatrix[Double],
-      mh: DenseMatrix[Double], h2out: DenseMatrix[Double],
-      emb: DenseMatrix[Double], norms: DenseVector[Double],
-      drop: Seq[DenseMatrix[Double]])
 
-  private def relu(m: DenseMatrix[Double]): DenseMatrix[Double] = m.map(x => if (x > 0) x else 0.0)
+  /** Everything backward needs, on the batch's distinct-node sets. The
+    * xt/mt matrices are the (masked) feature-major layer-1 inputs.
+    */
+  private final class BatchCache(
+      val plan: BatchPlan,
+      val xt0: DenseMatrix[Double], val mt1: DenseMatrix[Double],
+      val xt1: DenseMatrix[Double], val mt2: DenseMatrix[Double],
+      val a1r: DenseMatrix[Double], val a1n: DenseMatrix[Double],
+      val h1rd: DenseMatrix[Double], val mhd: DenseMatrix[Double],
+      val maskH1r: DenseMatrix[Double], val maskMh: DenseMatrix[Double],
+      val emb: DenseMatrix[Double], val norms: DenseVector[Double])
 
-  private def dropMask(rows: Int, cols: Int, rng: java.util.Random, train: Boolean): DenseMatrix[Double] =
-    if (!train || hp.dropout == 0.0) null
-    else {
-      val keep = 1.0 - hp.dropout
-      DenseMatrix.fill(rows, cols)(if (rng.nextDouble() < keep) 1.0 / keep else 0.0)
+  /** Forward the batch over its deduped sample tree; `emb` rows align
+    * with `plan.u0` (use `plan.rootPos` to read a batch position).
+    */
+  private def forwardBatch(roots: Array[Long], rng: java.util.Random,
+                           train: Boolean): BatchCache = {
+    val plan = planBatch(roots, rng)
+    val nU0 = plan.u0.length; val nU1 = plan.u1.length
+    val doDrop = train && hp.dropout > 0.0
+    // feature-major inputs: one contiguous column per distinct node
+    val xt0 = DenseMatrix.zeros[Double](numFeatures, nU0)
+    var j = 0
+    while (j < nU0) { fillCol(xt0, j, plan.u0(j)); j += 1 }
+    val mt1 = DenseMatrix.zeros[Double](numFeatures, nU0)
+    j = 0
+    while (j < nU0) {
+      val idxs = plan.l1idx(j); val cnt = plan.l1cnt(j)
+      var t = 0
+      while (t < idxs.length) { addColScaled(mt1, j, plan.u1(idxs(t)), cnt(t).toDouble / k1); t += 1 }
+      j += 1
     }
-
-  private def applyMask(m: DenseMatrix[Double], mask: DenseMatrix[Double]): DenseMatrix[Double] =
-    if (mask == null) m else m *:* mask
-
-  /** Forward one tower for `roots`; dropout active only when `train`. */
-  private def forwardTower(roots: Array[Long], rng: java.util.Random,
-                           train: Boolean): TowerCache = {
-    val b = roots.length
-    // sample tree
-    val lvl1 = new Array[Long](b * k1)
-    val lvl2 = new Array[Long](b * k1 * k2)
-    var i = 0
-    while (i < b) {
-      val n1 = sampleNeighborsOf(roots(i), k1, rng)
-      var j = 0
-      while (j < k1) {
-        lvl1(i * k1 + j) = n1(j)
-        val n2 = sampleNeighborsOf(n1(j), k2, rng)
-        System.arraycopy(n2, 0, lvl2, (i * k1 + j) * k2, k2)
-        j += 1
+    val xt1 = DenseMatrix.zeros[Double](numFeatures, nU1)
+    j = 0
+    while (j < nU1) { fillCol(xt1, j, plan.u1(j)); j += 1 }
+    val mt2 = DenseMatrix.zeros[Double](numFeatures, nU1)
+    j = 0
+    while (j < nU1) {
+      val ids = plan.l2ids(j); val cnt = plan.l2cnt(j)
+      var t = 0
+      while (t < ids.length) { addColScaled(mt2, j, ids(t), cnt(t).toDouble / k2); t += 1 }
+      j += 1
+    }
+    // input dropout, per distinct node per batch (Keras GraphSAGE drops inputs)
+    if (doDrop) { maskInPlace(xt0, rng); maskInPlace(mt1, rng); maskInPlace(xt1, rng); maskInPlace(mt2, rng) }
+    // layer 1 — shared weights on roots and level-1 nodes; dgemm reads the
+    // feature-major matrices via the transpose flag (no copy)
+    val a1r = concatBias(xt0.t * w1s, mt1.t * w1n, b1)
+    val a1n = concatBias(xt1.t * w1s, mt2.t * w1n, b1)
+    val h1n = relu(a1n)
+    // layer-2 neighbor mean per distinct root, from the multiset counts
+    val mh = DenseMatrix.zeros[Double](nU0, d1)
+    j = 0
+    while (j < nU0) {
+      val idxs = plan.l1idx(j); val cnt = plan.l1cnt(j)
+      var t = 0
+      while (t < idxs.length) {
+        val s = cnt(t).toDouble / k1; val src = idxs(t)
+        var c = 0
+        while (c < d1) { mh.data(c * nU0 + j) += s * h1n.data(c * nU1 + src); c += 1 }
+        t += 1
       }
-      i += 1
+      j += 1
     }
-    // feature matrices
-    val x0 = DenseMatrix.zeros[Double](b, numFeatures)
-    i = 0; while (i < b) { featRow(x0, i, roots(i)); i += 1 }
-    val x1 = DenseMatrix.zeros[Double](b * k1, numFeatures)
-    i = 0; while (i < b * k1) { featRow(x1, i, lvl1(i)); i += 1 }
-    val x2 = DenseMatrix.zeros[Double](b * k1 * k2, numFeatures)
-    i = 0; while (i < b * k1 * k2) { featRow(x2, i, lvl2(i)); i += 1 }
-    // neighbor means
-    val m1 = meanBlocks(x1, k1)        // b × F
-    val m2 = meanBlocks(x2, k2)        // b*k1 × F
-    // dropout masks on every layer input (Keras GraphSAGE drops inputs)
-    val dx0 = dropMask(b, numFeatures, rng, train)
-    val dm1 = dropMask(b, numFeatures, rng, train)
-    val dx1 = dropMask(b * k1, numFeatures, rng, train)
-    val dm2 = dropMask(b * k1, numFeatures, rng, train)
-    val x0d = applyMask(x0, dx0); val m1d = applyMask(m1, dm1)
-    val x1d = applyMask(x1, dx1); val m2d = applyMask(m2, dm2)
-    // layer 1 on root and on level-1 nodes (shared weights)
-    val a1root = concatBias(x0d * w1s, m1d * w1n, b1)
-    val h1rootM = relu(a1root)
-    val a1n = concatBias(x1d * w1s, m2d * w1n, b1)
-    val h1nM = relu(a1n)
-    // layer-2 inputs (dropout on them too)
-    val dh1r = dropMask(b, d1, rng, train)
-    val dmh = dropMask(b, d1, rng, train)
-    val mh = meanBlocks(h1nM, k1)      // b × d1
-    val h1rd = applyMask(h1rootM, dh1r); val mhd = applyMask(mh, dmh)
-    val h2out = concatBias(h1rd * w2s, mhd * w2n, b2) // linear activation
+    val maskH1r = if (doDrop) newMask(nU0, d1, rng) else null
+    val maskMh = if (doDrop) newMask(nU0, d1, rng) else null
+    val h1rd = relu(a1r)
+    if (maskH1r != null) h1rd :*= maskH1r
+    if (maskMh != null) mh :*= maskMh
+    val h2 = concatBias(h1rd * w2s, mh * w2n, b2) // linear activation
     // row-wise L2 normalize
-    val emb = DenseMatrix.zeros[Double](b, d2)
-    val norms = DenseVector.zeros[Double](b)
-    i = 0
-    while (i < b) {
+    val emb = DenseMatrix.zeros[Double](nU0, d2)
+    val norms = DenseVector.zeros[Double](nU0)
+    var i = 0
+    while (i < nU0) {
       var s = 0.0; var c = 0
-      while (c < d2) { s += h2out(i, c) * h2out(i, c); c += 1 }
+      while (c < d2) { val x = h2.data(c * nU0 + i); s += x * x; c += 1 }
       val n = math.sqrt(s)
       norms(i) = if (n == 0.0) 1.0 else n
-      c = 0; while (c < d2) { emb(i, c) = h2out(i, c) / norms(i); c += 1 }
+      c = 0; while (c < d2) { emb.data(c * nU0 + i) = h2.data(c * nU0 + i) / norms(i); c += 1 }
       i += 1
     }
-    TowerCache(applyMask(x0, dx0), m1d, x1d, m2d, a1root, h1rd, a1n, h1nM, mhd,
-      h2out, emb, norms, Seq(dh1r, dmh))
-  }
-
-  /** mean over consecutive row blocks of size `k`: (n·k × c) → (n × c). */
-  private def meanBlocks(m: DenseMatrix[Double], k: Int): DenseMatrix[Double] = {
-    val n = m.rows / k
-    val out = DenseMatrix.zeros[Double](n, m.cols)
-    var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < k) {
-        var c = 0
-        while (c < m.cols) { out(i, c) += m(i * k + j, c) / k; c += 1 }
-        j += 1
-      }
-      i += 1
-    }
-    out
-  }
-
-  private def concatBias(zs: DenseMatrix[Double], zn: DenseMatrix[Double],
-                         bias: DenseVector[Double]): DenseMatrix[Double] = {
-    val out = DenseMatrix.zeros[Double](zs.rows, zs.cols + zn.cols)
-    var i = 0
-    while (i < zs.rows) {
-      var c = 0
-      while (c < zs.cols) { out(i, c) = zs(i, c) + bias(c); c += 1 }
-      c = 0
-      while (c < zn.cols) { out(i, zs.cols + c) = zn(i, c) + bias(zs.cols + c); c += 1 }
-      i += 1
-    }
-    out
+    new BatchCache(plan, xt0, mt1, xt1, mt2, a1r, a1n, h1rd, mh,
+      maskH1r, maskMh, emb, norms)
   }
 
   // ---- gradients ----
@@ -285,151 +417,121 @@ final class LocalGraphSage(
     val gB2 = DenseVector.zeros[Double](d2)
   }
 
-  /** Backprop dL/dEmb through one tower, accumulating into `g`. */
-  private def backwardTower(tc: TowerCache, dEmb: DenseMatrix[Double], g: Grads): Unit = {
-    val b = dEmb.rows
-    // through L2 normalize: dH2 = (g - emb*(g·emb)) / norm, per row
-    val dH2 = DenseMatrix.zeros[Double](b, d2)
+  /** Backprop dL/dEmb (rows aligned with plan.u0) through the batch,
+    * accumulating into `g`. Mutates dEmbU's downstream temporaries only.
+    */
+  private def backwardBatch(bc: BatchCache, dEmbU: DenseMatrix[Double], g: Grads): Unit = {
+    val nU0 = bc.plan.u0.length; val nU1 = bc.plan.u1.length
+    // through L2 normalize: dH2 = (g - emb·(g·emb)) / norm, per row
+    val dH2 = DenseMatrix.zeros[Double](nU0, d2)
     var i = 0
-    while (i < b) {
+    while (i < nU0) {
       var dotGE = 0.0; var c = 0
-      while (c < d2) { dotGE += dEmb(i, c) * tc.emb(i, c); c += 1 }
-      c = 0
-      while (c < d2) { dH2(i, c) = (dEmb(i, c) - tc.emb(i, c) * dotGE) / tc.norms(i); c += 1 }
-      i += 1
-    }
-    // layer 2 (linear): A2 = [h1rd*w2s | mhd*w2n] + b2
-    val dZ2s = colRange(dH2, 0, h2)
-    val dZ2n = colRange(dH2, h2, d2)
-    g.gB2 :+= colSums(dH2)
-    g.gW2s :+= tc.h1root.t * dZ2s
-    g.gW2n :+= tc.mh.t * dZ2n
-    var dH1root = dZ2s * w2s.t
-    var dMh = dZ2n * w2n.t
-    // undo layer-2 input dropout
-    if (tc.drop.head != null) dH1root = dH1root *:* tc.drop.head
-    if (tc.drop(1) != null) dMh = dMh *:* tc.drop(1)
-    // mean over k1: spread dMh to each of the k1 rows / k1
-    val dH1n = spreadBlocks(dMh, k1)
-    // relu backward
-    val dA1root = reluBack(dH1root, tc.a1root)
-    val dA1n = reluBack(dH1n, tc.a1n)
-    // layer 1 on roots
-    g.gB1 :+= colSums(dA1root)
-    g.gW1s :+= tc.x0.t * colRange(dA1root, 0, h1)
-    g.gW1n :+= tc.m1.t * colRange(dA1root, h1, d1)
-    // layer 1 on level-1 nodes
-    g.gB1 :+= colSums(dA1n)
-    g.gW1s :+= tc.x1.t * colRange(dA1n, 0, h1)
-    g.gW1n :+= tc.m2.t * colRange(dA1n, h1, d1)
-  }
-
-  private def colRange(m: DenseMatrix[Double], from: Int, until: Int): DenseMatrix[Double] = {
-    val out = DenseMatrix.zeros[Double](m.rows, until - from)
-    var i = 0
-    while (i < m.rows) {
-      var c = from
-      while (c < until) { out(i, c - from) = m(i, c); c += 1 }
-      i += 1
-    }
-    out
-  }
-
-  private def reluBack(d: DenseMatrix[Double], a: DenseMatrix[Double]): DenseMatrix[Double] = {
-    val out = DenseMatrix.zeros[Double](d.rows, d.cols)
-    var i = 0
-    while (i < d.rows) {
-      var c = 0
-      while (c < d.cols) { if (a(i, c) > 0) out(i, c) = d(i, c); c += 1 }
-      i += 1
-    }
-    out
-  }
-
-  private def spreadBlocks(m: DenseMatrix[Double], k: Int): DenseMatrix[Double] = {
-    val out = DenseMatrix.zeros[Double](m.rows * k, m.cols)
-    var i = 0
-    while (i < m.rows) {
-      var j = 0
-      while (j < k) {
-        var c = 0
-        while (c < m.cols) { out(i * k + j, c) = m(i, c) / k; c += 1 }
-        j += 1
-      }
-      i += 1
-    }
-    out
-  }
-
-  private def colSums(m: DenseMatrix[Double]): DenseVector[Double] = {
-    val out = DenseVector.zeros[Double](m.cols)
-    var i = 0
-    while (i < m.rows) {
-      var c = 0
-      while (c < m.cols) { out(c) += m(i, c); c += 1 }
-      i += 1
-    }
-    out
-  }
-
-  // ---- training (G8: Adam + BCE) ----
-  /** One gradient step on a batch; returns mean BCE loss. */
-  private[ml] def trainBatch(src: Array[Long], dst: Array[Long], labels: Array[Int],
-                             rng: java.util.Random): Double = {
-    val b = src.length
-    val tcS = forwardTower(src, rng, train = true)
-    val tcD = forwardTower(dst, rng, train = true)
-    var loss = 0.0
-    val dEmbS = DenseMatrix.zeros[Double](b, d2)
-    val dEmbD = DenseMatrix.zeros[Double](b, d2)
-    var i = 0
-    while (i < b) {
-      var z = 0.0; var c = 0
-      while (c < d2) { z += tcS.emb(i, c) * tcD.emb(i, c); c += 1 }
-      val s = 1.0 / (1.0 + math.exp(-z))
-      val y = labels(i)
-      loss -= (y * math.log(math.max(s, 1e-12)) + (1 - y) * math.log(math.max(1 - s, 1e-12)))
-      val dz = (s - y) / b   // BCE+sigmoid combined, mean reduction
+      while (c < d2) { dotGE += dEmbU.data(c * nU0 + i) * bc.emb.data(c * nU0 + i); c += 1 }
       c = 0
       while (c < d2) {
-        dEmbS(i, c) = dz * tcD.emb(i, c)
-        dEmbD(i, c) = dz * tcS.emb(i, c)
+        dH2.data(c * nU0 + i) =
+          (dEmbU.data(c * nU0 + i) - bc.emb.data(c * nU0 + i) * dotGE) / bc.norms(i)
         c += 1
       }
       i += 1
     }
+    // layer 2 (linear): H2 = [h1rd·w2s | mhd·w2n] + b2
+    val dZ2s = dH2(::, 0 until h2)
+    val dZ2n = dH2(::, h2 until d2)
+    g.gB2 :+= colSums(dH2)
+    g.gW2s :+= bc.h1rd.t * dZ2s
+    g.gW2n :+= bc.mhd.t * dZ2n
+    val dH1r = dZ2s * w2s.t
+    val dMh = dZ2n * w2n.t
+    if (bc.maskH1r != null) dH1r :*= bc.maskH1r
+    if (bc.maskMh != null) dMh :*= bc.maskMh
+    // spread dMh back to level-1 rows via the multiset counts
+    val dH1n = DenseMatrix.zeros[Double](nU1, d1)
+    var j = 0
+    while (j < nU0) {
+      val idxs = bc.plan.l1idx(j); val cnt = bc.plan.l1cnt(j)
+      var t = 0
+      while (t < idxs.length) {
+        val s = cnt(t).toDouble / k1; val dst = idxs(t)
+        var c = 0
+        while (c < d1) { dH1n.data(c * nU1 + dst) += s * dMh.data(c * nU0 + j); c += 1 }
+        t += 1
+      }
+      j += 1
+    }
+    // relu backward (in place on the fresh temporaries)
+    reluBackInPlace(dH1r, bc.a1r)
+    reluBackInPlace(dH1n, bc.a1n)
+    g.gB1 :+= colSums(dH1r)
+    g.gB1 :+= colSums(dH1n)
+    g.gW1s :+= bc.xt0 * dH1r(::, 0 until h1)
+    g.gW1n :+= bc.mt1 * dH1r(::, h1 until d1)
+    g.gW1s :+= bc.xt1 * dH1n(::, 0 until h1)
+    g.gW1n :+= bc.mt2 * dH1n(::, h1 until d1)
+  }
+
+  /** Zero `d` wherever the pre-activation `a` was non-positive. */
+  private def reluBackInPlace(d: DenseMatrix[Double], a: DenseMatrix[Double]): Unit = {
+    val dd = d.data; val ad = a.data
+    var i = 0
+    while (i < dd.length) { if (ad(i) <= 0) dd(i) = 0.0; i += 1 }
+  }
+
+  // ---- training (G8: Adam + BCE) ----
+
+  /** Shared forward + loss + dEmb for a labeled pair batch: one plan
+    * over src ++ dst (the towers share weights AND the deduped node
+    * evaluations). Returns (cache, mean-scaled loss sum, dEmb by u0 row).
+    */
+  private def pairForward(src: Array[Long], dst: Array[Long], labels: Array[Int],
+                          rng: java.util.Random, train: Boolean)
+      : (BatchCache, Double, DenseMatrix[Double]) = {
+    val b = src.length
+    val roots = new Array[Long](2 * b)
+    System.arraycopy(src, 0, roots, 0, b)
+    System.arraycopy(dst, 0, roots, b, b)
+    val bc = forwardBatch(roots, rng, train)
+    val nU0 = bc.plan.u0.length
+    val dEmbU = DenseMatrix.zeros[Double](nU0, d2)
+    var loss = 0.0
+    var i = 0
+    while (i < b) {
+      val si = bc.plan.rootPos(i); val di = bc.plan.rootPos(b + i)
+      var z = 0.0; var c = 0
+      while (c < d2) { z += bc.emb.data(c * nU0 + si) * bc.emb.data(c * nU0 + di); c += 1 }
+      val s = 1.0 / (1.0 + math.exp(-z))
+      val y = labels(i)
+      loss -= (y * math.log(math.max(s, 1e-12)) + (1 - y) * math.log(math.max(1 - s, 1e-12)))
+      val dz = (s - y) / b // BCE+sigmoid combined, mean reduction
+      c = 0
+      while (c < d2) {
+        dEmbU.data(c * nU0 + si) += dz * bc.emb.data(c * nU0 + di)
+        dEmbU.data(c * nU0 + di) += dz * bc.emb.data(c * nU0 + si)
+        c += 1
+      }
+      i += 1
+    }
+    (bc, loss, dEmbU)
+  }
+
+  /** One gradient step on a batch; returns mean BCE loss. */
+  private[ml] def trainBatch(src: Array[Long], dst: Array[Long], labels: Array[Int],
+                             rng: java.util.Random): Double = {
+    val (bc, loss, dEmbU) = pairForward(src, dst, labels, rng, train = true)
     val g = new Grads
-    backwardTower(tcS, dEmbS, g)
-    backwardTower(tcD, dEmbD, g)
+    backwardBatch(bc, dEmbU, g)
     adamStep(g)
-    loss / b
+    loss / src.length
   }
 
   private[ml] def computeGrads(src: Array[Long], dst: Array[Long], labels: Array[Int],
                                rng: java.util.Random): (Double, Seq[Array[Double]]) = {
     // gradient-check hook: same math as trainBatch without the update
-    val b = src.length
-    val tcS = forwardTower(src, rng, train = true)
-    val tcD = forwardTower(dst, rng, train = true)
-    var loss = 0.0
-    val dEmbS = DenseMatrix.zeros[Double](b, d2)
-    val dEmbD = DenseMatrix.zeros[Double](b, d2)
-    var i = 0
-    while (i < b) {
-      var z = 0.0; var c = 0
-      while (c < d2) { z += tcS.emb(i, c) * tcD.emb(i, c); c += 1 }
-      val s = 1.0 / (1.0 + math.exp(-z))
-      val y = labels(i)
-      loss -= (y * math.log(math.max(s, 1e-12)) + (1 - y) * math.log(math.max(1 - s, 1e-12)))
-      val dz = (s - y) / b
-      c = 0
-      while (c < d2) { dEmbS(i, c) = dz * tcD.emb(i, c); dEmbD(i, c) = dz * tcS.emb(i, c); c += 1 }
-      i += 1
-    }
+    val (bc, loss, dEmbU) = pairForward(src, dst, labels, rng, train = true)
     val g = new Grads
-    backwardTower(tcS, dEmbS, g)
-    backwardTower(tcD, dEmbD, g)
-    (loss / b, Seq(rowMajor(g.gW1s), rowMajor(g.gW1n), g.gB1.toArray,
+    backwardBatch(bc, dEmbU, g)
+    (loss / src.length, Seq(rowMajor(g.gW1s), rowMajor(g.gW1n), g.gB1.toArray,
       rowMajor(g.gW2s), rowMajor(g.gW2n), g.gB2.toArray))
   }
 
@@ -445,29 +547,27 @@ final class LocalGraphSage(
     val lr = hp.learningRate * math.sqrt(1 - math.pow(beta2, adamT)) / (1 - math.pow(beta1, adamT))
     val mats = Array((w1s, g.gW1s, 0), (w1n, g.gW1n, 1), (w2s, g.gW2s, 2), (w2n, g.gW2n, 3))
     mats.foreach { case (w, gw, idx) =>
-      val m = adamM(idx); val v = adamV(idx)
-      var r = 0
-      while (r < w.rows) {
-        var c = 0
-        while (c < w.cols) {
-          val grad = gw(r, c)
-          m(r, c) = beta1 * m(r, c) + (1 - beta1) * grad
-          v(r, c) = beta2 * v(r, c) + (1 - beta2) * grad * grad
-          w(r, c) -= lr * m(r, c) / (math.sqrt(v(r, c)) + adamEps)
-          c += 1
-        }
-        r += 1
+      val wd = w.data; val gd = gw.data
+      val md = adamM(idx).data; val vd = adamV(idx).data
+      var i = 0
+      while (i < wd.length) {
+        val grad = gd(i)
+        md(i) = beta1 * md(i) + (1 - beta1) * grad
+        vd(i) = beta2 * vd(i) + (1 - beta2) * grad * grad
+        wd(i) -= lr * md(i) / (math.sqrt(vd(i)) + adamEps)
+        i += 1
       }
     }
     val vecs = Array((b1, g.gB1, 0), (b2, g.gB2, 1))
     vecs.foreach { case (bvec, gb, idx) =>
-      val m = adamMb(idx); val v = adamVb(idx)
+      val bd = bvec.data; val gd = gb.data
+      val md = adamMb(idx).data; val vd = adamVb(idx).data
       var c = 0
-      while (c < bvec.length) {
-        val grad = gb(c)
-        m(c) = beta1 * m(c) + (1 - beta1) * grad
-        v(c) = beta2 * v(c) + (1 - beta2) * grad * grad
-        bvec(c) -= lr * m(c) / (math.sqrt(v(c)) + adamEps)
+      while (c < bd.length) {
+        val grad = gd(c)
+        md(c) = beta1 * md(c) + (1 - beta1) * grad
+        vd(c) = beta2 * vd(c) + (1 - beta2) * grad * grad
+        bd(c) -= lr * md(c) / (math.sqrt(vd(c)) + adamEps)
         c += 1
       }
     }
@@ -505,15 +605,26 @@ final class LocalGraphSage(
   /** Link scores for examples (dropout off, seeded sampling). */
   def predict(examples: Array[(Long, Long, Int)]): Array[Double] = {
     val rng = new java.util.Random(hp.seed ^ 0x5ca1ab1eL)
-    examples.grouped(hp.batchSize).flatMap { batch =>
-      val tcS = forwardTower(batch.map(_._1), rng, train = false)
-      val tcD = forwardTower(batch.map(_._2), rng, train = false)
-      batch.indices.map { i =>
+    val out = new Array[Double](examples.length)
+    var off = 0
+    examples.grouped(inferChunk).foreach { batch =>
+      val b = batch.length
+      val roots = new Array[Long](2 * b)
+      var i = 0
+      while (i < b) { roots(i) = batch(i)._1; roots(b + i) = batch(i)._2; i += 1 }
+      val bc = forwardBatch(roots, rng, train = false)
+      val nU0 = bc.plan.u0.length
+      i = 0
+      while (i < b) {
+        val si = bc.plan.rootPos(i); val di = bc.plan.rootPos(b + i)
         var z = 0.0; var c = 0
-        while (c < d2) { z += tcS.emb(i, c) * tcD.emb(i, c); c += 1 }
-        1.0 / (1.0 + math.exp(-z))
+        while (c < d2) { z += bc.emb.data(c * nU0 + si) * bc.emb.data(c * nU0 + di); c += 1 }
+        out(off + i) = 1.0 / (1.0 + math.exp(-z))
+        i += 1
       }
-    }.toArray
+      off += b
+    }
+    out
   }
 
   /** G9 — loss / binary accuracy / precision / recall / AUC
@@ -568,15 +679,19 @@ final class LocalGraphSage(
   }
 
   /** G10 — embeddings for `nodes` via the encoder tower (dropout off,
-    * L2-normalized, models/unsupervised.py:81-87,105-107).
+    * L2-normalized, models/unsupervised.py:81-87,105-107). Batches are
+    * `inferChunk`-sized so the whole partition runs as a handful of
+    * deduped GEMMs.
     */
   def genEmbeddings(nodes: Array[Long]): Array[(Long, Array[Float])] = {
     val rng = new java.util.Random(hp.seed ^ 0x3bedd179L)
-    nodes.grouped(hp.batchSize).flatMap { batch =>
-      val tc = forwardTower(batch, rng, train = false)
+    nodes.grouped(inferChunk).flatMap { batch =>
+      val bc = forwardBatch(batch, rng, train = false)
+      val nU0 = bc.plan.u0.length
       batch.indices.map { i =>
+        val row = bc.plan.rootPos(i)
         val v = new Array[Float](d2)
-        var c = 0; while (c < d2) { v(c) = tc.emb(i, c).toFloat; c += 1 }
+        var c = 0; while (c < d2) { v(c) = bc.emb.data(c * nU0 + row).toFloat; c += 1 }
         (batch(i), v)
       }
     }.toArray

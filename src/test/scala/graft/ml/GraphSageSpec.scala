@@ -121,7 +121,10 @@ class GraphSageSpec extends AnyFunSuite {
   test("training with dropout still learns (stochastic path exercised)") {
     val sage = tinySage(dropout = 0.1)
     sage.initializeWeights()
-    val losses = sage.fit(examples, epochs = 30)
-    assert(losses.last < losses.head)
+    // per-epoch losses on a 4-example fixture are noisy under dropout;
+    // compare first-10 vs last-10 means (robust across seeds)
+    val losses = sage.fit(examples, epochs = 100)
+    assert(losses.takeRight(10).sum / 10 < losses.take(10).sum / 10,
+      s"dropout training did not reduce smoothed loss: $losses")
   }
 }
