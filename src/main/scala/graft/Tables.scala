@@ -44,6 +44,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = table("embeddings")
 }
 
+object Tables {
+  /** embeddings.embedding width — a data contract of the driver-
+    * generated corpus (constant across every SF). Passing it to the
+    * LSH/ANN entry points skips their LIMIT-1 dimension probe.
+    */
+  val EmbeddingDim: Int = 64
+}
+
 object GraftSession {
   /** Session factory used by tests and ad-hoc mains (Verify/Bench build
     * their own per the driver contract). local[32] stand-in for a real

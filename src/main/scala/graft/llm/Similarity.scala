@@ -100,12 +100,16 @@ object Similarity {
           call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
   }
 
-  /** Vector dimensionality probed from the first row — one LIMIT-1 job
-    * at plan-build time, so the signature's plane matrix can be a
-    * driver-built literal.
+  /** Vector dimensionality: the caller-declared `dim` when positive,
+    * else probed from the first row — one LIMIT-1 job at plan-build
+    * time, so the signature's plane matrix can be a driver-built
+    * literal. Pass `dim` at call sites where the embedding width is a
+    * data-contract constant; the probe is the generic-DataFrame
+    * fallback only.
     */
-  private def probeDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("__d")).head().getInt(0)
+  private def resolveDim(df: DataFrame, vecCol: String, dim: Int): Int =
+    if (dim > 0) dim
+    else df.select(size(col(vecCol)).as("__d")).head().getInt(0)
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * band slices of the hyperplane signature (a pair is a candidate if
@@ -122,7 +126,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L,
-              multiProbe: Boolean = false): DataFrame = {
+              multiProbe: Boolean = false, dim: Int = 0): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
     // Bucket tables carry IDS ONLY — the candidate join and the
@@ -130,9 +134,9 @@ object Similarity {
     // full embedding vectors; vectors are joined back just for the
     // surviving candidates (query side broadcast, corpus side keyed by
     // id — AQE broadcasts the candidate set when it is the small side).
-    val dim = probeDim(corpus, vecCol)
+    val planeDim = resolveDim(corpus, vecCol, dim)
     def bucketed(df: DataFrame, id: String, probe: Boolean): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed, dim)
+      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed, planeDim)
       val base = df.select(col(idCol).as(id), sig.as("__sig"))
         .select(col(id),
           explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -179,7 +183,14 @@ object Similarity {
     *  - update: posexplode to (centroid, dim, x) and aggregate — the
     *    only shuffle, carrying k × dim partial sums after map-side
     *    combine, independent of corpus size.
-    * Train on a sample at very large n (standard quantizer practice).
+    * `trainFraction` < 1 trains the quantizer on a seeded sample —
+    * standard practice at very large n (a coarse quantizer fitted on a
+    * 1% sample is statistically the same index, and Lloyd iterations
+    * stop costing iters × full-corpus scans); the sample is
+    * localCheckpoint'd once so every iteration reads the materialized
+    * sample, not a re-filtered corpus scan. The ASSIGNMENT of corpus
+    * rows to the trained centroids (in `ivfTopK`) is unchanged and
+    * always covers the full corpus.
     * Double sums across partitions make low-order centroid bits run-
     * dependent — fine for an index structure (results are verified by
     * exact distance anyway).
@@ -187,11 +198,19 @@ object Similarity {
     * @return k centroids (empty clusters keep their previous centroid)
     */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int,
-                      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
+                      vecCol: String = "embedding", seed: Long = 42L,
+                      trainFraction: Double = 1.0): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0)
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val train =
+      if (trainFraction >= 1.0) df.select(col(vecCol))
+      else df.select(col(vecCol))
+        .sample(withReplacement = false, trainFraction, seed)
+        .localCheckpoint()
     val vecD = col(vecCol).cast("array<double>")
     // seeded hash-sample init (the numCentroids smallest hashes win)
-    var cents: Array[Array[Double]] = df
+    var cents: Array[Array[Double]] = train
       .select(vecD.as("__v"), xxhash64(lit(seed), col(vecCol).cast("array<string>")).as("__r"))
       .orderBy(col("__r")).limit(k)
       .collect().map(_.getSeq[Double](0).toArray)
@@ -220,7 +239,7 @@ object Similarity {
       // row (dim× the work — measured 13 s/iteration vs 0.3 s on the
       // sf0.1 sample). localCheckpoint materializes (centroid, vector)
       // once per row; it also keeps the per-iteration plans flat.
-      val assigned = df.select(vecD.as("__v"))
+      val assigned = train.select(vecD.as("__v"))
         .select(bestIdx.as("__c"), col("__v"))
         .localCheckpoint()
       val sums = assigned
@@ -240,6 +259,7 @@ object Similarity {
         next(c) = acc(c).map(_ / counts(c))
       cents = next
     }
+    if (trainFraction < 1.0) train.unpersist(blocking = false)
     cents
   }
 
@@ -262,16 +282,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 0, trainFraction: Double = 1.0): DataFrame = {
     // Centroids: seeded hash-sample of corpus rows (the numCentroids
     // smallest hashes win — one small TakeOrdered), optionally refined
     // by `kmeansIters` Lloyd iterations (tighter inverted lists →
-    // better recall at the same nProbe).
+    // better recall at the same nProbe; `trainFraction` < 1 fits them
+    // on a seeded sample — the full corpus is still assigned below).
     val cents =
       if (kmeansIters > 0) {
         val spark = corpus.sparkSession
         import spark.implicits._
-        kmeansCentroids(corpus, numCentroids, kmeansIters, vecCol, seed)
+        kmeansCentroids(corpus, numCentroids, kmeansIters, vecCol, seed, trainFraction)
           .zipWithIndex.toSeq
           .map { case (v, i) => (i.toLong, v.toSeq) }
           .toDF("centroid_id", "__centv")
@@ -339,7 +360,8 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, tau: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+                  numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L,
+                  dim: Int = 0): DataFrame = {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
     require(bits <= 64, s"bits per band $bits exceeds a long")
@@ -349,7 +371,7 @@ object Similarity {
     // extra planes nearly free). Index carries ids only (the checkpoint
     // and the self-join never touch vectors); vectors join back per
     // surviving candidate pair.
-    val planes = typedlit(planeMatrix(numPlanes, probeDim(df, vecCol), seed))
+    val planes = typedlit(planeMatrix(numPlanes, resolveDim(df, vecCol, dim), seed))
     val vecD = col(vecCol).cast("array<double>")
     val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.cast("int").as("band"),
@@ -385,10 +407,11 @@ object Similarity {
     */
   def cosineDupGroups(df: DataFrame, tau: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding",
-                      numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+                      numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L,
+                      dim: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = cosinePairs(df, tau, idCol, vecCol, numPlanes, bands, seed)
+    val pairs = cosinePairs(df, tau, idCol, vecCol, numPlanes, bands, seed, dim)
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
     org.apache.spark.graphx.Graph.fromEdges(edges, ())

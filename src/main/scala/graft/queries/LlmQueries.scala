@@ -182,17 +182,20 @@ object LlmQueries {
 
     // IVF ANN at the PRODUCTION approximate setting (nProbe = 4 of 16
     // lists probed — the latency/recall dial), with the coarse
-    // quantizer refined by 2 Lloyd iterations (kmeansCentroids — the
-    // trained-index path in the measured surface). NO ORACLE by
-    // construction: which neighbors fall in unprobed lists depends on
-    // the trained centroids, so no engine-independent SQL defines the
-    // output; the machinery itself is oracle-proven exactly by q26
-    // (nProbe = all) and recall-floor-tested in SimilaritySpec.
+    // quantizer refined by 2 Lloyd iterations over a 25% seeded sample
+    // (kmeansCentroids trainFraction — the trained-index path in the
+    // measured surface, including the sample-don't-scan quantizer
+    // practice a 10^10-vector corpus requires; assignment still covers
+    // the full corpus). NO ORACLE by construction: which neighbors fall
+    // in unprobed lists depends on the trained centroids, so no
+    // engine-independent SQL defines the output; the machinery itself
+    // is oracle-proven exactly by q26 (nProbe = all) and recall-floor-
+    // tested in SimilaritySpec (including at trainFraction 0.25).
     "q33_ann_ivf_probe" -> ((s, dir) => {
       val t = Tables(s, dir)
       val emb = t.embeddings
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        numCentroids = 16, nProbe = 4, kmeansIters = 2)
+        numCentroids = 16, nProbe = 4, kmeansIters = 2, trainFraction = 0.25)
     }),
 
     // PII detection + redaction — the scrub pass every pre-training
@@ -283,7 +286,8 @@ object LlmQueries {
       // collide in ~0.8% of buckets — the 4-bit default bucketed 3.2M
       // of the 8M possible pairs at sf0.1; 10 bits cuts that ~50×.
       Similarity.cosinePairs(base.unionByName(twins), tau = 0.8,
-        idCol = "vec_id", vecCol = "embedding", numPlanes = 80, bands = 8)
+        idCol = "vec_id", vecCol = "embedding", numPlanes = 80, bands = 8,
+        dim = Tables.EmbeddingDim) // contract constant → no LIMIT-1 dim probe
     }),
 
     // Multimodal pipeline over a persisted parquet fixture (seeded,
@@ -292,9 +296,14 @@ object LlmQueries {
     // frame-sampling → batched decode/feature-extract (FakeDecoder:
     // real codecs are not in this container; the plumbing — schema,
     // partitioning, batch shape — is the real pipeline) → exact dedup
-    // by feature key. NO ORACLE: the feature vector is defined by the
-    // decoder, not by SQL-expressible semantics; MultimodalSpec asserts
-    // exact decode outputs and dedup group structure.
+    // by feature key. The checked output is the dedup GROUP STRUCTURE
+    // (keep_id, n_copies, modality) — fully determined by the planted-
+    // dup recipe (Multimodal.syntheticFixtureDistributed: row i copies
+    // row i-9 when i % 10 == 9) independent of the decoder, so the
+    // DuckDB twin derives the same groups from id alone over the same
+    // parquet fixture. The decoder-defined md5 feature key exists only
+    // inside the pipeline (it IS the dedup key); MultimodalSpec
+    // additionally asserts exact decode outputs.
     "q32_multimodal" -> ((s, dir) => {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
       val n = math.max(60L, (20000 * sfOf(dir)).toLong)
@@ -308,6 +317,7 @@ object LlmQueries {
         .groupBy(col("feature_key"))
         .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"),
           min(col("modality")).as("modality"))
+        .select(col("keep_id"), col("n_copies"), col("modality"))
     })
   )
 
@@ -367,6 +377,26 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_ivf" -> sqlCosineTop5,
+    // Multimodal dedup-group twin: the planted-dup recipe
+    // (syntheticFixtureDistributed — row i is a byte-exact copy of row
+    // i-9 iff i % 10 == 9, all other payloads are distinct seeded
+    // streams) fully determines the dedup group structure from id
+    // alone, so the oracle reads the SAME parquet fixture q32 decoded
+    // (written by the q32 run before the oracle executes; the driver
+    // verifies at sf0.01, which fixes the fixture path) and regroups
+    // by the recipe — no decoder needed. Feature-collision risk is
+    // structurally nil: distinct payloads hash to distinct 64-bit
+    // folds on this deterministic fixture (asserted in MultimodalSpec).
+    "q32_multimodal" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_sf0.01/*.parquet"
+      s"""WITH g AS (
+           SELECT id, modality,
+                  CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END AS grp
+           FROM read_parquet('$fixture'))
+         SELECT MIN(id) AS keep_id, COUNT(*) AS n_copies,
+                MIN(modality) AS modality
+         FROM g GROUP BY grp"""
+    },
     // Exact all-pairs 3-gram Jaccard ≥ 0.6 over documents + truncated
     // twins — the signature-independent ground truth q27's LSH path
     // must reproduce (it does: every LSH pair is exact-verified, and

@@ -110,6 +110,13 @@ class SimilaritySpec extends SparkSpec {
     // whole top-5, so even a single probed list must score high
     val r = Similarity.recallAtK(exact, trained)
     assert(r >= 0.9, s"trained-IVF recall@5 at nProbe=1 = $r")
+    // sample-trained quantizer (the 10^10-vector practice): Lloyd
+    // iterations see only a 25% seeded sample, the full corpus is still
+    // assigned — recall floor must hold on the same fixture
+    val sampled = Similarity.ivfTopK(df, queries, k = 5,
+      numCentroids = nClusters, nProbe = 1, kmeansIters = 5, trainFraction = 0.25)
+    val rs = Similarity.recallAtK(exact, sampled)
+    assert(rs >= 0.9, s"sample-trained-IVF recall@5 at nProbe=1 = $rs")
     exact.unpersist(); df.unpersist()
   }
 
