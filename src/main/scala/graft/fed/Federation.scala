@@ -124,35 +124,9 @@ object Federation {
           val w = client.fit(epochs)
           (name, client.numExamples, w, before)
         }
-      val (nClients, totalExamples, clientMetrics) = agg match {
-        case AggStrategy.DriverFold =>
-          // reference topology: every (n_i, W_i) lands on the driver
-          val updates = updatesRdd.collect().toSeq
-          global =
-            if (unweighted) FedAvg.mean(updates.map(_._3))
-            else FedAvg.weighted(updates.map(u => (u._2, u._3)))
-          (updates.size, updates.map(_._2).sum, updates.map(u => (u._1, u._4)))
-        case distributed =>
-          // scale topology: weights combine across executors; the
-          // driver collects only the (name, n, metrics) metadata.
-          // MEMORY_AND_DISK: eviction spills rather than re-running
-          // fit() (a re-run would advance optimizer state twice).
-          updatesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val weightedUpdates = updatesRdd
-            .map { case (_, n, w, _) => (if (unweighted) 1L else n, w) }
-          global = distributed match {
-            case AggStrategy.TreeAggregate => FedAvg.weightedTree(weightedUpdates)
-            case _ =>
-              implicit val enc: org.apache.spark.sql.Encoder[(Long, Weights)] =
-                org.apache.spark.sql.Encoders.kryo[(Long, Weights)]
-              spark.createDataset(weightedUpdates)
-                .select(FedAvgAggregator.column).head()
-          }
-          val meta = updatesRdd
-            .map { case (name, n, _, before) => (name, n, before) }.collect().toSeq
-          updatesRdd.unpersist(blocking = false)
-          (meta.size, meta.map(_._2).sum, meta.map(m => (m._1, m._3)))
-      }
+      val (combined, nClients, totalExamples, clientMetrics) =
+        combineRound(spark, updatesRdd, agg, unweighted)
+      global = combined
       bc.destroy()
       if (builds.value > buildsSeen) {
         logger.info(s"WARNING: ${builds.value - buildsSeen} client(s) were " +
@@ -168,6 +142,45 @@ object Federation {
         s"examples=${log.totalExamples}")
     }
     runFinalEval(sc, clients, global, history.result(), logger, t0, rounds)
+  }
+
+  /** One round's combine, shared by `run` and `runScheduled`: reduce the
+    * per-client `(name, n_i, W_i, metrics)` RDD to the new global model
+    * under the chosen [[AggStrategy]], returning (global, nClients,
+    * totalExamples, perClientMetrics). The algebra is identical across
+    * strategies; they differ only in WHERE the weighted mean runs.
+    */
+  private def combineRound(spark: SparkSession,
+      updatesRdd: org.apache.spark.rdd.RDD[(String, Long, Weights, Map[String, Double])],
+      agg: AggStrategy, unweighted: Boolean)
+      : (Weights, Int, Long, Seq[(String, Map[String, Double])]) = agg match {
+    case AggStrategy.DriverFold =>
+      // reference topology: every (n_i, W_i) lands on the driver
+      val updates = updatesRdd.collect().toSeq
+      val global =
+        if (unweighted) FedAvg.mean(updates.map(_._3))
+        else FedAvg.weighted(updates.map(u => (u._2, u._3)))
+      (global, updates.size, updates.map(_._2).sum, updates.map(u => (u._1, u._4)))
+    case distributed =>
+      // scale topology: weights combine across executors; the
+      // driver collects only the (name, n, metrics) metadata.
+      // MEMORY_AND_DISK: eviction spills rather than re-running
+      // fit() (a re-run would advance optimizer state twice).
+      updatesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val weightedUpdates = updatesRdd
+        .map { case (_, n, w, _) => (if (unweighted) 1L else n, w) }
+      val global = distributed match {
+        case AggStrategy.TreeAggregate => FedAvg.weightedTree(weightedUpdates)
+        case _ =>
+          implicit val enc: org.apache.spark.sql.Encoder[(Long, Weights)] =
+            org.apache.spark.sql.Encoders.kryo[(Long, Weights)]
+          spark.createDataset(weightedUpdates)
+            .select(FedAvgAggregator.column).head()
+      }
+      val meta = updatesRdd
+        .map { case (name, n, _, before) => (name, n, before) }.collect().toSeq
+      updatesRdd.unpersist(blocking = false)
+      (global, meta.size, meta.map(_._2).sum, meta.map(m => (m._1, m._3)))
   }
 
   private def runFinalEval(sc: org.apache.spark.SparkContext,
@@ -212,6 +225,7 @@ object Federation {
              epochs: Int,
              graphId: String = "0",
              weightsDir: Option[String] = None,
+             agg: AggStrategy = AggStrategy.DriverFold,
              logger: GraftLogger = GraftLogger.stdout()): Result = {
     val sc = spark.sparkContext
     val groups = MemCost.pack(partitions, budgetGB)(cost)
@@ -222,7 +236,7 @@ object Federation {
     val t0 = System.nanoTime()
     for (round <- 1 to rounds) {
       val bc = sc.broadcast(global)
-      val updates = sc.parallelize(groups, groups.size)
+      val updatesRdd = sc.parallelize(groups, groups.size)
         .flatMap { group =>
           // sequential within the group — at most one partition's model
           // alive at a time (the budget contract)
@@ -234,17 +248,20 @@ object Federation {
             (p.toString, client.numExamples, w, before)
           }
         }
-        .collect()
-        .toSeq
+      // FedAvg over the PER-PARTITION (n_p, W_p) pairs (fl_server_shed's
+      // accumulate loop), under the same strategy options as `run` —
+      // shed updates are small by construction, but the scheduled path
+      // should not be structurally barred from tree-combining.
+      val (combined, nParts, totalExamples, partMetrics) =
+        combineRound(spark, updatesRdd, agg, unweighted = false)
+      global = combined
       bc.destroy()
-      global = FedAvg.weighted(updates.map(u => (u._2, u._3)))
       weightsDir.foreach { dir =>
         WeightsIO.save(spark, global, s"$dir/weights_graphID:${graphId}_V$round")
       }
-      val log = RoundLog(round, updates.map(_._2).sum,
-        updates.map(u => (u._1, u._4)))
+      val log = RoundLog(round, totalExamples, partMetrics)
       history += log
-      logger.info(s"[shed] cycle $round done; partitions=${updates.size}, " +
+      logger.info(s"[shed] cycle $round done; partitions=$nParts, " +
         s"examples=${log.totalExamples}")
     }
     // final evaluation with fresh per-partition models (shed clients are
