@@ -92,22 +92,27 @@ object EdgeSplitter {
         val judged = trial
           .join(comp.withColumnRenamed("id", "source").withColumnRenamed("component", "__cs"), Seq("source"))
           .join(comp.withColumnRenamed("id", "target").withColumnRenamed("component", "__ct"), Seq("target"))
-        // localCheckpoint (not cache): the accumulators `accepted` and
-        // `banned` are unions of these per-round pieces, and each piece's
-        // lineage nests trial → pool → accepted → previous rounds. A
-        // cache keeps the nested ANALYZED plan alive (round-3 verdict:
-        // 127M-char plan strings); a checkpoint flattens each piece to a
-        // scan, so the accumulators stay O(rounds) plan nodes.
+        // localCheckpoint (not cache): each piece's lineage nests
+        // trial → pool → accepted → previous rounds; a cache keeps the
+        // nested ANALYZED plan alive (round-3 verdict: 127M-char plan
+        // strings), a checkpoint flattens each piece to a scan. The
+        // accumulators `accepted`/`banned` are then ALSO checkpointed
+        // per round — a union-of-scans still grows O(rounds²) nodes
+        // across a double split (round-4: 176 KB plan strings tripping
+        // the 100 KB cap), while re-materializing ≤ k rows of 4 longs
+        // per round is noise next to the round's CC job.
         val safe = judged.filter(col("__cs") === col("__ct"))
           .select("source", "target", "__dup", "__r").localCheckpoint()
         val bridge = judged.filter(col("__cs") =!= col("__ct"))
           .select("source", "target", "__dup").localCheckpoint()
         val nSafe = safe.count()
-        accepted = if (haveAccepted) accepted.unionByName(safe) else safe
+        accepted = (if (haveAccepted) accepted.unionByName(safe) else safe)
+          .localCheckpoint()
         haveAccepted = true
         acceptedCount += nSafe
         if (bridge.head(1).nonEmpty) {
-          banned = if (haveBanned) banned.unionByName(bridge) else bridge
+          banned = (if (haveBanned) banned.unionByName(bridge) else bridge)
+            .localCheckpoint()
           haveBanned = true
         }
         trial.unpersist()
