@@ -134,32 +134,70 @@ object TextOps {
     * / quotation / near-copy regions) that whole-document hashing (q24)
     * and set-level MinHash (q27) cannot provide.
     *
-    * The "hash" is md5 hex with STRING ordering for the window minimum —
-    * both deterministic and reproducible in external engines (DuckDB has
-    * the same md5), which keeps the op oracle-checkable. Pure array
-    * expressions over the codegen'd builtins; texts shorter than k yield
-    * no fingerprints.
+    * The gram hash is pluggable (winnowing's guarantee holds for ANY
+    * hash): `Md5` is the ORACLE hash — md5 hex with string ordering for
+    * the window minimum, reproducible in external engines (DuckDB has
+    * the same md5), which keeps the op oracle-checkable; `XxHash64` is
+    * the PRODUCTION hash — one codegen'd 64-bit hash per gram instead
+    * of a full md5 digest + hex encoding (measured ≥2× on sf0.1,
+    * WinnowingHashSpec). Same selection scheme, same shared-substring
+    * guarantee; the fingerprint VALUES differ by hash, as with any
+    * winnowing implementation choice. Pure array expressions over the
+    * codegen'd builtins; texts shorter than k yield no fingerprints.
     */
-  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+  def winnowingFingerprints(text: Column, k: Int, w: Int,
+                            hasher: GramHasher = GramHasher.Md5): Column = {
     require(k >= 2 && w >= 1)
-    winnowSelect(charGramHashes(normalized(text), k), w)
+    hasher match {
+      case GramHasher.XxHash64 =>
+        // native one-pass expression (rolling XXH64 + monotonic-deque
+        // window minimum) — bit-identical values to the generic
+        // composition below with xxhash64 grams, without the
+        // interpreted per-window array churn (WinnowingHashSpec
+        // asserts both the equality and the speedup)
+        graft.functions.WinnowHash(normalized(text), k, w)
+      case GramHasher.Md5 =>
+        winnowSelect(charGramHashes(normalized(text), k, hasher), w, hasher)
+    }
   }
 
-  /** md5 of every character `k`-gram of `normText` (pass an ALREADY
-    * staged/aliased normalized-text column: this expression is
+  /** The winnowing gram-hash choice: oracle-reproducible md5 vs
+    * production xxhash64 (see `winnowingFingerprints`).
+    */
+  sealed trait GramHasher extends Serializable {
+    private[llm] def hash(gram: Column): Column
+    private[llm] def elemType: String
+  }
+  object GramHasher {
+    /** md5 hex, string-ordered minima — DuckDB-reproducible. */
+    case object Md5 extends GramHasher {
+      private[llm] def hash(gram: Column): Column = md5(gram)
+      private[llm] def elemType: String = "string"
+    }
+    /** xxhash64, long-ordered minima — the at-scale default. */
+    case object XxHash64 extends GramHasher {
+      private[llm] def hash(gram: Column): Column = xxhash64(gram)
+      private[llm] def elemType: String = "bigint"
+    }
+  }
+
+  /** Gram hash of every character `k`-gram of `normText` (pass an
+    * ALREADY staged/aliased normalized-text column: this expression is
     * referenced per gram, and an unstaged `normalized(...)` would
     * re-run its regexes once per position — the O(n²) lambda trap).
     */
-  def charGramHashes(normText: Column, k: Int): Column =
+  def charGramHashes(normText: Column, k: Int,
+                     hasher: GramHasher = GramHasher.Md5): Column =
     transform(sequence(lit(1), greatest(length(normText) - (k - 1), lit(0))),
-      i => md5(normText.substr(i, lit(k))))
+      i => hasher.hash(normText.substr(i, lit(k))))
 
   /** Winnowing selection over a STAGED gram-hash array column: the
-    * distinct minima of every `w`-wide window (string ordering). Fewer
-    * than `w` grams yields no fingerprints.
+    * distinct minima of every `w`-wide window (element-type ordering).
+    * Fewer than `w` grams yields no fingerprints.
     */
-  def winnowSelect(gramHashes: Column, w: Int): Column =
-    when(size(gramHashes) < w, array().cast("array<string>"))
+  def winnowSelect(gramHashes: Column, w: Int,
+                   hasher: GramHasher = GramHasher.Md5): Column =
+    when(size(gramHashes) < w, array().cast(s"array<${hasher.elemType}>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), size(gramHashes) - (w - 1)),
           j => array_min(slice(gramHashes, j, lit(w))))))

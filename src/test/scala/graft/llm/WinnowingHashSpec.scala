@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The pluggable winnowing gram hash (TextOps.GramHasher): md5 is the
+  * oracle-reproducible path (q38); XxHash64 is the production path —
+  * the native one-pass WinnowHash expression (rolling XXH64 grams +
+  * monotonic-deque window minimum). Same selection scheme, same
+  * shared-substring guarantee; values bit-identical to the generic
+  * builtin composition with xxhash64 grams.
+  */
+class WinnowingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xxhash64 winnowing keeps the shared-substring guarantee") {
+    val k = 8; val w = 4
+    def fps(text: String): Set[Long] =
+      Seq(text).toDF("text")
+        .select(TextOps.winnowingFingerprints(col("text"), k, w,
+          TextOps.GramHasher.XxHash64).as("v"))
+        .collect()(0).getSeq[Long](0).toSet
+    val shared = "a very distinctive copied passage sits here"
+    val d1 = fps(s"completely unrelated preamble text then $shared and a tail")
+    val d2 = fps(s"other document entirely $shared closing differently")
+    assert(d1.intersect(d2).nonEmpty, "copied region must share a fingerprint")
+    assert(fps(shared) === fps(shared)) // deterministic
+    assert(fps("tiny") === Set.empty)   // shorter than k -> none
+  }
+
+  test("winnow_hash callable from SQL text and injected by GraftExtensions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    graft.functions.WinnowHash.register(spark)
+    Seq("abcdefghij").toDF("t").createOrReplaceTempView("wdocs")
+    val viaSql = spark.sql("SELECT winnow_hash(t, 3, 2) AS fps FROM wdocs")
+      .head().getSeq[Long](0)
+    val viaCol = Seq("abcdefghij").toDF("t")
+      .select(graft.functions.WinnowHash(col("t"), 3, 2).as("fps"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaCol && viaSql.nonEmpty)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.graftshim.ColumnShim
+      .applyFunctionExtensions(ext,
+        org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    assert(registry.functionExists(FunctionIdentifier("winnow_hash")))
+  }
+
+  test("native WinnowHash == generic xxhash64 composition, element for element") {
+    // the one-pass expression must reproduce the builtin pipeline
+    // exactly: same gram hashes (xxhash64 over gram bytes, seed 42),
+    // same signed-long window minima, same first-occurrence distinct
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("__norm"))
+      .localCheckpoint()
+    val xx = TextOps.GramHasher.XxHash64
+    val native = docs
+      .select(col("doc_id"), graft.functions.WinnowHash(col("__norm"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val generic = docs
+      .select(col("doc_id"), TextOps.charGramHashes(col("__norm"), 8, xx).as("__gh"))
+      .select(col("doc_id"), TextOps.winnowSelect(col("__gh"), 4, xx).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === generic.keySet)
+    native.foreach { case (id, fps) =>
+      assert(fps === generic(id), s"doc $id fingerprints diverge")
+    }
+    docs.unpersist(blocking = false)
+  }
+
+  test("native xxhash64 winnowing >= 2x faster than md5 on sf0.1 documents") {
+    // normalization staged (checkpointed) OUTSIDE the timed region —
+    // both paths share it, so the timing isolates gram hashing +
+    // window-minimum selection. The md5 side stages its gram-hash
+    // array through a select alias exactly as q38 does.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("__norm"))
+      .localCheckpoint()
+    def timeCount(df: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    // native path FIRST, absorbing the codegen/JIT warm-up — the md5
+    // side gets the warm JVM, making the asserted ratio conservative
+    val (nXx, tXx) = timeCount(docs
+      .select(explode(graft.functions.WinnowHash(col("__norm"), 8, 4)).as("fp")))
+    val (nMd5, tMd5) = timeCount(docs
+      .select(TextOps.charGramHashes(col("__norm"), 8).as("__gh"))
+      .select(explode(TextOps.winnowSelect(col("__gh"), 4)).as("fp")))
+    // winnowing density ~2/(w+1) is hash-independent: per-path totals
+    // agree closely even though the selected positions differ
+    assert(nXx > 0 && nMd5 > 0)
+    assert(math.abs(nXx - nMd5).toDouble / nMd5 < 0.1,
+      s"fingerprint density diverged: xx=$nXx md5=$nMd5")
+    info(f"native xx ${tXx}%.2fs vs md5 ${tMd5}%.2fs -> ${tMd5 / tXx}%.1fx")
+    assert(tMd5 / tXx >= 2.0,
+      f"native path only ${tMd5 / tXx}%.2fx faster (md5 $tMd5%.2fs, xx $tXx%.2fs)")
+    docs.unpersist(blocking = false)
+  }
+}
