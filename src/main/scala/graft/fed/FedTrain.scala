@@ -34,14 +34,22 @@ object FedTrain {
                  logger: GraftLogger = GraftLogger.stdout()): SessionResult = {
     // 1. ETL: merge raw local/central stores into canonical node/edge
     //    tables (merge.py parity), then split + persist bundles.
-    val refs = pids.map { pid =>
-      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
-      val g = PropertyGraph(m.nodes, m.edges).cache()
-      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
-        seed = hp.seed)
-      g.unpersist()
-      ref
-    }
+    //    Partitions are independent, so their ETL (dominated by the
+    //    double edge-split's iterative CC jobs) submits Spark jobs
+    //    CONCURRENTLY from driver threads — Spark's scheduler
+    //    interleaves the small per-partition jobs instead of running
+    //    P serial critical paths. Each future touches only its own
+    //    partition's paths and cached graph; results keep pid order.
+    val refs = awaitAll(pids.map { pid =>
+      scala.concurrent.Future {
+        val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+        val g = PropertyGraph(m.nodes, m.edges).cache()
+        val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+          seed = hp.seed)
+        g.unpersist()
+        ref
+      }(scala.concurrent.ExecutionContext.global)
+    })
     require(refs.map(_.numFeatures).distinct.size == 1,
       s"partitions disagree on feature count: $refs")
 
@@ -72,15 +80,17 @@ object FedTrain {
                           outDir: String, budgetGB: Double,
                           hp: SageHyperParams = SageHyperParams(),
                           logger: GraftLogger = GraftLogger.stdout()): Federation.Result = {
-    val withCost = pids.map { pid =>
-      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
-      val g = PropertyGraph(m.nodes, m.edges).cache()
-      val cost = MemCost.ramGB(g.numNodes, g.numEdges)
-      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
-        seed = hp.seed)
-      g.unpersist()
-      (ref, cost)
-    }
+    val withCost = awaitAll(pids.map { pid =>
+      scala.concurrent.Future {
+        val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+        val g = PropertyGraph(m.nodes, m.edges).cache()
+        val cost = MemCost.ramGB(g.numNodes, g.numEdges)
+        val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+          seed = hp.seed)
+        g.unpersist()
+        (ref, cost)
+      }(scala.concurrent.ExecutionContext.global)
+    })
     val init = new LocalGraphSage(hp, Map.empty, Map.empty,
       withCost.head._1.numFeatures).initializeWeights()
     Federation.runScheduled(spark, withCost,
@@ -89,6 +99,14 @@ object FedTrain {
       buildClient = (p: (BundleIO.BundleRef, Double)) => SageLinkModel.fromRef(p._1, hp),
       initial = init, rounds = rounds, epochs = epochs, graphId = graphId,
       weightsDir = Some(s"$outDir/weights"), logger = logger)
+  }
+
+  // in-order gather of the concurrent per-partition ETL futures
+  private def awaitAll[A](fs: Seq[scala.concurrent.Future[A]]): Seq[A] = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(fs),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   private val Modes = Set("supervised", "unsupervised", "nograd", "scheduled")

@@ -48,16 +48,25 @@ object BundleIO {
     val testSplit = EdgeSplitter.trainTestSplit(g, testP, seed)
     val trainSplit = EdgeSplitter.trainTestSplit(testSplit.residual, trainP, seed + 1)
     val base = s"$dir/$name"
-    g.nodes
+    // Every sub-table is written in CANONICAL (sorted) order: the
+    // split's example SET is seeded-deterministic, but its row order
+    // reflects plan internals (partition boundaries, aggregate
+    // iteration) that shift between runs — and the trainer's seeded
+    // epoch shuffle permutes the LOADED order, so an order change is a
+    // training-dynamics change (measured: same example set, different
+    // AUC run to run). A global sort pins it; range-partitioned sorted
+    // part files concatenate to the total order however the partition
+    // boundaries fall, at the cost of one bounded ETL-time shuffle.
+    g.nodes.orderBy("id")
       .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/features")
-    trainSplit.residual.adjacency(maxDegree)
+    trainSplit.residual.adjacency(maxDegree).orderBy("id")
       .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/adjacency")
-    trainSplit.examples
+    trainSplit.examples.orderBy("source", "target", "label")
       .select(concat_ws(" ", col("source"), col("target"), col("label")))
       .write.mode("overwrite").text(s"$base/train")
-    testSplit.examples
+    testSplit.examples.orderBy("source", "target", "label")
       .select(concat_ws(" ", col("source"), col("target"), col("label")))
       .write.mode("overwrite").text(s"$base/test")
     val nF = g.nodes.select(size(col("features"))).limit(1).collect()
@@ -78,13 +87,17 @@ object BundleIO {
                         nWalks: Int = SageHyperParams.unsupervisedNumWalks,
                         seed: Long = 42L, maxDegree: Int = Int.MaxValue): BundleRef = {
     val base = s"$dir/$name"
-    g.nodes
+    // canonical (sorted) order throughout — see `write`: the loaded
+    // row order feeds the trainer's seeded shuffle, so plan-internal
+    // order drift is a training-dynamics change
+    g.nodes.orderBy("id")
       .select(concat_ws(" ", col("id"), col("features").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/features")
-    g.adjacency(maxDegree)
+    g.adjacency(maxDegree).orderBy("id")
       .select(concat_ws(" ", col("id"), col("neighbors").cast("array<string>")))
       .write.mode("overwrite").text(s"$base/adjacency")
     val pairs = graft.graph.RandomWalk.unsupervisedPairs(g, walkLength, nWalks, seed)
+      .orderBy("target", "context", "label")
       .select(concat_ws(" ", col("target"), col("context"), col("label")))
       .localCheckpoint()
     pairs.write.mode("overwrite").text(s"$base/train")
