@@ -64,7 +64,11 @@ object GraftSession {
       .appName(app)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.maxPlanStringLength", "100000")
+      // finite cap = the canary for unboundedly-growing iterative plans
+      // (EdgeSplitter/RandomWalk lineage), sized ABOVE the legitimately
+      // wide ones: the 1434-column CORA CSV projection alone is ~175 KB
+      // of plan string
+      .config("spark.sql.maxPlanStringLength", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
