@@ -40,16 +40,14 @@ object FedTrain {
     //    interleaves the small per-partition jobs instead of running
     //    P serial critical paths. Each future touches only its own
     //    partition's paths and cached graph; results keep pid order.
-    val refs = awaitAll(pids.map { pid =>
-      scala.concurrent.Future {
-        val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
-        val g = PropertyGraph(m.nodes, m.edges).cache()
-        val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
-          seed = hp.seed)
-        g.unpersist()
-        ref
-      }(scala.concurrent.ExecutionContext.global)
-    })
+    val refs = graft.util.Par.mapAll(pids) { pid =>
+      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+      val g = PropertyGraph(m.nodes, m.edges).cache()
+      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+        seed = hp.seed)
+      g.unpersist()
+      ref
+    }
     require(refs.map(_.numFeatures).distinct.size == 1,
       s"partitions disagree on feature count: $refs")
 
@@ -80,17 +78,15 @@ object FedTrain {
                           outDir: String, budgetGB: Double,
                           hp: SageHyperParams = SageHyperParams(),
                           logger: GraftLogger = GraftLogger.stdout()): Federation.Result = {
-    val withCost = awaitAll(pids.map { pid =>
-      scala.concurrent.Future {
-        val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
-        val g = PropertyGraph(m.nodes, m.edges).cache()
-        val cost = MemCost.ramGB(g.numNodes, g.numEdges)
-        val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
-          seed = hp.seed)
-        g.unpersist()
-        (ref, cost)
-      }(scala.concurrent.ExecutionContext.global)
-    })
+    val withCost = graft.util.Par.mapAll(pids) { pid =>
+      val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
+      val g = PropertyGraph(m.nodes, m.edges).cache()
+      val cost = MemCost.ramGB(g.numNodes, g.numEdges)
+      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+        seed = hp.seed)
+      g.unpersist()
+      (ref, cost)
+    }
     val init = new LocalGraphSage(hp, Map.empty, Map.empty,
       withCost.head._1.numFeatures).initializeWeights()
     Federation.runScheduled(spark, withCost,
@@ -99,14 +95,6 @@ object FedTrain {
       buildClient = (p: (BundleIO.BundleRef, Double)) => SageLinkModel.fromRef(p._1, hp),
       initial = init, rounds = rounds, epochs = epochs, graphId = graphId,
       weightsDir = Some(s"$outDir/weights"), logger = logger)
-  }
-
-  // in-order gather of the concurrent per-partition ETL futures
-  private def awaitAll[A](fs: Seq[scala.concurrent.Future[A]]): Seq[A] = {
-    import scala.concurrent.ExecutionContext.Implicits.global
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(fs),
-      scala.concurrent.duration.Duration.Inf)
   }
 
   private val Modes = Set("supervised", "unsupervised", "nograd", "scheduled")

@@ -30,11 +30,15 @@ import graft.sources.{GraftLogger, GraphIO}
   */
 object UnsupervisedPipeline {
 
-  /** Per-partition unsupervised bundles (walk pairs as the train set). */
+  /** Per-partition unsupervised bundles (walk pairs as the train set).
+    * Partitions are independent and bundle writes are order-canonical,
+    * so their walk-corpus jobs submit concurrently from driver threads
+    * (same rationale as FedTrain's ETL).
+    */
   private def writeBundles(spark: SparkSession, parts: Seq[(String, PropertyGraph)],
                            graphId: String, outDir: String, hp: SageHyperParams,
                            walkLength: Int, nWalks: Int): Seq[(String, BundleIO.BundleRef)] =
-    parts.map { case (pid, g) =>
+    graft.util.Par.mapAll(parts) { case (pid, g) =>
       pid -> BundleIO.writeUnsupervised(spark, s"$outDir/bundles",
         s"${graphId}_$pid", g, walkLength, nWalks, hp.seed)
     }
