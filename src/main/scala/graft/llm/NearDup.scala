@@ -23,27 +23,35 @@ import org.apache.spark.sql.functions._
 object NearDup {
 
   /** MinHash signature of a shingle array: `sig[h] = min over shingles
-    * of xxhash64(seed, h, shingle)`, h = 0..numHashes-1. One array
-    * expression, no UDF; empty shingle sets get a null signature (no
-    * candidate pairs — a doc with < n tokens has no Jaccard identity).
+    * of xxhash64(seed, h, shingle)`, h = 0..numHashes-1; empty shingle
+    * sets get a null signature (no candidate pairs — a doc with < n
+    * tokens has no Jaccard identity).
     *
-    * Loop order matters: the shingle array is the OUTER collection
-    * (`aggregate` over shingles, folding a numHashes-wide running
-    * minimum). The transposed form — `transform(hashIndices, h -> min
-    * over shingles)` — embeds the shingle expression inside the
-    * lambda, which Spark re-evaluates per hash index: 64 tokenizer
-    * runs per row (and 1024 when banding re-evaluates the signature).
-    * Same values, ~100× less work.
+    * Evaluates as the native `functions.MinHashSig` expression — a
+    * tight primitive double loop, bit-identical to the builtin
+    * `aggregate`/`zip_with` composition it replaced (the composition,
+    * kept below as `minhashSignatureGeneric`, runs in the interpreted
+    * HOF evaluator and allocates two numHashes-wide arrays per shingle
+    * step; NearDupNativeSpec asserts element equality, so candidate
+    * sets cannot move).
     *
     * Hashing per (slot, shingle) was A/B-measured against the derived
     * `(a_i·h + b_i) mod P` family (one string hash per shingle, MLlib
-    * MinHashLSH shape): at ~25-char shingles Spark's codegen'd
-    * xxhash64 is CHEAPER than the per-slot multiply + prime mod +
-    * literal-array indexing (2.1s vs 2.5s per signature pass at
-    * sf0.1), so the direct form stays. Revisit only for corpora with
+    * MinHashLSH shape): at ~25-char shingles the direct per-slot
+    * string hash wins even interpreted, and natively the whole pass is
+    * memory-bound on the shingle bytes. Revisit only for corpora with
     * very long shingles, where string-hash cost grows linearly.
     */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long): Column =
+    graft.functions.MinHashSig(shingles, numHashes, seed)
+
+  /** The builtin-composition twin of `minhashSignature` — interpreted
+    * HOF fold; kept as the equivalence oracle for the native path.
+    * Loop order matters: the shingle array is the OUTER collection
+    * (the transposed form re-evaluates the shingle expression per hash
+    * index — 64 tokenizer runs per row).
+    */
+  def minhashSignatureGeneric(shingles: Column, numHashes: Int, seed: Long): Column =
     when(size(shingles) === 0, lit(null).cast("array<bigint>"))
       .otherwise(
         aggregate(shingles,
@@ -165,13 +173,20 @@ object NearDup {
 
   /** 64-bit SimHash over the whitespace tokens: bit b of the signature
     * is 1 iff `sum over tokens of ±1 (sign of bit b of xxhash64(tok))`
-    * is positive. Near-dups have small Hamming distance. One nested
-    * array expression — codegen'd, no UDF.
+    * is positive. Near-dups have small Hamming distance. Evaluates as
+    * the native `functions.SimHash64` expression — bit-identical to
+    * the builtin fold kept below as `simhash64Generic` (asserted in
+    * NearDupNativeSpec).
     */
-  def simhash64(text: Column, seed: Long = 42L): Column = {
-    // token hashes are the OUTER collection (one pass, folding a
-    // 64-wide vote vector); the transposed per-bit form re-evaluates
-    // the tokenizer 64× per row
+  def simhash64(text: Column, seed: Long = 42L): Column =
+    graft.functions.SimHash64(TextOps.tokens(text), seed)
+
+  /** Builtin-composition twin of `simhash64` — the equivalence oracle
+    * for the native path. Token hashes are the OUTER collection (one
+    * pass folding a 64-wide vote vector); the transposed per-bit form
+    * re-evaluates the tokenizer 64× per row.
+    */
+  def simhash64Generic(text: Column, seed: Long = 42L): Column = {
     val votes = aggregate(
       transform(TextOps.tokens(text), t => xxhash64(lit(seed), t)),
       transform(sequence(lit(0), lit(63)), _ => lit(0L)),

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native MinHashSig / SimHash64 expressions must reproduce the
+  * builtin HOF compositions bit-for-bit — they feed LSH banding, so
+  * any value drift would silently move candidate sets (and the q27/q36
+  * oracle equality with the exact all-pairs Jaccard set).
+  */
+class NearDupNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native MinHashSig == builtin composition on sf0.01 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 3).as("__sh"))
+      .localCheckpoint()
+    val native = docs
+      .select(col("doc_id"), NearDup.minhashSignature(col("__sh"), 48, 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val generic = docs
+      .select(col("doc_id"), NearDup.minhashSignatureGeneric(col("__sh"), 48, 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(native.keySet === generic.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig === generic(id), s"doc $id signatures diverge")
+    }
+    assert(native.valuesIterator.exists(_.nonEmpty))
+    docs.unpersist(blocking = false)
+  }
+
+  test("native MinHashSig: empty and null-element edges match the builtin") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("only one"))
+    ).toDF("id", "sh")
+    val native = df.select(col("id"), NearDup.minhashSignature(col("sh"), 8, 7L).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val generic = df.select(col("id"), NearDup.minhashSignatureGeneric(col("sh"), 8, 7L).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(native === generic)
+    assert(native(2L).isEmpty, "empty shingles must yield null signature")
+  }
+
+  test("native SimHash64 == builtin composition on sf0.01 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val native = docs.select(col("doc_id"), NearDup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val generic = docs.select(col("doc_id"), NearDup.simhash64Generic(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === generic)
+  }
+
+  test("native signature pass >= 2x faster than builtin on sf0.1 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("__sh"))
+      .localCheckpoint()
+    def timeCount(sig: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      docs.select(sig.as("s")).selectExpr("sum(size(s))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // native first — it absorbs JIT warm-up, keeping the ratio conservative
+    val tNative = timeCount(NearDup.minhashSignature(col("__sh"), 48, 42L))
+    val tGeneric = timeCount(NearDup.minhashSignatureGeneric(col("__sh"), 48, 42L))
+    info(f"native ${tNative}%.2fs vs builtin ${tGeneric}%.2fs -> ${tGeneric / tNative}%.1fx")
+    // measured ~2x on an idle 4-core session; floor at 1.5x so load
+    // noise cannot flake the suite
+    assert(tGeneric / tNative >= 1.5,
+      f"native only ${tGeneric / tNative}%.2fx faster")
+    docs.unpersist(blocking = false)
+  }
+}
