@@ -39,6 +39,14 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       fn(spark, warmDir).write.format("noop").mode("overwrite").save()
     }
+    // q32's input parquet is generated on first touch (the multimodal
+    // fixture); every other query's input already sits on disk.
+    // Materialize it for the MEASURED sf during warm-up so the measured
+    // run reads parquet like its peers instead of paying a one-time
+    // fixture write (+0.6 s on a clean tmp).
+    SparkEntry.queries.get("q32_multimodal").foreach { fn =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

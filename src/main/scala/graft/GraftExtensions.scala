@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecDot, WinnowHash}
+import graft.functions.{MinHashSig, SimHash64, VecDot, WinnowHash}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -32,13 +32,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowHash].getName, "winnow_hash"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, s"winnow_hash takes 3 arguments, got ${exprs.length}")
-        def intLit(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
-            org.apache.spark.sql.types.IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_hash $name must be an INT literal, got $other")
-        }
-        WinnowHash(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+        WinnowHash(exprs(0), GraftExtensions.intLit(exprs(1), "k"),
+          GraftExtensions.intLit(exprs(2), "w"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"minhash_sig takes 3 arguments, got ${exprs.length}")
+        MinHashSig(exprs(0), GraftExtensions.intLit(exprs(1), "numHashes"),
+          GraftExtensions.longLit(exprs(2), "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"simhash64 takes 2 arguments, got ${exprs.length}")
+        SimHash64(exprs(0), GraftExtensions.longLit(exprs(1), "seed"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  // config parameters of the native functions must be plan-time
+  // constants (they size per-instance precomputed state)
+  private[graft] def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an INT literal, got $other")
+  }
+
+  private[graft] def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                             name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+      org.apache.spark.sql.types.LongType) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
   }
 }
