@@ -51,8 +51,16 @@ object TextOps {
 
   /** Count of tokens that appear in `words` (multiset count: repeated
     * stopwords count every time, as real quality filters do).
+    * Evaluates as the native `functions.WordHits` (hash-set lookup per
+    * token; the builtin twin below interprets a lambda per token and
+    * scans the list linearly — value equality asserted in
+    * TokenOpsNativeSpec).
     */
   def wordHits(toks: Column, words: Seq[String]): Column =
+    graft.functions.WordHits(toks, words)
+
+  /** Builtin-composition twin of `wordHits` — equivalence oracle. */
+  def wordHitsGeneric(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(arrayLit(words), t)))
 
   /** Stopword ratio: stopword tokens / total tokens (0 for empty docs). */
@@ -228,7 +236,17 @@ object TextOps {
 
   /** Word n-gram shingles over the whitespace tokens; fewer than `n`
     * tokens yields an empty array. Building block for MinHash and for
-    * repetition scoring.
+    * repetition scoring. The tokenizer stays the builtin codegen'd
+    * `split`; the shingle assembly evaluates as the native
+    * `functions.WordShingles` — one pass concatenating n consecutive
+    * tokens per position (the builtin twin below allocates n sliced
+    * arrays plus a zip-struct per position; value equality asserted in
+    * TokenOpsNativeSpec).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(tokens(text), n)
+
+  /** Builtin-composition twin of `wordShingles` — equivalence oracle.
     *
     * Implementation note (perf): shingles are built by zipping `n`
     * shifted slices of the token array and joining each row of the zip.
@@ -236,9 +254,9 @@ object TextOps {
     * n))` — embeds the tokenizer inside the lambda, which Spark
     * re-evaluates PER ELEMENT: O(tokens²) regex splits per row (10.6 s
     * for 5 k docs at sf0.1). The zip form evaluates the tokenizer n
-    * times per ROW and runs ~20× faster; same output.
+    * times per ROW; the native form, once.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShinglesGeneric(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val m = size(toks) - (n - 1) // shingle count when positive
     when(m <= 0, array().cast("array<string>"))
