@@ -65,18 +65,12 @@ object Similarity {
     * .cast("double") / 1e6) - 1` evaluates to (same catalyst XXH64,
     * same fold order, same pmod), so signatures are bit-identical to
     * the expression-per-row formulation this replaced — but the matrix
-    * is built ONCE and shipped as a 16 KB literal instead of being
-    * re-derived with numPlanes × dim hash expressions on EVERY row
-    * (measured 100× the multiply-accumulate cost at dim 64 × 32
-    * planes).
+    * is built ONCE (inside `functions.HyperplaneBuckets`, or as a
+    * 16 KB literal in the builtin twins) instead of being re-derived
+    * with numPlanes × dim hash expressions on EVERY row.
     */
-  private[llm] def planeComponent(j: Int, d: Int, seed: Long): Double = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val h = XXH64.hashInt(d, XXH64.hashInt(j, XXH64.hashLong(seed, 42L)))
-    val m = 2000000L
-    val pm = ((h % m) + m) % m
-    (pm.toDouble / 1000000.0) - 1.0
-  }
+  private[llm] def planeComponent(j: Int, d: Int, seed: Long): Double =
+    graft.functions.HyperplaneBuckets.planeComponent(j, d, seed)
 
   private def planeMatrix(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
     Seq.tabulate(numPlanes)(j => Seq.tabulate(dim)(d => planeComponent(j, d, seed)))
@@ -136,14 +130,13 @@ object Similarity {
     // id — AQE broadcasts the candidate set when it is the small side).
     val planeDim = resolveDim(corpus, vecCol, dim)
     def bucketed(df: DataFrame, id: String, probe: Boolean): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), numPlanes, seed, planeDim)
-      val base = df.select(col(idCol).as(id), sig.as("__sig"))
-        .select(col(id),
-          explode(transform(sequence(lit(0), lit(bands - 1)),
-            b => struct(b.cast("int").as("band"),
-              call_function("shiftrightunsigned", col("__sig"), (b * bits).cast("int"))
-                .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("bb"))
-        .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // native per-band buckets (one FMA pass over the precomputed
+      // plane matrix); posexplode yields (band, bucket) — identical
+      // values to slicing the single-long signature, since bit jj of
+      // bucket b is the sign of plane b*bits + jj
+      val buckets = graft.functions.HyperplaneBuckets(
+        col(vecCol), numPlanes, bands, seed, planeDim)
+      val base = df.select(col(idCol).as(id), posexplode(buckets).as(Seq("band", "bucket")))
       if (!probe) base
       else base.select(col(id), col("band"),
         explode(concat(
@@ -365,27 +358,18 @@ object Similarity {
     require(numPlanes % bands == 0)
     val bits = numPlanes / bands
     require(bits <= 64, s"bits per band $bits exceeds a long")
-    // Per-band buckets computed directly (each band's bucket is its own
-    // long, so numPlanes may exceed 64 — more planes = finer buckets =
-    // fewer false candidates, and the literal plane matrix makes the
-    // extra planes nearly free). Index carries ids only (the checkpoint
-    // and the self-join never touch vectors); vectors join back per
+    // Per-band buckets from the native HyperplaneBuckets expression
+    // (each band's bucket is its own long, so numPlanes may exceed 64 —
+    // more planes = finer buckets = fewer false candidates, and the
+    // precomputed plane matrix makes the extra planes nearly free; the
+    // builtin twin `cosineBandBucketsGeneric` is kept as the
+    // equivalence oracle). Index carries ids only (the checkpoint and
+    // the self-join never touch vectors); vectors join back per
     // surviving candidate pair.
-    val planes = typedlit(planeMatrix(numPlanes, resolveDim(df, vecCol, dim), seed))
-    val vecD = col(vecCol).cast("array<double>")
-    val bandBuckets = transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.cast("int").as("band"),
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-          (acc, jj) => acc.bitwiseOR(
-            when(
-              aggregate(zip_with(vecD,
-                element_at(planes, (b * bits + jj + 1).cast("int")),
-                (x, p) => x * p), lit(0.0), (s, v) => s + v) > 0,
-              call_function("shiftleft", lit(1L), jj.cast("int")))
-              .otherwise(lit(0L)))).as("bucket")))
+    val buckets = graft.functions.HyperplaneBuckets(
+      col(vecCol), numPlanes, bands, seed, resolveDim(df, vecCol, dim))
     val bucketed = df
-      .select(col(idCol).as("__id"), explode(bandBuckets).as("bb"))
-      .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col(idCol).as("__id"), posexplode(buckets).as(Seq("band", "bucket")))
       .localCheckpoint() // one signature scan feeds both join sides
     val candIds = bucketed.as("l")
       .join(bucketed.as("r"),
@@ -400,6 +384,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+  }
+
+  /** Builtin-composition twin of the per-band bucket computation the
+    * native `HyperplaneBuckets` replaced in `cosinePairs`/`lshTopK` —
+    * kept as the equivalence oracle (HyperplaneNativeSpec): returns
+    * `array<struct<band int, bucket bigint>>` over the literal plane
+    * matrix, interpreted zip_with/aggregate dots.
+    */
+  private[llm] def cosineBandBucketsGeneric(vec: Column, numPlanes: Int,
+      bands: Int, seed: Long, dim: Int): Column = {
+    val bits = numPlanes / bands
+    val planes = typedlit(planeMatrix(numPlanes, dim, seed))
+    val vecD = vec.cast("array<double>")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+          (acc, jj) => acc.bitwiseOR(
+            when(
+              aggregate(zip_with(vecD,
+                element_at(planes, (b * bits + jj + 1).cast("int")),
+                (x, p) => x * p), lit(0.0), (s, v) => s + v) > 0,
+              call_function("shiftleft", lit(1L), jj.cast("int")))
+              .otherwise(lit(0L)))).as("bucket")))
   }
 
   /** Embedding near-dup GROUPS: connected components over `cosinePairs`,
