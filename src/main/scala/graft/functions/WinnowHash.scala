@@ -90,8 +90,101 @@ case class WinnowHash(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_hash"
 }
 
+/** One-pass winnowing with the ORACLE hash (md5 hex, string-ordered
+  * minima) — the md5 twin of [[WinnowHash]], powering q38's measured
+  * path with values bit-identical to the builtin
+  * `charGramHashes`/`winnowSelect` composition (same md5 of the same
+  * gram bytes, same lowercase hex, same string-order window minima —
+  * hex of an unsigned digest compare — same first-occurrence
+  * distinct; asserted in WinnowingHashSpec). The builtin pipeline
+  * materializes one 32-char hex string per gram plus a sliced array
+  * per window in the interpreted HOF evaluator; here grams are hashed
+  * once into 16-byte digests, the window minimum runs on a monotonic
+  * deque with unsigned digest compares, and only the selected minima
+  * are hex-encoded.
+  */
+case class WinnowMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"winnow_md5 needs k >= 2, w >= 1 (got k=$k, w=$w)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_md5 requires a STRING input, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // one digest instance per deserialized expression copy = per task;
+  // tasks are single-threaded through eval
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(s: Any): Any = compute(s.asInstanceOf[UTF8String])
+
+  def compute(str: UTF8String): ArrayData = {
+    val bytes = str.getBytes
+    val nGrams = bytes.length - k + 1
+    if (nGrams < w) return WinnowHash.EmptyStr
+    val ring = new Array[Array[Byte]](w)
+    val cap = w + 1
+    val deque = new Array[Int](cap)
+    var head = 0; var tail = 0
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < nGrams) {
+      md5.reset()
+      md5.update(bytes, i, k)
+      val h = md5.digest()
+      ring(i % w) = h
+      // hex(digest) string order == unsigned byte order of the digest
+      while (tail > head &&
+        java.util.Arrays.compareUnsigned(ring(deque((tail - 1) % cap) % w), h) >= 0)
+        tail -= 1
+      deque(tail % cap) = i; tail += 1
+      if (deque(head % cap) <= i - w) head += 1
+      if (i >= w - 1) out.add(WinnowHash.hex(ring(deque(head % cap) % w)))
+      i += 1
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator(); var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowMd5", this, classOf[WinnowMd5].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMd5 =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_md5"
+}
+
+object WinnowMd5 {
+  /** Column API over an ALREADY normalized STRING column. */
+  def apply(normText: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowMd5(ColumnShim.expression(normText), k, w))
+}
+
 object WinnowHash {
   private val Empty = new GenericArrayData(Array.emptyLongArray)
+  private[functions] val EmptyStr = new GenericArrayData(Array.empty[Any])
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest as UTF8String — matches Spark's `md5`. */
+  private[functions] def hex(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      out(2 * i) = HexChars((digest(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(digest(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 
   /** Column-level API: `winnowHash(normText, k, w)` over an ALREADY
     * normalized STRING column.

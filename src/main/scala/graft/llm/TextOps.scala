@@ -156,16 +156,14 @@ object TextOps {
   def winnowingFingerprints(text: Column, k: Int, w: Int,
                             hasher: GramHasher = GramHasher.Md5): Column = {
     require(k >= 2 && w >= 1)
+    // both hashes run as native one-pass expressions (gram hash +
+    // monotonic-deque window minimum) — bit-identical values to the
+    // generic charGramHashes/winnowSelect compositions kept below,
+    // without the interpreted per-window array churn (WinnowingHashSpec
+    // asserts equality and speedups for both)
     hasher match {
-      case GramHasher.XxHash64 =>
-        // native one-pass expression (rolling XXH64 + monotonic-deque
-        // window minimum) — bit-identical values to the generic
-        // composition below with xxhash64 grams, without the
-        // interpreted per-window array churn (WinnowingHashSpec
-        // asserts both the equality and the speedup)
-        graft.functions.WinnowHash(normalized(text), k, w)
-      case GramHasher.Md5 =>
-        winnowSelect(charGramHashes(normalized(text), k, hasher), w, hasher)
+      case GramHasher.XxHash64 => graft.functions.WinnowHash(normalized(text), k, w)
+      case GramHasher.Md5      => graft.functions.WinnowMd5(normalized(text), k, w)
     }
   }
 

@@ -82,11 +82,14 @@ object UnsupervisedPipeline {
           walkLength: Int = SageHyperParams.unsupervisedWalkLength,
           nWalks: Int = SageHyperParams.unsupervisedNumWalks,
           logger: GraftLogger = GraftLogger.stdout()): DataFrame = {
+    val t0 = System.nanoTime()
     val refs = writeBundles(spark, parts, graphId, outDir, hp, walkLength, nWalks)
+    val t1 = System.nanoTime()
     val out = emitEmbeddings(spark, refs,
       m => { m.initialize(); m.fit(epochs) }, hp, graphId, "nograd", outDir)
-    logger.info(s"unsupervised nograd: trained ${refs.size} partitions, " +
-      s"dim=${hp.layerSizes._2}")
+    logger.info(f"unsupervised nograd: trained ${refs.size} partitions, " +
+      f"dim=${hp.layerSizes._2} (walk bundles ${(t1 - t0) / 1e9}%.1f s, " +
+      f"train+emit ${(System.nanoTime() - t1) / 1e9}%.1f s)")
     out
   }
 

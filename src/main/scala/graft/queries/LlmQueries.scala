@@ -226,16 +226,16 @@ object LlmQueries {
     // sketch that detects partial overlap (quoted/plagiarized/copied
     // REGIONS) which whole-doc hashing (q24) and set-level MinHash
     // (q27) can't localize: any shared normalized substring of length
-    // ≥ k+w-1 = 11 guarantees a shared fingerprint. Staged so the
-    // normalization regexes and the gram-hash array are each computed
-    // once per row (the per-element lambda re-evaluation trap).
+    // ≥ k+w-1 = 11 guarantees a shared fingerprint. Runs as the native
+    // one-pass WinnowMd5 expression (md5 = the DuckDB-reproducible
+    // oracle hash; value-identical to the staged builtin pipeline it
+    // replaced — WinnowingHashSpec); GramHasher.XxHash64 is the
+    // at-scale production hash.
     "q38_winnowing" -> ((s, dir) => {
       val t = Tables(s, dir)
       t.documents
-        .select(col("doc_id"), TextOps.normalized(col("text")).as("__norm"))
-        .select(col("doc_id"), TextOps.charGramHashes(col("__norm"), 8).as("__gh"))
         .select(col("doc_id"),
-          explode(TextOps.winnowSelect(col("__gh"), 4)).as("fingerprint"))
+          explode(TextOps.winnowingFingerprints(col("text"), 8, 4)).as("fingerprint"))
     }),
 
     // Near-dup GROUPS — the "which rows do I drop" form a dedup
