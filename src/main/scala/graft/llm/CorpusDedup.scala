@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composition an LLM data pipeline
+  * actually runs before training: exact dedup, then fuzzy near-dup
+  * group dedup, returning the KEPT rows of the input.
+  *
+  * Stage 1 (exact): content-hash keep-first (`md5(text)` groups, min
+  * id wins) — one hash-keyed shuffle, removes byte-identical copies
+  * so the LSH stage only ever sees one representative per exact class
+  * (the skew guard NearDup documents).
+  * Stage 2 (fuzzy): MinHash-LSH candidates, exact-Jaccard verified,
+  * GraphX connected components over the verified pair graph — every
+  * group keeps its minimum id, the rest drop.
+  *
+  * Scale shape: stage 1 shuffles (hash, id) pairs; stage 2 is the
+  * proven q27/q36 pipeline (ids-only bucket join, O(candidates)
+  * verification, CC over the near-dup pair graph only); the final
+  * keep-filter is two id-keyed semi/anti joins. Nothing here ever
+  * materializes a pair space or moves document text except the one
+  * verification join.
+  */
+object CorpusDedup {
+
+  /** Kept rows of `df` after exact + near-dup dedup (all original
+    * columns preserved).
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String,
+            threshold: Double = 0.8, shingleN: Int = 3,
+            numHashes: Int = 64, bands: Int = 16,
+            seed: Long = 42L): DataFrame = {
+    // stage 1: exact content dedup, min id per hash class
+    val keepExact = df
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val kept = df.join(keepExact, Seq(idCol), "left_semi")
+    // stage 2: near-dup groups over the exact-kept set; drop everything
+    // that is not its group's minimum id
+    val drop = NearDup
+      .nearDupGroups(kept, idCol, textCol, threshold, shingleN, numHashes, bands, seed)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    kept.join(drop, Seq(idCol), "left_anti")
+  }
+}

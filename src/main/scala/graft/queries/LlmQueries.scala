@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Multimodal, NearDup, Similarity, TextOps}
+import graft.llm.{CorpusDedup, Multimodal, NearDup, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -290,6 +290,27 @@ object LlmQueries {
         dim = Tables.EmbeddingDim) // contract constant → no LIMIT-1 dim probe
     }),
 
+    // End-to-end corpus cleaning — the full pre-training dedup
+    // composition (exact content-hash keep-first, then MinHash-LSH +
+    // exact-verify + CC near-dup groups keeping each group's min id)
+    // over documents + truncated twins; output = the KEPT doc ids.
+    // Oracle: the same two stages computed exactly in SQL (md5 groups,
+    // recursive min-label CC over the exact all-pairs Jaccard set on
+    // the exact-kept corpus). LSH completeness carries from q27's
+    // proof: band collision is a property of the PAIR, so every
+    // qualifying pair among kept docs was already caught on the full
+    // corpus.
+    "q40_corpus_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val twins = t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1), greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
+      CorpusDedup.clean(corpus, "doc_id", "text",
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+        .select(col("doc_id"))
+    }),
+
     // Multimodal pipeline over a persisted parquet fixture (seeded,
     // deterministic, ~10% planted exact-duplicate payloads): typed-meta
     // projection feeds nothing here — the measured path is video
@@ -329,16 +350,19 @@ object LlmQueries {
       .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
       .getOrElse(0.01)
 
-  // Exact near-dup pair set over documents + truncated twins (shared
-  // by the q27 and q36 oracles): shingles, length-ratio-pruned
-  // all-pairs Jaccard, threshold 0.6.
-  private def sqlExactPairCtes: String =
-    s"""corpus AS (
+  // documents + truncated twins — the near-dup corpus the q27/q36/q40
+  // oracles share.
+  private val sqlCorpusCte: String =
+    """corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
             SELECT doc_id + 1000000,
-                   substring(text, 1, greatest(length(text) - 10, 1)) FROM documents),
-          tok AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
+                   substring(text, 1, greatest(length(text) - 10, 1)) FROM documents)"""
+
+  // Exact all-pairs near-dup set over relation `src(doc_id, text)`:
+  // shingles, length-ratio-pruned all-pairs Jaccard, threshold 0.6.
+  private def sqlPairCtes(src: String): String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM $src),
           sh AS (SELECT doc_id,
             CASE WHEN len(toks) < 3 THEN []
                  ELSE list_distinct(list_transform(range(0, len(toks) - 2),
@@ -355,6 +379,9 @@ object LlmQueries {
           pairs AS (
             SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
             FROM cand WHERE u > 0 AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.6)"""
+
+  // Shared by the q27 and q36 oracles: pairs over the full corpus.
+  private def sqlExactPairCtes: String = s"$sqlCorpusCte, ${sqlPairCtes("corpus")}"
 
   // Exact cosine top-5 for probes vec_id < 10 — the ground truth for
   // both q21 (brute force) and q26 (IVF with every list probed, which
@@ -411,6 +438,29 @@ object LlmQueries {
     // itself and each neighbor, labels flow along edges until the
     // fixpoint (UNION dedup terminates it), min label per node = the
     // component's minimum id — exactly GraphX CC's contract.
+    // Corpus-clean twin: exact keep-first via md5 groups, then CC over
+    // the exact pair set restricted to the exact-kept corpus; a kept0
+    // row survives iff it has no near-dup component or is its
+    // component's minimum id.
+    "q40_corpus_dedup" ->
+      s"""WITH RECURSIVE $sqlCorpusCte,
+          kept0 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+          kcorpus AS (
+            SELECT c.doc_id, c.text FROM corpus c
+            JOIN kept0 k ON c.doc_id = k.doc_id),
+          ${sqlPairCtes("kcorpus")},
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id)
+        SELECT k.doc_id FROM kept0 k
+        LEFT JOIN comp c ON c.id = k.doc_id
+        WHERE c.id IS NULL OR c.keep = k.doc_id""",
     "q36_neardup_groups" ->
       s"""WITH RECURSIVE $sqlExactPairCtes,
           edges AS (

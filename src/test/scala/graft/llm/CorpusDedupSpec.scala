@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning: exact dups collapse to their min id,
+  * near-dup groups keep only their min id, unrelated docs survive —
+  * on a planted fixture where every class is known by construction.
+  */
+class CorpusDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean: exact dups, near-dup chains, and unique docs partition correctly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while seventeen astronauts debate orbital mechanics near the window"
+    val docs = Seq(
+      1L -> base,                       // near-dup group {1, 2, 11}
+      2L -> (base + " tail"),           // near-dup of 1
+      11L -> base,                      // EXACT dup of 1 -> dropped in stage 1
+      3L -> "completely unrelated text about maritime navigation charts and the tides of the northern sea during equinox storms",
+      4L -> "another disjoint document entirely concerned with sourdough fermentation timing hydration ratios and crumb structure",
+      5L -> "completely unrelated text about maritime navigation charts and the tides of the northern sea during equinox storms"
+    ).toDF("doc_id", "text")            // 5 is an exact dup of 3
+    val kept = CorpusDedup.clean(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    // 11 drops (exact dup of 1), 5 drops (exact dup of 3),
+    // 2 drops (near-dup of 1), groups keep min ids 1 and 3, 4 survives
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("clean preserves all original columns on kept rows") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8),
+                   (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8))
+      .toDF("doc_id", "text", "lang", "n")
+    val kept = CorpusDedup.clean(docs, "doc_id", "text")
+    assert(kept.columns.toSeq === Seq("doc_id", "text", "lang", "n"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+}
