@@ -212,20 +212,11 @@ object Similarity {
         val n = math.sqrt(c.map(x => x * x).sum)
         if (n == 0) c else c.map(_ / n)
       }
-      val centsLit = typedlit(normed.map(_.toSeq).toSeq)
-      // both branches cast to one named struct type — aliases inside
-      // lambda bodies are stripped, which otherwise breaks CASE typing
-      val ordType = "struct<d:double,i:int>"
-      val bestIdx = aggregate(
-        sequence(lit(0), lit(cents.length - 1)),
-        struct(lit(Double.MinValue), lit(-1)).cast(ordType),
-        (acc, j) => {
-          val d = aggregate(zip_with(col("__v"),
-            element_at(centsLit, j.cast("int") + 1), (x, c) => x * c),
-            lit(0.0), (s, v) => s + v)
-          when(d > acc.getField("d"), struct(d, j.cast("int")).cast(ordType))
-            .otherwise(acc)
-        }).getField("i")
+      // native argmax over the normalized centroid set (one primitive
+      // double loop; the builtin fold is kept as `argmaxDotGeneric`,
+      // value equality asserted in KmeansNativeSpec)
+      val bestIdx = graft.functions.ArgmaxDot(col("__v"),
+        normed.map(_.toSeq).toSeq)
       // The assignment must be BARRIERED before the explode: higher-
       // order functions evaluate interpreted, and a Project collapsed
       // into the Generate re-runs the whole argmax once per EXPLODED
@@ -384,6 +375,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+  }
+
+  /** Builtin-composition twin of the k-means assignment argmax the
+    * native `ArgmaxDot` replaced — kept as the equivalence oracle
+    * (KmeansNativeSpec): fold a (best dot, index) struct over the
+    * candidate literal, strict `>` so the first maximum keeps ties,
+    * -1 when every dot is null (length mismatch / null element).
+    */
+  private[llm] def argmaxDotGeneric(vec: Column, cands: Seq[Seq[Double]]): Column = {
+    val centsLit = typedlit(cands)
+    // both branches cast to one named struct type — aliases inside
+    // lambda bodies are stripped, which otherwise breaks CASE typing
+    val ordType = "struct<d:double,i:int>"
+    aggregate(
+      sequence(lit(0), lit(cands.length - 1)),
+      struct(lit(Double.MinValue), lit(-1)).cast(ordType),
+      (acc, j) => {
+        val d = aggregate(zip_with(vec,
+          element_at(centsLit, j.cast("int") + 1), (x, c) => x * c),
+          lit(0.0), (s, v) => s + v)
+        when(d > acc.getField("d"), struct(d, j.cast("int")).cast(ordType))
+          .otherwise(acc)
+      }).getField("i")
   }
 
   /** Builtin-composition twin of the per-band bucket computation the
