@@ -45,4 +45,30 @@ object CorpusDedup {
       .select(col("id").as(idCol))
     kept.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination — the n-gram overlap scan every
+    * pre-training pipeline runs against its eval sets (the GPT-3-style
+    * 13-gram check, n configurable): a training doc is contaminated if
+    * it shares any word n-gram with any benchmark doc. Returns
+    * `(idCol, n_overlap_grams)` for contaminated training docs only —
+    * anti-join the result to scrub, or inspect the counts to audit.
+    *
+    * Scale shape: both sides explode to (id, gram) rows; the benchmark
+    * side collapses to DISTINCT grams (benchmarks are tiny next to the
+    * corpus, so the distinct set broadcasts or hash-joins cheaply);
+    * the join is keyed on the gram itself — exact, engine-reproducible
+    * — and only matching grams reach the per-doc count. Nothing ever
+    * pairs docs with docs.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextOps.wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    train
+      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), n)).as("__gram"))
+      .join(benchGrams, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__gram")).as("n_overlap_grams"))
+  }
 }

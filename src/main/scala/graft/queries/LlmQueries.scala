@@ -311,6 +311,21 @@ object LlmQueries {
         .select(col("doc_id"))
     }),
 
+    // Benchmark decontamination — flag training docs sharing any word
+    // 5-gram with a held-out "benchmark" slice (doc_id % 20 == 0, a 5%
+    // eval set), the GPT-3-style n-gram decontamination scan. n = 5
+    // because the synthetic small-vocab corpus has no 13-gram overlap
+    // at all (and 3-grams flag most docs — too permissive to
+    // discriminate); 5 isolates genuinely shared runs. Output =
+    // (doc_id, distinct overlapping grams) for contaminated docs only.
+    "q41_decontaminate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      CorpusDedup.decontaminate(
+        t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        t.documents.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // Multimodal pipeline over a persisted parquet fixture (seeded,
     // deterministic, ~10% planted exact-duplicate payloads): typed-meta
     // projection feeds nothing here — the measured path is video
@@ -438,6 +453,20 @@ object LlmQueries {
     // itself and each neighbor, labels flow along edges until the
     // fixpoint (UNION dedup terminates it), min label per node = the
     // component's minimum id — exactly GraphX CC's contract.
+    // Decontamination twin: same tokenizer, same 5-gram construction,
+    // same distinct-overlap count over the same %20 split.
+    "q41_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 5 THEN []
+                 ELSE list_transform(range(0, len(toks) - 4),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END AS sh
+            FROM tok),
+          bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+          train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 20 != 0)
+        SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_overlap_grams
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id""",
     // Corpus-clean twin: exact keep-first via md5 groups, then CC over
     // the exact pair set restricted to the exact-kept corpus; a kept0
     // row survives iff it has no near-dup component or is its

@@ -28,6 +28,25 @@ class CorpusDedupSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("decontaminate: only docs sharing an n-gram run with the benchmark are flagged") {
+    val leak = "four score and seven years ago our fathers brought forth"
+    val bench = Seq(
+      100L -> s"benchmark question about history $leak on this continent",
+      101L -> "an unrelated eval prompt regarding photosynthesis chemistry pathways"
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> s"a training document that quotes $leak verbatim in the middle",
+      2L -> "clean training text with no overlap against any benchmark at all here",
+      3L -> s"another leaky one, $leak, twice even: $leak"
+    ).toDF("doc_id", "text")
+    val flagged = CorpusDedup.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(1L, 3L), s"got $flagged")
+    // the leak sentence has 10 tokens -> 6 distinct 5-grams; doc 3's
+    // doubled quote still counts each gram once (distinct)
+    assert(flagged(1L) === 6L && flagged(3L) === 6L)
+  }
+
   test("clean preserves all original columns on kept rows") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8),
                    (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8))
