@@ -27,6 +27,39 @@ object RelationalQueries {
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bucketed CO-LOCATED join — the layout lever that decides whether
+    // a repeatedly-joined 100 TB fact pair shuffles at all: both fact
+    // tables persist bucketed+sorted on the join key (once per session
+    // here; continuously maintained in a real deployment), and the
+    // join then plans with ZERO Exchange on either side (PLANS.md row;
+    // LayoutSpec asserts the no-Exchange property directly). The only
+    // shuffle left is the final small groupBy.
+    "q42_bucketed_join" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val t = Tables(s, dir)
+      val liTbl = s"graft_bkt_lineitem_$sfName"
+      val ordTbl = s"graft_bkt_orders_$sfName"
+      // deterministic content -> a table created earlier this session
+      // is always valid to reuse (bench warm-up materializes them)
+      if (!s.catalog.tableExists(liTbl))
+        graft.operators.Layout.writeBucketed(
+          t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+          liTbl, buckets = 8, keys = Seq("l_orderkey"))
+      if (!s.catalog.tableExists(ordTbl))
+        graft.operators.Layout.writeBucketed(
+          t.orders.select("o_orderkey", "o_orderpriority"),
+          ordTbl, buckets = 8, keys = Seq("o_orderkey"))
+      s.table(liTbl).hint("merge")
+        .join(s.table(ordTbl).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Q1-style pruned scan + aggregate. Filter + 6-col projection push to
     // the parquet scan; partial aggregation map-side; 2-key groupBy.
     "q01_pruned_agg" -> ((s, dir) => {
@@ -325,6 +358,16 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the bucketed layout is a PHYSICAL property — the logical answer
+    // is the plain join+agg
+    "q42_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q01_pruned_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
