@@ -21,9 +21,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.maxPlanStringLength", "262144")
       .config("spark.ui.enabled", "false")
-      // managed tables (q42's bucketed layout) land in tmp, never cwd
+      // managed tables (q42's bucketed layout) land in a per-process tmp
+      // dir (cleaned on exit), so a prior run's warehouse can never
+      // collide with this one
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-bench")
+        TempWarehouse.dir("graft-warehouse-bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: run EVERY query once at sf0.001 (uncounted)

@@ -52,6 +52,28 @@ object Tables {
   val EmbeddingDim: Int = 64
 }
 
+/** Per-process-unique warehouse directories. The in-memory catalog is
+  * per-JVM while a fixed warehouse path persists across JVMs — that
+  * mismatch is how a second process on the same machine used to die
+  * with LOCATION_ALREADY_EXISTS on q42's bucketed tables. Layout's
+  * writeBucketed is now idempotent regardless (the library-surface
+  * fix); unique dirs here are defense in depth for the harnesses, and
+  * a shutdown hook keeps /tmp from accumulating one warehouse per run.
+  */
+object TempWarehouse {
+  def dir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix + "-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+}
+
 object GraftSession {
   /** Session factory used by tests and ad-hoc mains (Verify/Bench build
     * their own per the driver contract). local[32] stand-in for a real
@@ -72,8 +94,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // managed tables (bucketing) land in tmp, never the repo cwd
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // managed tables (bucketing) land in a per-process tmp dir, never
+      // the repo cwd — and never a path a previous JVM already used
+      .config("spark.sql.warehouse.dir", TempWarehouse.dir("graft-warehouse"))
       .getOrCreate()
 }

@@ -14,9 +14,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "262144")
       .config("spark.ui.enabled", "false")
-      // managed tables (q42's bucketed layout) land in tmp, never cwd
+      // managed tables (q42's bucketed layout) land in a per-process tmp
+      // dir (cleaned on exit), so a prior run's warehouse can never
+      // collide with this one
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-verify")
+        TempWarehouse.dir("graft-warehouse-verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -12,14 +12,49 @@ object Layout {
     * aggregations between tables bucketed the same way on the same
     * keys run with ZERO shuffle — the co-located-join layout for fact
     * tables that are joined repeatedly on the same key.
+    *
+    * Idempotent ACROSS PROCESSES, not just within a session: the
+    * in-memory catalog dies with the JVM but the warehouse directory
+    * persists, so a table written by a previous process is invisible to
+    * the catalog while its location still exists on disk — Spark then
+    * rejects `saveAsTable` with LOCATION_ALREADY_EXISTS. Nightly reruns
+    * are the norm at scale, so a layout write must own its location's
+    * lifecycle: drop any catalog entry, then clear a stale location,
+    * then write.
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String]): Unit =
+                    keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // A location orphaned by a prior process is not covered by the DROP
+    // (the catalog never knew it). Resolve where saveAsTable will put
+    // the managed table and remove any leftover — via the Hadoop FS API
+    // so an HDFS/S3 warehouse behaves the same as local /tmp.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Drop a bucketed table and its on-disk location, whether or not the
+    * current process's catalog knows it — the cleanup half of the
+    * layout lifecycle (writeBucketed is the create half).
+    */
+  def dropBucketed(spark: org.apache.spark.sql.SparkSession,
+                   table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 
   /** Salted inner equi-join for skewed keys: the big side gets a
     * deterministic salt in [0, saltFactor) per row; the small side is

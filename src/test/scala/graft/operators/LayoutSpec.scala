@@ -24,6 +24,54 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_bkt_b")
   }
 
+  test("bucketed table aggregates on the bucket key with no Exchange") {
+    val a = spark.range(0, 10000).select(col("id").as("k"), (col("id") * 2).as("va"))
+    Layout.writeBucketed(a, "graft_bkt_agg", buckets = 4, keys = Seq("k"))
+    val agged = spark.table("graft_bkt_agg").groupBy("k")
+      .agg(sum("va").as("s"))
+    val plan = agged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed groupBy shuffled:\n$plan")
+    assert(agged.count() === 10000L)
+    Layout.dropBucketed(spark, "graft_bkt_agg")
+  }
+
+  test("writeBucketed is idempotent across processes (stale location, fresh catalog)") {
+    // The exact state a SECOND JVM on the same machine sees: the managed
+    // table's location survives in the warehouse directory while the
+    // in-memory catalog has no entry for it. saveAsTable used to die
+    // here with LOCATION_ALREADY_EXISTS and take the whole run with it.
+    val tbl = "graft_bkt_stale"
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tbl)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(loc, "part-00000-stale.parquet")
+    val out = fs.create(junk, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(fs.exists(loc) && !spark.catalog.tableExists(tbl),
+      "precondition: location on disk, table absent from catalog")
+    val df = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Layout.writeBucketed(df, tbl, buckets = 4, keys = Seq("k"))
+    assert(spark.table(tbl).count() === 100L)
+    assert(!fs.exists(junk), "stale file must not survive inside the new table")
+    // and a second write in the SAME session is equally safe
+    Layout.writeBucketed(df.filter(col("k") < 50), tbl, buckets = 4, keys = Seq("k"))
+    assert(spark.table(tbl).count() === 50L)
+    Layout.dropBucketed(spark, tbl)
+    assert(!fs.exists(loc), "dropBucketed must remove the location")
+  }
+
+  test("dropBucketed clears an orphaned location the catalog never knew") {
+    val tbl = "graft_bkt_orphan"
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tbl)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    Layout.dropBucketed(spark, tbl)
+    assert(!fs.exists(loc))
+  }
+
   test("saltedJoin: identical multiset result to the plain join on skewed data") {
     // 90% of the big side is one hot key
     val big = spark.range(0, 20000)
