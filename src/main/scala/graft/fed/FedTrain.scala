@@ -43,10 +43,9 @@ object FedTrain {
     val refs = graft.util.Par.mapAll(pids) { pid =>
       val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
       val g = PropertyGraph(m.nodes, m.edges).cache()
-      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+      try BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
         seed = hp.seed)
-      g.unpersist()
-      ref
+      finally g.unpersist()
     }
     require(refs.map(_.numFeatures).distinct.size == 1,
       s"partitions disagree on feature count: $refs")
@@ -81,11 +80,12 @@ object FedTrain {
     val withCost = graft.util.Par.mapAll(pids) { pid =>
       val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
       val g = PropertyGraph(m.nodes, m.edges).cache()
-      val cost = MemCost.ramGB(g.numNodes, g.numEdges)
-      val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
-        seed = hp.seed)
-      g.unpersist()
-      (ref, cost)
+      try {
+        val cost = MemCost.ramGB(g.numNodes, g.numEdges)
+        val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
+          seed = hp.seed)
+        (ref, cost)
+      } finally g.unpersist()
     }
     val init = new LocalGraphSage(hp, Map.empty, Map.empty,
       withCost.head._1.numFeatures).initializeWeights()

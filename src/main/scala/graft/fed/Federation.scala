@@ -69,9 +69,14 @@ object Federation {
   /** `finalMetrics`: per-client evaluation of the FINAL global weights
     * — the reference client's on-STOP evaluate + F1
     * (fl_client.py:129-142).
+    * `clientRebuilds`: buildClient invocations BEYOND the initial one
+    * per partition — >0 means Spark evicted a cached client mid-session
+    * and optimizer state was silently reset (weights stay correct).
+    * Always 0 for `runScheduled`, whose per-round rebuild is the design.
     */
   final case class Result(weights: Weights, history: Seq[RoundLog],
-                          finalMetrics: Seq[(String, Map[String, Double])])
+                          finalMetrics: Seq[(String, Map[String, Double])],
+                          clientRebuilds: Long = 0L)
 
   /** @param buildClient constructs/loads a partition's model ON AN
     *   EXECUTOR (must be a serializable closure; typically reads the
@@ -141,7 +146,8 @@ object Federation {
       logger.info(s"Training cycle $round done; clients=$nClients, " +
         s"examples=${log.totalExamples}")
     }
-    runFinalEval(sc, clients, global, history.result(), logger, t0, rounds)
+    val res = runFinalEval(sc, clients, global, history.result(), logger, t0, rounds)
+    res.copy(clientRebuilds = builds.value - partitions.size)
   }
 
   /** One round's combine, shared by `run` and `runScheduled`: reduce the

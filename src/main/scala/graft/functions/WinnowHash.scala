@@ -114,13 +114,19 @@ case class WinnowMd5(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  // one digest instance per deserialized expression copy = per task;
-  // tasks are single-threaded through eval
-  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+  // Per-THREAD digest, not per-expression-instance: executor tasks get
+  // their own deserialized copy, but one driver-side instance can be
+  // evaluated from several threads at once (interpreted eval / constant
+  // folding under concurrent driver jobs), and MessageDigest is
+  // stateful — sharing one would corrupt digests silently.
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(s: Any): Any = compute(s.asInstanceOf[UTF8String])
 
   def compute(str: UTF8String): ArrayData = {
+    val md5 = md5Local.get()
     val bytes = str.getBytes
     val nGrams = bytes.length - k + 1
     if (nGrams < w) return WinnowHash.EmptyStr

@@ -196,17 +196,29 @@ object Similarity {
     require(k >= 1 && iters >= 0)
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    val train =
+    val vecD = col(vecCol).cast("array<double>")
+    // seeded hash-sample init (the numCentroids smallest hashes win)
+    def init(d: DataFrame): Array[Array[Double]] = d
+      .select(vecD.as("__v"), xxhash64(lit(seed), col(vecCol).cast("array<string>")).as("__r"))
+      .orderBy(col("__r")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var train =
       if (trainFraction >= 1.0) df.select(col(vecCol))
       else df.select(col(vecCol))
         .sample(withReplacement = false, trainFraction, seed)
         .localCheckpoint()
-    val vecD = col(vecCol).cast("array<double>")
-    // seeded hash-sample init (the numCentroids smallest hashes win)
-    var cents: Array[Array[Double]] = train
-      .select(vecD.as("__v"), xxhash64(lit(seed), col(vecCol).cast("array<string>")).as("__r"))
-      .orderBy(col("__r")).limit(k)
-      .collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] = init(train)
+    // A Bernoulli sample of a tiny input can come back with fewer rows
+    // than k (or none) — fall back to the full corpus rather than abort
+    // downstream with an opaque empty-candidate error. At scale the
+    // sample is millions of rows and this branch never fires.
+    if (cents.length < k && trainFraction < 1.0) {
+      train.unpersist(blocking = false)
+      train = df.select(col(vecCol))
+      cents = init(train)
+    }
+    require(cents.nonEmpty,
+      s"kmeansCentroids: input '$vecCol' has no rows to train $k centroids on")
     for (_ <- 1 to iters) {
       val normed = cents.map { c =>
         val n = math.sqrt(c.map(x => x * x).sum)

@@ -2,6 +2,7 @@ package graft.util
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
+import scala.util.Try
 
 /** Driver-side concurrency for independent per-partition Spark work:
   * submitting jobs from several driver threads lets Spark's scheduler
@@ -10,9 +11,16 @@ import scala.concurrent.duration.Duration
   * order-canonical (see BundleIO's sorted writes).
   */
 object Par {
-  /** Evaluate `f` over `items` concurrently; results keep item order. */
+  /** Evaluate `f` over `items` concurrently; results keep item order.
+    * Every task is DRAINED before the first failure is rethrown: each
+    * future completes with a `Try`, so a failing partition never leaves
+    * sibling Spark jobs running (and mutating shared caches) behind an
+    * already-propagated exception.
+    */
   def mapAll[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    val tries = Await.result(
+      Future.sequence(items.map(a => Future(Try(f(a))))), Duration.Inf)
+    tries.map(_.get)
   }
 }

@@ -43,6 +43,9 @@ class FederationSpec extends SparkSpec {
     assert(res.weights.head.values.toSeq === Seq(5.0f, 15.0f))
     assert(res.history.map(_.round) === Seq(1, 2))
     assert(res.history.head.totalExamples === 8L)
+    // the cached clients must have survived the whole session: any
+    // rebuild means optimizer state was silently reset mid-training
+    assert(res.clientRebuilds === 0L)
   }
 
   test("epochs scale the local shift; round logs carry client metrics") {

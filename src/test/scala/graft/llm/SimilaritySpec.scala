@@ -77,6 +77,17 @@ class SimilaritySpec extends SparkSpec {
     exact.unpersist(); df.unpersist()
   }
 
+  test("kmeansCentroids: tiny input with small trainFraction falls back to the full corpus") {
+    // a Bernoulli 5% sample of 6 rows is usually empty — without the
+    // fallback this aborted deep in ArgmaxDot with an opaque
+    // empty-candidates error (the q33 sf0.001 warm-up shape)
+    val df = clustered(2, 3)
+    val cents = Similarity.kmeansCentroids(df, k = 4, iters = 2, seed = 7L,
+      trainFraction = 0.05)
+    assert(cents.nonEmpty && cents.length <= 4)
+    assert(cents.forall(_.length === 16))
+  }
+
   test("kmeans centroids recover planted cluster centers; trained IVF recall >= floor") {
     val nClusters = 4
     val df = clustered(nClusters, 25).cache()

@@ -46,6 +46,27 @@ class WinnowingHashSpec extends SparkSpec {
     assert(registry.functionExists(FunctionIdentifier("winnow_hash")))
   }
 
+  test("WinnowMd5: one expression instance is safe under concurrent compute") {
+    // executor tasks each get their own deserialized copy, but one
+    // DRIVER-side instance can be evaluated from several threads at once
+    // (interpreted eval under Par.mapAll-style concurrency) — a digest
+    // shared across threads corrupts silently; ThreadLocal isolates it
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.WinnowMd5(
+      org.apache.spark.sql.catalyst.expressions.Literal("unused"), 8, 4)
+    val docs = (0 until 64).map(i =>
+      s"document number $i with a moderately long body of text to winnow " * 3)
+    def fps(d: String): Seq[String] =
+      expr.compute(UTF8String.fromString(d))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    val expected = docs.map(fps)
+    for (_ <- 1 to 10) {
+      val got = graft.util.Par.mapAll(docs)(fps)
+      assert(got === expected, "concurrent compute corrupted a digest")
+    }
+  }
+
   test("native WinnowMd5 == builtin md5 pipeline, element for element") {
     // the q38 oracle path: same md5 of the same gram bytes, same
     // lowercase hex, same string-order window minima, same
