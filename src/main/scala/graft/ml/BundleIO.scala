@@ -99,9 +99,11 @@ object BundleIO {
     val pairs = graft.graph.RandomWalk.unsupervisedPairs(g, walkLength, nWalks, seed)
       .orderBy("target", "context", "label")
       .select(concat_ws(" ", col("target"), col("context"), col("label")))
-      .localCheckpoint()
     pairs.write.mode("overwrite").text(s"$base/train")
-    pairs.write.mode("overwrite").text(s"$base/test")
+    // test stores the same pairs (the slot-filled single bundle format,
+    // see scaladoc): a byte-level copy of the written directory, not a
+    // second Spark write job — identical files, half the ETL cost
+    copyDir(s"$base/train", s"$base/test")
     val nF = g.nodes.select(size(col("features"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     BundleRef(name, dir, nF)
@@ -125,6 +127,17 @@ object BundleIO {
       }.toArray
     PartitionBundle(ref.name, features, adjacency,
       examples("train"), examples("test"), ref.numFeatures)
+  }
+
+  /** Recursive overwrite copy via the Hadoop FS API (works for any
+    * Hadoop-compatible storage, same as the writes above).
+    */
+  private def copyDir(src: String, dst: String): Unit = {
+    val conf = new Configuration()
+    val from = new Path(src); val to = new Path(dst)
+    val fs = FileSystem.get(from.toUri, conf)
+    if (fs.exists(to)) fs.delete(to, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf): Unit
   }
 
   private def readLines(dirPath: String): Iterator[String] = {

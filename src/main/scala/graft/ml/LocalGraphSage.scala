@@ -83,6 +83,21 @@ final class LocalGraphSage(
     */
   private val inferChunk = math.max(hp.batchSize, 8192 / math.max(k1, 1))
 
+  /** Within-batch kernel parallelism: independent GEMMs (separate output
+    * buffers, shared read-only inputs) run on a few threads. Every
+    * buffer is still produced by the same sequential kernel and
+    * accumulated in the same fixed order, so results are BIT-IDENTICAL
+    * to the serial schedule — this is a wall-clock lever only (measured
+    * 17 of 24 ms/batch in the four level-1 GEMMs on the unsupervised
+    * profile; ProbeEmbed --kernels). Gated on weight-matrix size so the
+    * supervised profile's microsecond GEMMs (h=5) don't pay future
+    * overhead.
+    */
+  private val parallelKernels = numFeatures.toLong * h1 >= 64 * 1024
+  private def inParallel(tasks: Array[() => Unit]): Unit =
+    if (parallelKernels) { graft.util.Par.mapAll(tasks.toSeq)(_.apply()); () }
+    else tasks.foreach(_.apply())
+
   // ---- weights (row-major LayerTensor <-> Breeze col-major) ----
   private var w1s = DenseMatrix.zeros[Double](numFeatures, h1)
   private var w1n = DenseMatrix.zeros[Double](numFeatures, h1)
@@ -306,6 +321,24 @@ final class LocalGraphSage(
     out
   }
 
+  /** dst += src over same-shape contiguous matrices. Breeze's generic
+    * in-place add routes these through a bounds-checked per-element
+    * slowPath (measured ~4.5% of fit CPU); the accumulation targets and
+    * GEMM outputs here are all freshly-created contiguous buffers, so a
+    * flat array loop is safe — and bit-identical, since each element's
+    * addition is independent.
+    */
+  private def addInPlace(dst: DenseMatrix[Double], src: DenseMatrix[Double]): Unit = {
+    require(dst.rows == src.rows && dst.cols == src.cols &&
+      !dst.isTranspose && !src.isTranspose &&
+      dst.offset == 0 && src.offset == 0 &&
+      dst.majorStride == dst.rows && src.majorStride == src.rows,
+      "addInPlace needs same-shape contiguous matrices")
+    val d = dst.data; val s = src.data
+    var i = 0
+    while (i < d.length) { d(i) += s(i); i += 1 }
+  }
+
   private def colSums(m: DenseMatrix[Double]): DenseVector[Double] = {
     val out = DenseVector.zeros[Double](m.cols)
     val d = m.data
@@ -333,11 +366,20 @@ final class LocalGraphSage(
       val maskH1r: DenseMatrix[Double], val maskMh: DenseMatrix[Double],
       val emb: DenseMatrix[Double], val norms: DenseVector[Double])
 
-  /** Forward the batch over its deduped sample tree; `emb` rows align
-    * with `plan.u0` (use `plan.rootPos` to read a batch position).
+  /** Everything weight-INDEPENDENT about a batch: the sample plan, the
+    * filled feature-major inputs, and the dropout masks — i.e. all of a
+    * batch's RNG consumption. Preparing batch t+1 while batch t's
+    * weight-dependent GEMMs run leaves the RNG call sequence (and so
+    * every sampled id and mask bit) identical to the serial schedule.
     */
-  private def forwardBatch(roots: Array[Long], rng: java.util.Random,
-                           train: Boolean): BatchCache = {
+  private final class BatchInputs(
+      val plan: BatchPlan,
+      val xt0: DenseMatrix[Double], val mt1: DenseMatrix[Double],
+      val xt1: DenseMatrix[Double], val mt2: DenseMatrix[Double],
+      val maskH1r: DenseMatrix[Double], val maskMh: DenseMatrix[Double])
+
+  private def prepareBatch(roots: Array[Long], rng: java.util.Random,
+                           train: Boolean): BatchInputs = {
     val plan = planBatch(roots, rng)
     val nU0 = plan.u0.length; val nU1 = plan.u1.length
     val doDrop = train && hp.dropout > 0.0
@@ -364,16 +406,41 @@ final class LocalGraphSage(
       while (t < ids.length) { addColScaled(mt2, j, ids(t), cnt(t).toDouble / k2); t += 1 }
       j += 1
     }
-    // input dropout, per distinct node per batch (Keras GraphSAGE drops inputs)
+    // input dropout, per distinct node per batch (Keras GraphSAGE drops
+    // inputs); the h1-level masks are also drawn HERE so every rng call
+    // stays in the prepare phase — same relative order as the serial code
     if (doDrop) { maskInPlace(xt0, rng); maskInPlace(mt1, rng); maskInPlace(xt1, rng); maskInPlace(mt2, rng) }
+    val maskH1r = if (doDrop) newMask(nU0, d1, rng) else null
+    val maskMh = if (doDrop) newMask(nU0, d1, rng) else null
+    new BatchInputs(plan, xt0, mt1, xt1, mt2, maskH1r, maskMh)
+  }
+
+  /** Forward the batch over its deduped sample tree; `emb` rows align
+    * with `plan.u0` (use `plan.rootPos` to read a batch position).
+    */
+  private def forwardBatch(roots: Array[Long], rng: java.util.Random,
+                           train: Boolean): BatchCache =
+    forwardPrepared(prepareBatch(roots, rng, train))
+
+  /** The weight-dependent half of the forward pass. */
+  private def forwardPrepared(bi: BatchInputs): BatchCache = {
+    val plan = bi.plan
+    val nU0 = plan.u0.length; val nU1 = plan.u1.length
+    val xt0 = bi.xt0; val mt1 = bi.mt1; val xt1 = bi.xt1; val mt2 = bi.mt2
     // layer 1 — shared weights on roots and level-1 nodes; dgemm reads the
-    // feature-major matrices via the transpose flag (no copy)
-    val a1r = concatBias(xt0.t * w1s, mt1.t * w1n, b1)
-    val a1n = concatBias(xt1.t * w1s, mt2.t * w1n, b1)
+    // feature-major matrices via the transpose flag (no copy). The four
+    // products are independent — see `inParallel` for the bit-identity
+    // argument.
+    val z = new Array[DenseMatrix[Double]](4)
+    inParallel(Array(
+      () => z(0) = xt0.t * w1s, () => z(1) = mt1.t * w1n,
+      () => z(2) = xt1.t * w1s, () => z(3) = mt2.t * w1n))
+    val a1r = concatBias(z(0), z(1), b1)
+    val a1n = concatBias(z(2), z(3), b1)
     val h1n = relu(a1n)
     // layer-2 neighbor mean per distinct root, from the multiset counts
     val mh = DenseMatrix.zeros[Double](nU0, d1)
-    j = 0
+    var j = 0
     while (j < nU0) {
       val idxs = plan.l1idx(j); val cnt = plan.l1cnt(j)
       var t = 0
@@ -385,8 +452,8 @@ final class LocalGraphSage(
       }
       j += 1
     }
-    val maskH1r = if (doDrop) newMask(nU0, d1, rng) else null
-    val maskMh = if (doDrop) newMask(nU0, d1, rng) else null
+    val maskH1r = bi.maskH1r
+    val maskMh = bi.maskMh
     val h1rd = relu(a1r)
     if (maskH1r != null) h1rd :*= maskH1r
     if (maskMh != null) mh :*= maskMh
@@ -436,14 +503,19 @@ final class LocalGraphSage(
       }
       i += 1
     }
-    // layer 2 (linear): H2 = [h1rd·w2s | mhd·w2n] + b2
+    // layer 2 (linear): H2 = [h1rd·w2s | mhd·w2n] + b2 — the four
+    // products are independent (separate outputs, read-only inputs)
     val dZ2s = dH2(::, 0 until h2)
     val dZ2n = dH2(::, h2 until d2)
     g.gB2 :+= colSums(dH2)
-    g.gW2s :+= bc.h1rd.t * dZ2s
-    g.gW2n :+= bc.mhd.t * dZ2n
-    val dH1r = dZ2s * w2s.t
-    val dMh = dZ2n * w2n.t
+    val p2 = new Array[DenseMatrix[Double]](4)
+    inParallel(Array(
+      () => p2(0) = bc.h1rd.t * dZ2s, () => p2(1) = bc.mhd.t * dZ2n,
+      () => p2(2) = dZ2s * w2s.t, () => p2(3) = dZ2n * w2n.t))
+    addInPlace(g.gW2s, p2(0))
+    addInPlace(g.gW2n, p2(1))
+    val dH1r = p2(2)
+    val dMh = p2(3)
     if (bc.maskH1r != null) dH1r :*= bc.maskH1r
     if (bc.maskMh != null) dMh :*= bc.maskMh
     // spread dMh back to level-1 rows via the multiset counts
@@ -465,10 +537,19 @@ final class LocalGraphSage(
     reluBackInPlace(dH1n, bc.a1n)
     g.gB1 :+= colSums(dH1r)
     g.gB1 :+= colSums(dH1n)
-    g.gW1s :+= bc.xt0 * dH1r(::, 0 until h1)
-    g.gW1n :+= bc.mt1 * dH1r(::, h1 until d1)
-    g.gW1s :+= bc.xt1 * dH1n(::, 0 until h1)
-    g.gW1n :+= bc.mt2 * dH1n(::, h1 until d1)
+    // the four weight-gradient products compute in parallel; the
+    // accumulation into gW1s/gW1n keeps the exact serial order, so the
+    // Double addition sequence (and its rounding) is unchanged
+    val p1 = new Array[DenseMatrix[Double]](4)
+    inParallel(Array(
+      () => p1(0) = bc.xt0 * dH1r(::, 0 until h1),
+      () => p1(1) = bc.mt1 * dH1r(::, h1 until d1),
+      () => p1(2) = bc.xt1 * dH1n(::, 0 until h1),
+      () => p1(3) = bc.mt2 * dH1n(::, h1 until d1)))
+    addInPlace(g.gW1s, p1(0))
+    addInPlace(g.gW1n, p1(1))
+    addInPlace(g.gW1s, p1(2))
+    addInPlace(g.gW1n, p1(3))
   }
 
   /** Zero `d` wherever the pre-activation `a` was non-positive. */
@@ -491,7 +572,17 @@ final class LocalGraphSage(
     val roots = new Array[Long](2 * b)
     System.arraycopy(src, 0, roots, 0, b)
     System.arraycopy(dst, 0, roots, b, b)
-    val bc = forwardBatch(roots, rng, train)
+    pairForwardPrepared(prepareBatch(roots, rng, train), labels)
+  }
+
+  /** `pairForward` from already-prepared batch inputs (the pipelined fit
+    * path); roots were laid out src ++ dst, so position i / b+i are the
+    * pair's towers.
+    */
+  private def pairForwardPrepared(bi: BatchInputs, labels: Array[Int])
+      : (BatchCache, Double, DenseMatrix[Double]) = {
+    val b = labels.length
+    val bc = forwardPrepared(bi)
     val nU0 = bc.plan.u0.length
     val dEmbU = DenseMatrix.zeros[Double](nU0, d2)
     var loss = 0.0
@@ -546,7 +637,9 @@ final class LocalGraphSage(
     adamT += 1
     val lr = hp.learningRate * math.sqrt(1 - math.pow(beta2, adamT)) / (1 - math.pow(beta1, adamT))
     val mats = Array((w1s, g.gW1s, 0), (w1n, g.gW1n, 1), (w2s, g.gW2s, 2), (w2n, g.gW2n, 3))
-    mats.foreach { case (w, gw, idx) =>
+    // per-slot updates touch disjoint state; each slot's loop is
+    // unchanged, so the update is bit-identical to the serial schedule
+    inParallel(mats.map { case (w, gw, idx) => () => {
       val wd = w.data; val gd = gw.data
       val md = adamM(idx).data; val vd = adamV(idx).data
       var i = 0
@@ -557,7 +650,7 @@ final class LocalGraphSage(
         wd(i) -= lr * md(i) / (math.sqrt(vd(i)) + adamEps)
         i += 1
       }
-    }
+    }})
     val vecs = Array((b1, g.gB1, 0), (b2, g.gB2, 1))
     vecs.foreach { case (bvec, gb, idx) =>
       val bd = bvec.data; val gd = gb.data
@@ -575,18 +668,71 @@ final class LocalGraphSage(
 
   /** G8 — fit for `epochs` over the labeled link examples; returns the
     * mean loss per epoch. Shuffling and sampling are seeded.
+    *
+    * On the large-layer profile, batch t+1's weight-independent
+    * preparation (sampling, feature fills, masks — ALL rng consumption)
+    * runs on a background thread while batch t's weight-dependent
+    * compute runs here. The futures are created strictly one at a time
+    * and the rng is only ever touched inside them, so the rng call
+    * sequence — and with it every sampled neighbor, shuffle, and mask —
+    * is identical to the serial loop. Losses and updates are unchanged
+    * math on unchanged inputs: bit-identical, wall-clock shorter.
     */
   def fit(examples: Array[(Long, Long, Int)], epochs: Int): Seq[Double] = {
     val rng = new java.util.Random(hp.seed)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     (1 to epochs).map { _ =>
       val order = shuffle(examples.indices.toArray, rng)
       var lossSum = 0.0; var nBatches = 0
-      order.grouped(hp.batchSize).foreach { idxs =>
-        val src = idxs.map(i => examples(i)._1)
-        val dst = idxs.map(i => examples(i)._2)
-        val lab = idxs.map(i => examples(i)._3)
-        lossSum += trainBatch(src, dst, lab, rng)
-        nBatches += 1
+      if (!parallelKernels) {
+        order.grouped(hp.batchSize).foreach { idxs =>
+          val src = idxs.map(i => examples(i)._1)
+          val dst = idxs.map(i => examples(i)._2)
+          val lab = idxs.map(i => examples(i)._3)
+          lossSum += trainBatch(src, dst, lab, rng)
+          nBatches += 1
+        }
+      } else {
+        val batches = order.grouped(hp.batchSize).toArray
+        def prep(idxs: Array[Int]): (BatchInputs, Array[Int]) = {
+          val b = idxs.length
+          val roots = new Array[Long](2 * b)
+          var i = 0
+          while (i < b) {
+            roots(i) = examples(idxs(i))._1
+            roots(b + i) = examples(idxs(i))._2
+            i += 1
+          }
+          (prepareBatch(roots, rng, train = true), idxs.map(i => examples(i)._3))
+        }
+        val profile = sys.env.contains("GRAFT_SAGE_PROFILE")
+        var tAwait = 0L; var tFwd = 0L; var tBwd = 0L; var tAdam = 0L
+        var next = scala.concurrent.Future(prep(batches(0)))
+        var t = 0
+        while (t < batches.length) {
+          val t0 = if (profile) System.nanoTime() else 0L
+          val (bi, lab) = scala.concurrent.Await.result(next,
+            scala.concurrent.duration.Duration.Inf)
+          if (t + 1 < batches.length) next = scala.concurrent.Future(prep(batches(t + 1)))
+          val t1 = if (profile) System.nanoTime() else 0L
+          val (bc, loss, dEmbU) = pairForwardPrepared(bi, lab)
+          val t2 = if (profile) System.nanoTime() else 0L
+          val g = new Grads
+          backwardBatch(bc, dEmbU, g)
+          val t3 = if (profile) System.nanoTime() else 0L
+          adamStep(g)
+          if (profile) {
+            val t4 = System.nanoTime()
+            tAwait += t1 - t0; tFwd += t2 - t1; tBwd += t3 - t2; tAdam += t4 - t3
+          }
+          lossSum += loss / lab.length
+          nBatches += 1
+          t += 1
+        }
+        if (profile) println(
+          f"[sage-profile] ${batches.length} batches: await ${tAwait / 1e9}%.2f s, " +
+            f"fwd ${tFwd / 1e9}%.2f s, bwd ${tBwd / 1e9}%.2f s, adam ${tAdam / 1e9}%.2f s")
       }
       lossSum / math.max(nBatches, 1)
     }

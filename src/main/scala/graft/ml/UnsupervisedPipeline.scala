@@ -43,36 +43,42 @@ object UnsupervisedPipeline {
         s"${graphId}_$pid", g, walkLength, nWalks, hp.seed)
     }
 
-  /** Run `train` in one task per partition, emit every node's embedding,
-    * write the per-partition CSVs (S8 naming `embeddings_{tag}_...`),
-    * then concat. No driver collect anywhere.
+  /** One partition's train + emit as a SINGLE one-task Spark job: the
+    * task loads its bundle (data-local), trains, and writes its own
+    * `embeddings_{tag}_{gid}_{pid}.csv` straight from the task —
+    * exactly the reference client's topology (the client process trains
+    * and writes its partition's CSV locally,
+    * fl_client_unsupervised.py:117-122). No DataFrame round-trip, no
+    * driver collect; the driver only coordinates.
+    */
+  private def trainAndEmitOne(spark: SparkSession, pid: String,
+                              ref: BundleIO.BundleRef,
+                              train: SageLinkModel => Unit,
+                              hp: SageHyperParams, graphId: String,
+                              tag: String, outDir: String): Unit = {
+    val dim = hp.layerSizes._2
+    val csv = s"$outDir/embeddings_${tag}_${graphId}_$pid.csv"
+    spark.sparkContext.parallelize(Seq(ref), 1).foreach { r =>
+      val model = SageLinkModel.fromRef(r, hp)
+      train(model)
+      GraphIO.writeEmbeddingsCsvFromTask(csv, dim,
+        model.genEmbeddings(model.nodeIds).iterator)
+    }
+  }
+
+  /** Train + emit every partition (one task each, jobs submitted
+    * concurrently from driver threads), then concat the CSVs.
     */
   private def emitEmbeddings(spark: SparkSession,
                              refs: Seq[(String, BundleIO.BundleRef)],
                              train: SageLinkModel => Unit,
                              hp: SageHyperParams, graphId: String, tag: String,
                              outDir: String): DataFrame = {
-    import spark.implicits._
-    val dim = hp.layerSizes._2
-    val embRows = spark.sparkContext
-      .parallelize(refs, refs.size)
-      .flatMap { case (pid, ref) =>
-        val model = SageLinkModel.fromRef(ref, hp)
-        train(model)
-        model.genEmbeddings(model.nodeIds).iterator
-          .map { case (id, vec) => (pid, id, vec) }
-      }
-      .toDF("pid", "id", "embedding")
-      .cache()
-    embRows.count() // one training job across all partitions
-    refs.foreach { case (pid, _) =>
-      GraphIO.writeEmbeddingsCsv(
-        embRows.filter($"pid" === pid).select($"id", $"embedding"),
-        s"$outDir/embeddings_${tag}_${graphId}_$pid.csv", dim)
+    graft.util.Par.mapAll(refs) { case (pid, ref) =>
+      trainAndEmitOne(spark, pid, ref, train, hp, graphId, tag, outDir)
     }
-    val out = ConcatEmbeddings.run(spark, outDir, tag, graphId, refs.map(_._1), dim)
-    embRows.unpersist()
-    out
+    ConcatEmbeddings.run(spark, outDir, tag, graphId, refs.map(_._1),
+      hp.layerSizes._2)
   }
 
   /** Zero-federation baseline. @return concatenated (id, embedding). */
@@ -83,13 +89,20 @@ object UnsupervisedPipeline {
           nWalks: Int = SageHyperParams.unsupervisedNumWalks,
           logger: GraftLogger = GraftLogger.stdout()): DataFrame = {
     val t0 = System.nanoTime()
-    val refs = writeBundles(spark, parts, graphId, outDir, hp, walkLength, nWalks)
-    val t1 = System.nanoTime()
-    val out = emitEmbeddings(spark, refs,
-      m => { m.initialize(); m.fit(epochs) }, hp, graphId, "nograd", outDir)
-    logger.info(f"unsupervised nograd: trained ${refs.size} partitions, " +
-      f"dim=${hp.layerSizes._2} (walk bundles ${(t1 - t0) / 1e9}%.1f s, " +
-      f"train+emit ${(System.nanoTime() - t1) / 1e9}%.1f s)")
+    // fused per-partition chains: a partition's training job starts the
+    // moment ITS bundle is written, instead of barriering every
+    // partition's ETL before any training starts — partitions are
+    // independent, so there is nothing to wait for
+    graft.util.Par.mapAll(parts) { case (pid, g) =>
+      val ref = BundleIO.writeUnsupervised(spark, s"$outDir/bundles",
+        s"${graphId}_$pid", g, walkLength, nWalks, hp.seed)
+      trainAndEmitOne(spark, pid, ref,
+        m => { m.initialize(); m.fit(epochs); () }, hp, graphId, "nograd", outDir)
+    }
+    val out = ConcatEmbeddings.run(spark, outDir, "nograd", graphId,
+      parts.map(_._1), hp.layerSizes._2)
+    logger.info(f"unsupervised nograd: trained ${parts.size} partitions, " +
+      f"dim=${hp.layerSizes._2} (bundle+train+emit ${(System.nanoTime() - t0) / 1e9}%.1f s)")
     out
   }
 

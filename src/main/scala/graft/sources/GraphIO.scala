@@ -128,6 +128,34 @@ object GraphIO {
       headerOverride = Some(("" +: (0 until dim).map(_.toString)).mkString(",")))
   }
 
+  /** Task-side twin of [[writeEmbeddingsCsv]]: the reference CLIENT
+    * writes its own partition's embeddings from inside the client
+    * process (fl_client_unsupervised.py:117-122) — this is the same
+    * topology: the training task streams its rows straight to storage
+    * with no DataFrame round-trip and no driver involvement. Identical
+    * file shape (pandas header `,0..d-1`; `Float.toString` values, the
+    * rendering Spark's CSV writer uses for FloatType). Works on any
+    * Hadoop-compatible FS.
+    */
+  def writeEmbeddingsCsvFromTask(path: String, dim: Int,
+                                 rows: Iterator[(Long, Array[Float])]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"), 1 << 16)
+    try {
+      out.write(("" +: (0 until dim).map(_.toString)).mkString(","))
+      out.write("\n")
+      rows.foreach { case (id, vec) =>
+        out.write(id.toString)
+        var i = 0
+        while (i < dim) { out.write(","); out.write(vec(i).toString); i += 1 }
+        out.write("\n")
+      }
+    } finally out.close()
+  }
+
   /** Embedding CSV scan (concat_embeddings.py:14-17): header
     * `,0,...,d-1`, first column = node id. Explicit schema (header row
     * skipped). Returns `(id LONG, embedding ARRAY<FLOAT>)`.
