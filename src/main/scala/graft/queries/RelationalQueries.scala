@@ -26,6 +26,30 @@ object RelationalQueries {
   /** exact money arithmetic: decimal sum -> double */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
 
+  /** Ensure the bucketed fact-table layout for `dir`'s scale factor
+    * exists in this session (q42/q43 share it). Deterministic content →
+    * a table created earlier this session is always valid to reuse
+    * (bench warm-up materializes them once); `writeBucketed` itself is
+    * idempotent across processes, so a stale on-disk location from a
+    * previous JVM can never fail the build.
+    */
+  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      .replace(".", "_")
+    val t = Tables(s, dir)
+    val liTbl = s"graft_bkt_lineitem_$sfName"
+    val ordTbl = s"graft_bkt_orders_$sfName"
+    if (!s.catalog.tableExists(liTbl))
+      graft.operators.Layout.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        liTbl, buckets = 8, keys = Seq("l_orderkey"))
+    if (!s.catalog.tableExists(ordTbl))
+      graft.operators.Layout.writeBucketed(
+        t.orders.select("o_orderkey", "o_orderpriority"),
+        ordTbl, buckets = 8, keys = Seq("o_orderkey"))
+    (liTbl, ordTbl)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed CO-LOCATED join — the layout lever that decides whether
     // a repeatedly-joined 100 TB fact pair shuffles at all: both fact
@@ -35,25 +59,28 @@ object RelationalQueries {
     // LayoutSpec asserts the no-Exchange property directly). The only
     // shuffle left is the final small groupBy.
     "q42_bucketed_join" -> ((s, dir) => {
-      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
-        .replace(".", "_")
-      val t = Tables(s, dir)
-      val liTbl = s"graft_bkt_lineitem_$sfName"
-      val ordTbl = s"graft_bkt_orders_$sfName"
-      // deterministic content -> a table created earlier this session
-      // is always valid to reuse (bench warm-up materializes them)
-      if (!s.catalog.tableExists(liTbl))
-        graft.operators.Layout.writeBucketed(
-          t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
-          liTbl, buckets = 8, keys = Seq("l_orderkey"))
-      if (!s.catalog.tableExists(ordTbl))
-        graft.operators.Layout.writeBucketed(
-          t.orders.select("o_orderkey", "o_orderpriority"),
-          ordTbl, buckets = 8, keys = Seq("o_orderkey"))
+      val (liTbl, ordTbl) = ensureBucketedTables(s, dir)
       s.table(liTbl).hint("merge")
         .join(s.table(ordTbl).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Bucketed AGGREGATION — the second half of the co-location win:
+    // groupBy on the bucket key over the bucketed table plans with ZERO
+    // Exchange before the aggregate (the scan's hash-partitioning on
+    // l_orderkey already satisfies the agg's clustering; LayoutSpec
+    // asserts the no-Exchange property). At 100 TB this is the
+    // continuously-maintained layout amortizing across every downstream
+    // join AND aggregation on the same key.
+    "q43_bucketed_agg" -> ((s, dir) => {
+      val (liTbl, _) = ensureBucketedTables(s, dir)
+      s.table(liTbl)
+        .groupBy(col("l_orderkey"))
         .agg(
           sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
             .cast("double").as("revenue"),
@@ -368,6 +395,13 @@ object RelationalQueries {
          COUNT(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q43_bucketed_agg" ->
+      """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem GROUP BY l_orderkey""",
     "q01_pruned_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
