@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline: token
@@ -282,5 +282,91 @@ object TextOps {
     val sh = wordShingles(text, n)
     when(size(sh) === 0, xxhash64(lit(seed), normalized(text)))
       .otherwise(array_min(transform(sh, s => xxhash64(lit(seed), s))))
+  }
+
+  /** C4/CCNet-style boilerplate-line removal: a LINE that occurs in
+    * more than `maxDfFraction` of all documents (nav bars, cookie
+    * banners, "all rights reserved" footers) is boilerplate; report per
+    * document how many of its lines survive. Returns
+    * `(idCol, n_lines, n_kept)`.
+    *
+    * Scale shape: lines travel as md5 HASHES, never raw text — the
+    * document-frequency aggregation shuffles (hash, id) pairs only; the
+    * boilerplate set (distinct lines above the bar — tiny by
+    * definition) broadcasts back for the per-doc count. Two keyed
+    * shuffles, no pair space, no text movement.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       maxDfFraction: Double): DataFrame = {
+    val lines = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
+      .select(col(idCol), md5(col("__l")).as("__lh"))
+    val total = docs.select(count(lit(1)).as("__total"))
+    val boiler = lines
+      .groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df").cast("double") >
+        lit(maxDfFraction) * col("__total").cast("double"))
+      .select(col("__lh"), lit(1).as("__isb"))
+    lines
+      .join(broadcast(boiler), Seq("__lh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__isb").isNull, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Deterministic stratified corpus subsampling — the data-mixing pass
+    * that rebalances a corpus (e.g. cap the dominant language, keep
+    * most of the rare ones). A doc is kept iff the HEX PREFIX of its
+    * content hash is below the stratum's bound: `md5` renders the same
+    * lowercase hex in every engine, so string comparison against a
+    * 2-hex-digit bound ("40" keeps 64/256 ≈ 25%) is an exact,
+    * engine-reproducible, seedless coin — no RNG state, no numeric hex
+    * parsing. Zero shuffle: a pure projection + filter that pushes into
+    * the scan.
+    *
+    * @param bounds stratum value → 2-hex-digit bound; docs in strata
+    *   absent from the map are dropped
+    */
+  def stratifiedSample(docs: DataFrame, textCol: String, stratumCol: String,
+                       bounds: Map[String, String]): DataFrame = {
+    require(bounds.values.forall(_.matches("[0-9a-f]{2}")),
+      "bounds must be 2-char lowercase hex")
+    val bound = bounds.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(substring(md5(col(textCol)), 1, 2) < bound)
+  }
+
+  /** Sequence packing — the pre-training step that concatenates the
+    * corpus in a fixed document order and slices it into fixed-size
+    * context windows: each document's tokens start at the running
+    * offset of everything before it. Returns
+    * `(idCol, n_tokens, window_start, n_windows)` — which context
+    * window the doc starts in and how many windows it spans.
+    *
+    * Scale shape: one global running sum = one range shuffle (the same
+    * q18 running-window shape). At 100 TB packing runs per SHARD: range
+    * partition by the pack order, compute per-partition prefix sums,
+    * and add the (tiny, driver-combinable) partition offsets — the
+    * two-pass distributed prefix sum; the windowed form here is that
+    * plan's single-stage equivalent, and AQE keeps the sort partitions
+    * bounded.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("__off") / windowTokens).as("window_start"),
+        when(col("n_tokens") === 0, lit(1L))
+          .otherwise(floor((col("__off") + col("n_tokens") - 1) / windowTokens)
+            - floor(col("__off") / windowTokens) + 1).as("n_windows"))
   }
 }

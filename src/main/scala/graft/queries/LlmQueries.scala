@@ -354,6 +354,51 @@ object LlmQueries {
         .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"),
           min(col("modality")).as("modality"))
         .select(col("keep_id"), col("n_copies"), col("modality"))
+    }),
+
+    // Boilerplate-line removal (C4/CCNet shape): the synthetic docs are
+    // single-line, so each gets a deterministic line structure planted
+    // (same device as q39's planted PII, mirrored in the oracle): its
+    // own unique text, a global footer (df = 100%), a per-language
+    // footer (df = that language's corpus share), and a unique uid
+    // line. With the boilerplate bar at df > 25%: the global footer is
+    // always removed, the 'en' footer is removed (en ≈ 42% of docs)
+    // while the minority-language footers survive (≤ 18%), and the
+    // unique lines always survive — the removal decision is genuinely
+    // data-dependent per row. Lines travel as md5 hashes; the df agg
+    // and one broadcast join are the only data movement.
+    "q44_boilerplate" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val planted = concat(
+        col("text"),
+        lit("\nplease enable javascript to continue"),
+        lit("\nfooter for lang "), col("lang"),
+        lit("\nuid "), col("doc_id").cast("string"))
+      TextOps.stripBoilerplate(
+        t.documents.select(col("doc_id"), planted.as("text")),
+        "doc_id", "text", maxDfFraction = 0.25)
+    }),
+
+    // Deterministic stratified subsampling — the language-rebalancing
+    // mix pass: cap dominant 'en' at ~25% keep rate, keep ~75% of
+    // everything else. The coin is the md5 hex prefix of the content
+    // (engine-reproducible string compare, no RNG state, no shuffle —
+    // a pure filter that pushes into the scan).
+    "q45_mix_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.stratifiedSample(t.documents, "text", "lang",
+          Map("en" -> "40", "de" -> "c0", "es" -> "c0", "fr" -> "c0", "zh" -> "c0"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Sequence packing — concatenate the corpus in doc_id order and
+    // slice into 512-token context windows: each doc's start window and
+    // span. One global running sum (range shuffle; the per-shard
+    // two-pass prefix-sum variant is the 100 TB plan, see
+    // TextOps.packSequences).
+    "q46_seq_packing" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.packSequences(t.documents, "doc_id", "text", windowTokens = 512)
     })
   )
 
@@ -455,6 +500,48 @@ object LlmQueries {
     // component's minimum id — exactly GraphX CC's contract.
     // Decontamination twin: same tokenizer, same 5-gram construction,
     // same distinct-overlap count over the same %20 split.
+    // Boilerplate twin: identical planted line structure, line-level
+    // md5 document frequency, same >25% bar.
+    "q44_boilerplate" ->
+      """WITH planted AS (
+            SELECT doc_id,
+              text || chr(10) || 'please enable javascript to continue'
+                   || chr(10) || 'footer for lang ' || lang
+                   || chr(10) || 'uid ' || CAST(doc_id AS VARCHAR) AS text
+            FROM documents),
+          lines AS (
+            SELECT doc_id, md5(l) AS lh
+            FROM planted, unnest(string_split(text, chr(10))) AS t(l)),
+          boiler AS (
+            SELECT lh FROM lines GROUP BY lh
+            HAVING COUNT(DISTINCT doc_id) > 0.25 * (SELECT COUNT(*) FROM planted))
+        SELECT doc_id, COUNT(*) AS n_lines,
+          CAST(SUM(CASE WHEN lh IN (SELECT lh FROM boiler) THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_kept
+        FROM lines GROUP BY doc_id""",
+    // Mix-sample twin: the same md5 hex-prefix coin, same per-language
+    // bounds (string compare of lowercase hex — engine-identical).
+    "q45_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(text), 1, 2) <
+           CASE WHEN lang = 'en' THEN '40'
+                WHEN lang IN ('de', 'es', 'fr', 'zh') THEN 'c0' END""",
+    // Packing twin: same tokenizer, same running-offset window, same
+    // 512-token slicing arithmetic.
+    "q46_seq_packing" ->
+      s"""WITH tok AS (
+            SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+          run AS (
+            SELECT doc_id, n_tokens,
+              COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+            FROM tok)
+        SELECT doc_id, n_tokens,
+          CAST(FLOOR(off / 512) AS BIGINT) AS window_start,
+          CAST(CASE WHEN n_tokens = 0 THEN 1
+                    ELSE FLOOR((off + n_tokens - 1) / 512) - FLOOR(off / 512) + 1
+               END AS BIGINT) AS n_windows
+        FROM run""",
     "q41_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           sh AS (SELECT doc_id,
