@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compression layer of a 10^10-vector ANN
+  * index (IVF-PQ): each vector is cut into `m` subvectors and each
+  * subvector replaced by the id of its nearest codebook centroid, so a
+  * `dim × 4`-byte float vector stores as `m` small codes (64-dim float
+  * = 256 B → m=8 codes ≈ 8 B, 32×). Queries score compressed codes
+  * with ADC (asymmetric distance computation): the inner product
+  * decomposes exactly over subspaces, `dot(q, x) = Σ_j dot(q_j, x_j)`,
+  * so `Σ_j dot(q_j, centroid(x_j))` needs only an `m × k` lookup table
+  * of partial dots per query — the corpus's raw floats are never read
+  * at query time.
+  *
+  * Spark shape:
+  *  - `trainCodebooks` runs one seeded spherical k-means per subspace
+  *    (reusing `Similarity.kmeansCentroids` — sample-trained, same
+  *    quantizer-training story as IVF) — m driver-coordinated jobs over
+  *    sliced projections;
+  *  - `encode` is a pure projection: per subspace a native `ArgmaxDot`
+  *    over the broadcast (tiny) codebook — zero shuffle, the same
+  *    map-side-assignment shape as IVF;
+  *  - `adcTopK` collects only the PROBE vectors (driver-sized metadata,
+  *    same contract as IVF's centroid collect), builds each query's
+  *    m×k LUT driver-side, broadcasts it, and scans the code table
+  *    once for all queries; ranking is the per-query window every
+  *    other top-k here uses.
+  *
+  * No SQL oracle by construction (the output is defined by the trained
+  * codebooks, like q33); PqSpec pins recall floors against the exact
+  * scan, the 32× compression claim, and encode determinism.
+  */
+object Pq {
+
+  /** m × k × (dim/m) codebooks. Plain Scala arrays — KBs at any scale. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train one codebook per subspace on (a sample of) the corpus.
+    * `dim` must be divisible by `m`.
+    */
+  def trainCodebooks(df: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+                     iters: Int = 3, seed: Long = 42L,
+                     trainFraction: Double = 1.0): Codebooks = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = df.select(
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sv"))
+      Similarity.kmeansCentroids(sliced, k, iters, "__sv", seed + j, trainFraction)
+    }.toArray
+  }
+
+  /** Quantize every row: `(idCol, codes ARRAY<INT>)`, `codes(j)` = the
+    * subspace-j centroid nearest by the same rule the trainer assigns
+    * with (dot against the L2-normalized centroid). Pure projection.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebooks: Codebooks): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { j =>
+      val normed = codebooks(j).map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        (if (n == 0) c else c.map(_ / n)).toSeq
+      }.toSeq
+      graft.functions.ArgmaxDot(
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub), normed)
+    }
+    df.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: score every encoded corpus row against every probe via
+    * the per-query LUT of partial dots, rank per query. `queries` holds
+    * RAW vectors (the asymmetric half); it is collected — probe sets
+    * are driver-sized by contract, exactly like IVF's k×dim centroid
+    * collect. Output: (query_id, neighbor_id, adc_sim, rank).
+    */
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val kCent = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val probes: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = probes.toSeq.map { case (qid, q) =>
+      val flat = new Array[Double](m * kCent)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCent) {
+          var s = 0.0; var d = 0
+          while (d < sub) { s += q(j * sub + d) * codebooks(j)(c)(d); d += 1 }
+          flat(j * kCent + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      (qid, flat)
+    }.toDF("query_id", "__lut")
+    // one scan of the code table for all queries; score = Σ_j lut[j*k + code_j]
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
