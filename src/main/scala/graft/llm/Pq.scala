@@ -119,4 +119,102 @@ object Pq {
       .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF-PQ — the full production ANN architecture at 10^10 vectors:
+    * a coarse quantizer routes each vector to one inverted list AND the
+    * vector stores as PQ codes, so a query ADC-scans only its `nProbe`
+    * probed lists over m-byte codes. Degenerates to the exact full ADC
+    * scan at nProbe = numCentroids (IvfPqSpec asserts equality with
+    * `adcTopK`, the q26-style proof of the routing machinery).
+    *
+    * Spark shape: ONE zero-shuffle projection builds the whole index —
+    * coarse assignment (native `ArgmaxDot` against the broadcast
+    * centroid set) and PQ codes in the same scan; query-side probe
+    * selection and LUTs are driver-side (probe sets are driver-sized by
+    * contract, and the queries are already collected for the LUT); the
+    * probed-list scan is an equi-join on centroid id against broadcast
+    * (query, centroid) pairs. The only shuffle in the whole query is
+    * the final per-query rank.
+    */
+  def ivfPqTopK(codes: DataFrame, queries: DataFrame, coarse: Array[Array[Double]],
+                codebooks: Codebooks, k: Int, nProbe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val kCent = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val probes: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // nProbe nearest coarse centroids per query, driver-side: cosine
+    // rounded to 9 decimals then centroid id — the same total order the
+    // IVF-Flat path uses
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probePairs = probes.toSeq.flatMap { case (qid, q) =>
+      coarse.zipWithIndex
+        .map { case (c, i) => (-cos(q, c), i) }.sorted.take(nProbe)
+        .map { case (_, i) => (qid, i) }
+    }.toDF("query_id", "centroid_id")
+    val luts = probes.toSeq.map { case (qid, q) =>
+      val flat = new Array[Double](m * kCent)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kCent) {
+          var s = 0.0; var d = 0
+          while (d < sub) { s += q(j * sub + d) * codebooks(j)(c)(d); d += 1 }
+          flat(j * kCent + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      (qid, flat)
+    }.toDF("query_id", "__lut")
+    val scored = codes
+      .join(broadcast(probePairs), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Build the IVF-PQ index table in ONE zero-shuffle scan: coarse
+    * inverted-list assignment (native argmax against the broadcast
+    * centroids) plus PQ codes — `(neighbor_id, centroid_id, codes)`.
+    */
+  def indexIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                 coarse: Array[Array[Double]], codebooks: Codebooks): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val coarseNormed = coarse.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0) c else c.map(_ / n)).toSeq
+    }.toSeq
+    val codeCols = (0 until m).map { j =>
+      val normed = codebooks(j).map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        (if (n == 0) c else c.map(_ / n)).toSeq
+      }.toSeq
+      graft.functions.ArgmaxDot(
+        slice(col(vecCol).cast("array<double>"), j * sub + 1, sub), normed)
+    }
+    df.select(col(idCol).as("neighbor_id"),
+      graft.functions.ArgmaxDot(col(vecCol).cast("array<double>"), coarseNormed)
+        .as("centroid_id"),
+      array(codeCols: _*).as("codes"))
+  }
 }

@@ -60,6 +60,33 @@ class PqSpec extends SparkSpec {
     exactAll.unpersist(); approx.unpersist(); codes.unpersist(); df.unpersist()
   }
 
+  test("IVF-PQ at nProbe=all equals the full ADC scan; nProbe=1 stays in-cluster") {
+    val df = clustered(4, 50, noise = 1.0).cache()
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val books = Pq.trainCodebooks(df, "embedding", dim, m = 4, k = 16,
+      iters = 3, seed = 7L)
+    val coarse = Similarity.kmeansCentroids(
+      df.select(col("embedding").cast("array<double>").as("__v")),
+      k = 4, iters = 3, vecCol = "__v", seed = 13L)
+    val index = Pq.indexIvfPq(df, "vec_id", "embedding", coarse, books).cache()
+    // the index assigns every row to exactly one inverted list
+    assert(index.count() === 200L)
+    // degeneracy proof: probing every list IS the full ADC scan
+    val full = Pq.adcTopK(Pq.encode(df, "vec_id", "embedding", books),
+        queries, books, k = 10)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+    val all = Pq.ivfPqTopK(index, queries, coarse, books, k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+    assert(all === full, "nProbe=all must reproduce the exact ADC scan")
+    // production setting: one probed list still serves in-cluster top-k
+    val one = Pq.ivfPqTopK(index, queries, coarse, books, k = 10, nProbe = 1)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    val inCluster = one.count { case (q, n) => q / 50 === n / 50 }
+    assert(inCluster.toDouble / one.length >= 0.9,
+      s"only $inCluster/${one.length} nProbe=1 hits in the query's cluster")
+    index.unpersist(); df.unpersist()
+  }
+
   test("encode is deterministic and assignment-consistent") {
     val df = clustered(2, 30)
     val books = Pq.trainCodebooks(df, "embedding", dim, m = 2, k = 8,
