@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+object DocStreamSpec {
+  // top-level: Spark's product encoder cannot reach suite-inner classes
+  final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+}
+
+/** Streaming corpus intake: fingerprint dedup drops re-crawls within
+  * the watermark (including normalized near-copies — the q24 key), and
+  * the quality gate + PII scrub match their batch expressions.
+  */
+class DocStreamSpec extends SparkSpec {
+  import DocStreamSpec.Doc
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(60000L * minute)
+
+  private val body =
+    "a reasonably long and ordinary document body with plenty of " +
+      "normal words that clears the quality bar for this fixture test"
+
+  test("intake: re-crawls dedup on the normalized fingerprint, low quality drops") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val q = DocStream.intake(source.toDF(), minQuality = 5.0).writeStream
+      .format("memory").queryName("intake").outputMode("append").start()
+    source.addData(
+      Doc(1, body, ts(1)),
+      Doc(2, body.toUpperCase + "  ", ts(5)),       // normalized duplicate of 1
+      Doc(3, "spam!!!! $$$$ ????", ts(6)),          // fails the quality gate
+      Doc(4, body + " but genuinely different tail content here", ts(7)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("intake").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 4L),
+      "the normalized re-crawl and the junk doc must not pass intake")
+    // scrubbed + scored columns present
+    val cols = spark.table("intake").columns.toSet
+    assert(Set("quality", "n_tokens").subsetOf(cols))
+  }
+
+  test("dedup state is watermark-bounded: the same content far later passes again") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val q = DocStream.dedupDocs(source.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    source.addData(Doc(1, body, ts(1)))
+    q.processAllAvailable()
+    // push the watermark far past doc 1's eviction horizon...
+    source.addData(Doc(99, "watermark mover sentinel", ts(500)))
+    q.processAllAvailable()
+    // ...then the SAME content arrives again: its state is gone, it passes
+    source.addData(Doc(2, body, ts(501)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup").select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 99L),
+      "content re-arriving after state eviction must pass (bounded memory)")
+  }
+
+  test("batch/stream agreement: the gate keeps exactly the batch-filter rows") {
+    val docs = Seq(
+      Doc(1, body, ts(1)),
+      Doc(2, "x", ts(2)),
+      Doc(3, body + " extra", ts(3))).toDF()
+    val batchKept = DocStream.qualityGate(docs, minQuality = 2.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(batchKept.nonEmpty && !batchKept.contains(2L))
+  }
+}
