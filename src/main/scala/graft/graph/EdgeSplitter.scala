@@ -88,7 +88,8 @@ object EdgeSplitter {
       } else {
         val removed = if (haveAccepted) accepted.unionByName(trial) else trial
         val residualEdges = ranked.join(removed, Seq("source", "target", "__dup"), "left_anti")
-        val comp = components(spark, g.nodeIds, residualEdges)
+        // |residual| ≤ |E|, already counted — skip a count job
+        val comp = components(spark, g.nodeIds, residualEdges, edgeCountHint = total)
         val judged = trial
           .join(comp.withColumnRenamed("id", "source").withColumnRenamed("component", "__cs"), Seq("source"))
           .join(comp.withColumnRenamed("id", "target").withColumnRenamed("component", "__ct"), Seq("target"))
@@ -175,10 +176,23 @@ object EdgeSplitter {
   /** Connected components of (nodeIds, edges) → DataFrame(id, component).
     * Component label = min vertex id in the component (GraphX CC
     * contract) — deterministic.
+    *
+    * Size-gated plan choice (the broadcast-join trick applied to CC):
+    * below `smallCutoff` edges the labels come from a driver-side
+    * union-find over the collected edge list — the label function is
+    * identical (min id per component; ComponentsSpec asserts bitwise
+    * agreement with the Pregel path), but one collect replaces the
+    * ~10-iteration Pregel job cascade that dominates a fixture-scale
+    * split's wall-clock. At scale the GraphX path runs unchanged.
+    * `edgeCountHint` lets callers who already know |E| skip the count.
     */
   private[graph] def components(spark: SparkSession, nodeIds: DataFrame,
-                                edges: DataFrame): DataFrame = {
+                                edges: DataFrame,
+                                edgeCountHint: Long = -1L,
+                                smallCutoff: Long = 1L << 20): DataFrame = {
     import spark.implicits._
+    val eCount = if (edgeCountHint >= 0) edgeCountHint else edges.count()
+    if (eCount <= smallCutoff) return componentsLocal(spark, nodeIds, edges)
     val vRDD = nodeIds.select(col("id").cast(LongType)).as[Long].rdd.map(id => (id: VertexId, ()))
     val eRDD = edges.select(col("source"), col("target")).as[(Long, Long)]
       .rdd.map { case (s, t) => Edge(s, t, ()) }
@@ -188,5 +202,59 @@ object EdgeSplitter {
     val cc = graph.connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("id", "component")
     cc
+  }
+
+  /** The fixture-scale path: union-find on the driver, min-id labels —
+    * the exact function the GraphX path computes.
+    */
+  private[graph] def componentsLocal(spark: SparkSession, nodeIds: DataFrame,
+                                     edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = nodeIds.select(col("id").cast(LongType)).as[Long].collect()
+    val es = edges.select(col("source").cast(LongType), col("target").cast(LongType))
+      .as[(Long, Long)].collect()
+    // intern node ids; edge endpoints missing from the node list are
+    // added like GraphX adds default-attr vertices (same contract)
+    // boxed key/value types: a java.util.HashMap[Long, Int] would unbox
+    // get()'s null miss to 0 and silently intern nothing
+    val idIndex = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    val allIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def intern(id: Long): Int = {
+      val e = idIndex.get(id)
+      if (e != null) e.intValue
+      else {
+        idIndex.put(id, Integer.valueOf(allIds.length))
+        allIds += id
+        allIds.length - 1
+      }
+    }
+    ids.foreach(intern(_): Unit)
+    val pairs = es.map { case (s, t) => (intern(s), intern(t)) }
+    val n = allIds.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min node ID per root (root index order ≠ id order in general)
+    val minId = new Array[Long](n)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (allIds(i) < minId(r)) minId(r) = allIds(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (allIds(i), minId(find(i))); i += 1 }
+    out.toSeq.toDF("id", "component")
   }
 }

@@ -24,6 +24,22 @@ class EdgeSplitterSpec extends SparkSpec {
     assert(s.residual.numEdges === 2837L - 283L)
   }
 
+  test("size-gated CC: driver union-find equals the GraphX Pregel labels exactly") {
+    // non-contiguous ids, several components, isolated nodes, cycles
+    val rng = new scala.util.Random(5)
+    val ids = (0 until 300).map(i => i.toLong * 3 + 7)
+    val nodes = ids.toDF("id")
+    val edges = (0 until 350).map { _ =>
+      (ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+    }.filter { case (a, b) => a != b }.toDF("source", "target")
+    val local = EdgeSplitter.componentsLocal(spark, nodes, edges)
+      .as[(Long, Long)].collect().toSet
+    val pregel = EdgeSplitter.components(spark, nodes, edges,
+        edgeCountHint = 350, smallCutoff = 0) // force the at-scale path
+      .as[(Long, Long)].collect().toSet
+    assert(local === pregel, "the two CC plans must compute the same label function")
+  }
+
   test("residual graph keeps every original component connected") {
     val before = cora.numConnectedComponents
     val s = EdgeSplitter.trainTestSplit(cora, 0.1, seed = 42)
