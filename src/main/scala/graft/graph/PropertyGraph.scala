@@ -92,13 +92,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** Number of connected components of the UNDIRECTED graph (isolated
     * nodes count). Used by tests and the splitter's invariant checks.
+    * Size-gated like the splitter's check: union-find at fixture scale,
+    * GraphX Pregel at real scale (identical label function either way).
     */
-  def numConnectedComponents: Long = {
-    val g = toGraphX
-    val n = g.connectedComponents().vertices.map(_._2).distinct().count()
-    g.unpersist()
-    n
-  }
+  def numConnectedComponents: Long =
+    EdgeSplitter.components(nodes.sparkSession, nodeIds, edges,
+        edgeCountHint = numEdges)
+      .select("component").distinct().count()
 
   def cache(): PropertyGraph = { nodes.cache(); edges.cache(); this }
   def unpersist(): PropertyGraph = { nodes.unpersist(); edges.unpersist(); this }
