@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, SimHash64, VecDot, WinnowHash}
+import graft.functions.{MinHashSig, SimHash64, VecDot, WinnowHash, WinnowMd5, WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -49,6 +49,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"simhash64 takes 2 arguments, got ${exprs.length}")
         SimHash64(exprs(0), GraftExtensions.longLit(exprs(1), "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_md5"),
+      new ExpressionInfo(classOf[WinnowMd5].getName, "winnow_md5"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"winnow_md5 takes 3 arguments, got ${exprs.length}")
+        WinnowMd5(exprs(0), GraftExtensions.intLit(exprs(1), "k"),
+          GraftExtensions.intLit(exprs(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"word_shingles takes 2 arguments, got ${exprs.length}")
+        WordShingles(exprs(0), GraftExtensions.intLit(exprs(1), "n"))
       }))
   }
 }

@@ -44,6 +44,16 @@ class WinnowingHashSpec extends SparkSpec {
       .applyFunctionExtensions(ext,
         org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
     assert(registry.functionExists(FunctionIdentifier("winnow_hash")))
+    for (fn <- Seq("vec_dot", "minhash_sig", "simhash64", "winnow_md5", "word_shingles"))
+      assert(registry.functionExists(FunctionIdentifier(fn)), s"$fn not injected")
+    // the injected builders construct the native expressions
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val builtMd5 = registry.lookupFunction(FunctionIdentifier("winnow_md5"),
+      Seq(Literal("abcdefghijkl"), Literal(8), Literal(4)))
+    assert(builtMd5.isInstanceOf[graft.functions.WinnowMd5])
+    val builtSh = registry.lookupFunction(FunctionIdentifier("word_shingles"),
+      Seq(Literal("a b c d"), Literal(3)))
+    assert(builtSh.isInstanceOf[graft.functions.WordShingles])
   }
 
   test("WinnowMd5: one expression instance is safe under concurrent compute") {
