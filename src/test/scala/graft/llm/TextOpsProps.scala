@@ -32,9 +32,15 @@ object TextOpsProps extends Properties("textops") {
     * RANDOM planted overlap, not just the fixed example.
     */
   property("winnowing shared-substring guarantee") = {
+    // the guarantee needs a shared NORMALIZED substring of length
+    // >= k + w - 1 = 11: four words of >= 3 chars give >= 15 (a first
+    // draft allowed 1-char words — min 7 — and scalacheck promptly
+    // falsified it; the guarantee's bound is sharp)
+    val longWord: Gen[String] = Gen.chooseNum(3, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
     val gen = for {
       a <- doc; b <- doc
-      shared <- Gen.listOfN(4, word).map(_.mkString(" ")) // >= 11 normalized chars
+      shared <- Gen.listOfN(4, longWord).map(_.mkString(" "))
     } yield (s"$a $shared $b", s"$b $shared $a")
     Prop.forAllNoShrink(gen) { case (d1, d2) =>
       val spark2 = spark
