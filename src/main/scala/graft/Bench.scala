@@ -54,10 +54,17 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
     }
+    // Median of 3 measured runs per query: single-shot timings on a
+    // shared sandbox wobble ±2× (VERDICT r6: q31's 3.41 s spike
+    // re-measured at 1.56 s), so one noise spike must not masquerade
+    // as a regression. Total = sum of medians.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> runs(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

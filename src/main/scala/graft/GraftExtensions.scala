@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSig, SimHash64, VecDot, WinnowHash, WinnowMd5, WordShingles}
+import graft.functions.{ArgmaxDot, HyperplaneBuckets, MinHashSig, SimHash64,
+  VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -65,6 +66,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"word_shingles takes 2 arguments, got ${exprs.length}")
         WordShingles(exprs(0), GraftExtensions.intLit(exprs(1), "n"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("word_hits"),
+      new ExpressionInfo(classOf[WordHits].getName, "word_hits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"word_hits takes 2 arguments, got ${exprs.length}")
+        WordHits(exprs(0), GraftExtensions.stringListLit(exprs(1), "words"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("argmax_dot"),
+      new ExpressionInfo(classOf[ArgmaxDot].getName, "argmax_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"argmax_dot takes 2 arguments, got ${exprs.length}")
+        ArgmaxDot(exprs(0), GraftExtensions.doubleMatrixLit(exprs(1), "candidates"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"hyperplane_buckets takes 5 arguments (vec, numPlanes, bands, seed, dim), got ${exprs.length}")
+        HyperplaneBuckets(exprs(0), GraftExtensions.intLit(exprs(1), "numPlanes"),
+          GraftExtensions.intLit(exprs(2), "bands"),
+          GraftExtensions.longLit(exprs(3), "seed"),
+          GraftExtensions.intLit(exprs(4), "dim"))
+      }))
   }
 }
 
@@ -87,5 +113,41 @@ object GraftExtensions {
       org.apache.spark.sql.types.IntegerType) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  // SQL callers write `array('a', 'b')` / `array(array(1.0, 2.0))` —
+  // CreateArray nodes, not Literals, but FOLDABLE: fold via a cast to
+  // the canonical element type and eval at plan-build time.
+  private def foldedArray(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                          elem: org.apache.spark.sql.types.DataType,
+                          name: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"$name must be a constant array, got $e")
+    val casted = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(elem))
+    val v = casted.eval(null)
+    require(v != null, s"$name must not be null")
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+
+  private[graft] def stringListLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Seq[String] = {
+    val arr = foldedArray(e, org.apache.spark.sql.types.StringType, name)
+    (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$name must not contain nulls")
+      arr.getUTF8String(i).toString
+    }
+  }
+
+  private[graft] def doubleMatrixLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Seq[Seq[Double]] = {
+    val inner = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val arr = foldedArray(e, inner, name)
+    (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i), s"$name must not contain null rows")
+      arr.getArray(i).toDoubleArray().toSeq
+    }
   }
 }

@@ -56,6 +56,11 @@ object Pq {
   /** Quantize every row: `(idCol, codes ARRAY<INT>)`, `codes(j)` = the
     * subspace-j centroid nearest by the same rule the trainer assigns
     * with (dot against the L2-normalized centroid). Pure projection.
+    *
+    * Malformed vectors (wrong length / null elements) encode as -1
+    * under `ArgmaxDot`'s contract; they are FILTERED here rather than
+    * passed downstream, where code -1 would index LUT slot 0 of the
+    * previous subspace — an ANSI error or a silently wrong `adc_sim`.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
              codebooks: Codebooks): DataFrame = {
@@ -70,6 +75,7 @@ object Pq {
         slice(col(vecCol).cast("array<double>"), j * sub + 1, sub), normed)
     }
     df.select(col(idCol), array(codeCols: _*).as("codes"))
+      .filter(!array_contains(col("codes"), -1))
   }
 
   /** ADC top-k: score every encoded corpus row against every probe via
@@ -195,6 +201,8 @@ object Pq {
   /** Build the IVF-PQ index table in ONE zero-shuffle scan: coarse
     * inverted-list assignment (native argmax against the broadcast
     * centroids) plus PQ codes — `(neighbor_id, centroid_id, codes)`.
+    * Malformed vectors (coarse or PQ argmax = -1) are filtered, same
+    * contract as `encode`.
     */
   def indexIvfPq(df: DataFrame, idCol: String, vecCol: String,
                  coarse: Array[Array[Double]], codebooks: Codebooks): DataFrame = {
@@ -216,5 +224,6 @@ object Pq {
       graft.functions.ArgmaxDot(col(vecCol).cast("array<double>"), coarseNormed)
         .as("centroid_id"),
       array(codeCols: _*).as("codes"))
+      .filter(col("centroid_id") =!= -1 && !array_contains(col("codes"), -1))
   }
 }

@@ -346,23 +346,61 @@ object TextOps {
     * `(idCol, n_tokens, window_start, n_windows)` — which context
     * window the doc starts in and how many windows it spans.
     *
-    * Scale shape: one global running sum = one range shuffle (the same
-    * q18 running-window shape). At 100 TB packing runs per SHARD: range
-    * partition by the pack order, compute per-partition prefix sums,
-    * and add the (tiny, driver-combinable) partition offsets — the
-    * two-pass distributed prefix sum; the windowed form here is that
-    * plan's single-stage equivalent, and AQE keeps the sort partitions
-    * bounded.
+    * Scale shape — the TWO-PASS DISTRIBUTED PREFIX SUM (a naive global
+    * `Window.orderBy` funnels the whole corpus through ONE task):
+    *  1. range-partition `(id, n_tokens)` by the pack order into
+    *     `numShards` order-disjoint shards and materialize them
+    *     (`localCheckpoint`, so both passes read the SAME partition
+    *     assignment — no replay of the range sampler);
+    *  2. pass 1: per-shard token totals — ONE row per shard, collected
+    *     to the driver and cumulated into exclusive base offsets
+    *     (`numShards` longs, driver-sized at any corpus size);
+    *  3. pass 2: per-shard running sum (`Window.partitionBy(shard)` —
+    *     every shard is an independent window task) plus the broadcast
+    *     base offset.
+    * No stage touches more than one shard of the corpus; the only
+    * shuffled payload is `(id, n_tokens)` pairs. The checkpoint holds
+    * 16 bytes/doc — at 10^10 docs that is ~160 GB cluster-wide, an
+    * ordinary MEMORY_AND_DISK cache.
+    *
+    * @param numShards range shards (0 = the session's shuffle
+    *   parallelism); each shard's rows must fit one window task
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    windowTokens: Int): DataFrame = {
+                    windowTokens: Int, numShards: Int = 0): DataFrame = {
     require(windowTokens >= 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shards =
+      if (numShards > 0) numShards
+      else spark.sessionState.conf.numShufflePartitions
+    // explicit shard count: AQE never coalesces a user-pinned
+    // repartition, so __part is stable across the checkpoint's lifetime
+    val ranged = docs
       .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("__off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .repartitionByRange(shards, col(idCol))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: one (shard, token-total) row per shard — driver-sized
+    val partials = ranged
+      .groupBy(col("__part")).agg(sum(col("n_tokens")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var running = 0L
+    val bases = partials.map { case (p, s) =>
+      val b = running; running += s; (p, b)
+    }
+    val baseDf = bases.toSeq.toDF("__part", "__base")
+    // pass 2: per-shard prefix sum (window keyed by shard — parallel
+    // across shards) + the broadcast exclusive base offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__part")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(baseDf), Seq("__part"))
+      .withColumn("__off",
+        col("__base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(idCol), col("n_tokens"),
         floor(col("__off") / windowTokens).as("window_start"),
         when(col("n_tokens") === 0, lit(1L))

@@ -28,10 +28,19 @@ import graft.graph.{EdgeSplitter, PropertyGraph}
   */
 object BundleIO {
 
-  /** Everything the driver holds for one partition. */
-  final case class BundleRef(name: String, dir: String, numFeatures: Int)
+  /** Everything the driver holds for one partition. Carries the
+    * session's Hadoop conf (serializable wrapper) so the TASK-side
+    * `load` resolves the bundle paths with the driver's `spark.hadoop.*`
+    * settings — credentials, defaultFS — instead of a blank
+    * `Configuration`; `null` (probe tooling) falls back to the blank
+    * conf, which is correct only on a plain local FS.
+    */
+  final case class BundleRef(name: String, dir: String, numFeatures: Int,
+                             hconf: graft.util.SerializableHadoopConf = null)
       extends Serializable {
     override def toString: String = name
+    def hadoopConf: Configuration =
+      if (hconf == null) new Configuration() else hconf.value
   }
 
   /** Split + persist one partition's training bundle; returns its ref.
@@ -71,7 +80,8 @@ object BundleIO {
       .write.mode("overwrite").text(s"$base/test")
     val nF = g.nodes.select(size(col("features"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    BundleRef(name, dir, nF)
+    BundleRef(name, dir, nF,
+      new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
 
   /** Unsupervised bundle (distributed_nograd.py:19-34 shape): NO edge
@@ -103,25 +113,29 @@ object BundleIO {
     // test stores the same pairs (the slot-filled single bundle format,
     // see scaladoc): a byte-level copy of the written directory, not a
     // second Spark write job — identical files, half the ETL cost
-    copyDir(s"$base/train", s"$base/test")
+    copyDir(s"$base/train", s"$base/test", spark.sparkContext.hadoopConfiguration)
     val nF = g.nodes.select(size(col("features"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    BundleRef(name, dir, nF)
+    BundleRef(name, dir, nF,
+      new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
   }
 
-  /** Task-side bundle load: plain Hadoop FS, no Spark. */
+  /** Task-side bundle load: plain Hadoop FS, no Spark — resolved with
+    * the driver's Hadoop conf carried by the ref.
+    */
   def load(ref: BundleRef): PartitionBundle = {
     val base = s"${ref.dir}/${ref.name}"
-    val features = readLines(s"$base/features").map { line =>
+    val conf = ref.hadoopConf
+    val features = readLines(s"$base/features", conf).map { line =>
       val t = line.split(' ')
       t(0).toLong -> t.iterator.drop(1).map(_.toFloat).toArray
     }.toMap
-    val adjacency = readLines(s"$base/adjacency").map { line =>
+    val adjacency = readLines(s"$base/adjacency", conf).map { line =>
       val t = line.split(' ')
       t(0).toLong -> t.iterator.drop(1).map(_.toLong).toArray
     }.toMap
     def examples(sub: String): Array[(Long, Long, Int)] =
-      readLines(s"$base/$sub").map { line =>
+      readLines(s"$base/$sub", conf).map { line =>
         val t = line.split(' ')
         (t(0).toLong, t(1).toLong, t(2).toInt)
       }.toArray
@@ -132,16 +146,14 @@ object BundleIO {
   /** Recursive overwrite copy via the Hadoop FS API (works for any
     * Hadoop-compatible storage, same as the writes above).
     */
-  private def copyDir(src: String, dst: String): Unit = {
-    val conf = new Configuration()
+  private def copyDir(src: String, dst: String, conf: Configuration): Unit = {
     val from = new Path(src); val to = new Path(dst)
     val fs = FileSystem.get(from.toUri, conf)
     if (fs.exists(to)) fs.delete(to, true)
     org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf): Unit
   }
 
-  private def readLines(dirPath: String): Iterator[String] = {
-    val conf = new Configuration()
+  private def readLines(dirPath: String, conf: Configuration): Iterator[String] = {
     val p = new Path(dirPath)
     val fs = FileSystem.get(p.toUri, conf)
     val parts = fs.globStatus(new Path(p, "part-*")).sortBy(_.getPath.getName)

@@ -693,7 +693,10 @@ final class LocalGraphSage(
           lossSum += trainBatch(src, dst, lab, rng)
           nBatches += 1
         }
-      } else {
+      } else if (order.nonEmpty) {
+        // explicit empty guard: without it, prep(batches(0)) would throw
+        // inside a never-awaited Future — accidentally benign, silently
+        // swallowed
         val batches = order.grouped(hp.batchSize).toArray
         def prep(idxs: Array[Int]): (BatchInputs, Array[Int]) = {
           val b = idxs.length

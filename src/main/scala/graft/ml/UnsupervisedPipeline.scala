@@ -61,8 +61,10 @@ object UnsupervisedPipeline {
     spark.sparkContext.parallelize(Seq(ref), 1).foreach { r =>
       val model = SageLinkModel.fromRef(r, hp)
       train(model)
+      // r.hadoopConf = the driver's conf, shipped inside the ref — the
+      // task-direct write sees the same spark.hadoop.* settings
       GraphIO.writeEmbeddingsCsvFromTask(csv, dim,
-        model.genEmbeddings(model.nodeIds).iterator)
+        model.genEmbeddings(model.nodeIds).iterator, r.hadoopConf)
     }
   }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{CorpusDedup, Multimodal, NearDup, Similarity, TextOps}
+import graft.llm.{CorpusDedup, Multimodal, NearDup, Pq, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -393,12 +393,57 @@ object LlmQueries {
 
     // Sequence packing — concatenate the corpus in doc_id order and
     // slice into 512-token context windows: each doc's start window and
-    // span. One global running sum (range shuffle; the per-shard
-    // two-pass prefix-sum variant is the 100 TB plan, see
-    // TextOps.packSequences).
+    // span. Runs as the two-pass distributed prefix sum (range shards →
+    // per-shard totals → broadcast base offsets → per-shard window) —
+    // no single-partition stage at any scale; see TextOps.packSequences.
     "q46_seq_packing" -> ((s, dir) => {
       val t = Tables(s, dir)
       TextOps.packSequences(t.documents, "doc_id", "text", windowTokens = 512)
+    }),
+
+    // Product quantization + ADC in EXACT (lossless) mode — the
+    // q26-style construction that proves the whole PQ machinery
+    // (per-subspace codebook training, argmax encode, LUT broadcast,
+    // one-scan ADC ranking) against an engine-independent SQL oracle:
+    // with k = corpus size and iters = 0, the trainer's hash-sample
+    // init returns EVERY subvector as its own centroid, so encoding is
+    // the identity and the ADC score Σ_j dot(q_j, centroid(code_j))
+    // collapses to the exact dot product — DuckDB's list_dot_product
+    // rounded to 9 (the sub-ulp grouping difference between per-
+    // subspace partial sums and a flat left-to-right sum is absorbed
+    // by the rounding, same contract as q21/q26). The compressed
+    // production setting is q48.
+    "q47_pq_adc" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = t.embeddings.filter(col("vec_id") < 64)
+      val cb = Pq.trainCodebooks(corpus, "embedding", dim = 64, m = 8,
+        k = 64, iters = 0)
+      val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+      Pq.adcTopK(codes, corpus.filter(col("vec_id") < 10), cb, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("adc_sim") + 0.0).as("adc_sim"), col("rank"))
+    }),
+
+    // IVF-PQ at the PRODUCTION approximate setting — the full
+    // 10^10-vector architecture on the measured surface: a sample-
+    // trained coarse quantizer routes each vector to an inverted list,
+    // PQ codes (m=8 of 64 dims, 32× compression) store it, and a query
+    // ADC-scans only its nProbe = 4 of 16 probed lists. NO ORACLE by
+    // construction (like q33: probed-list membership and ADC scores
+    // depend on the trained coarse centroids and codebooks, so no
+    // engine-independent SQL defines the output); the machinery is
+    // oracle-proven by q47 (ADC ≡ exact dot product) and recall-floor
+    // tested in IvfPqSpec (≡ full ADC at nProbe = all).
+    "q48_ivfpq_probe" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      val coarse = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
+        vecCol = "embedding", seed = 42L, trainFraction = 0.5)
+      val cb = Pq.trainCodebooks(emb, "embedding", dim = 64, m = 8,
+        k = 16, iters = 1)
+      val index = Pq.indexIvfPq(emb, "vec_id", "embedding", coarse, cb)
+      Pq.ivfPqTopK(index, emb.filter(col("vec_id") < 10), coarse, cb,
+        k = 5, nProbe = 4)
     })
   )
 
@@ -464,6 +509,23 @@ object LlmQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_ivf" -> sqlCosineTop5,
+    // Lossless-PQ twin: with every subvector its own centroid, ADC is
+    // the exact dot product over the vec_id < 64 corpus (probes
+    // vec_id < 10, self-pairs excluded) — same round-9 + id total
+    // order as the cosine oracles.
+    "q47_pq_adc" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 64),
+              sims AS (
+                SELECT qid AS query_id, nid AS neighbor_id,
+                  ROUND(list_dot_product(qv, cv), 9) AS adc_sim
+                FROM q, c WHERE qid != nid)
+         SELECT query_id, neighbor_id, adc_sim + 0.0 AS adc_sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS rank
+           FROM sims) t WHERE rank <= 5""",
     // Multimodal dedup-group twin: the planted-dup recipe
     // (syntheticFixtureDistributed — row i is a byte-exact copy of row
     // i-9 iff i % 10 == 9, all other payloads are distinct seeded

@@ -135,15 +135,28 @@ object GraphIO {
     * with no DataFrame round-trip and no driver involvement. Identical
     * file shape (pandas header `,0..d-1`; `Float.toString` values, the
     * rendering Spark's CSV writer uses for FloatType). Works on any
-    * Hadoop-compatible FS.
+    * Hadoop-compatible FS: `conf` must be the DRIVER's Hadoop conf
+    * (shipped via [[graft.util.SerializableHadoopConf]]) so
+    * `spark.hadoop.*` settings — object-store credentials, defaultFS —
+    * reach the task.
+    *
+    * Commit protocol: the stream targets an attempt-unique temp file,
+    * renamed over `path` only after a complete write — a task retry or
+    * speculative twin can never interleave with or truncate a reader's
+    * view; whichever complete attempt renames last wins.
     */
   def writeEmbeddingsCsvFromTask(path: String, dim: Int,
-                                 rows: Iterator[(Long, Array[Float])]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+                                 rows: Iterator[(Long, Array[Float])],
+                                 conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"${tc.stageAttemptNumber}-${tc.taskAttemptId}")
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.$attempt.inprogress")
     val out = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"), 1 << 16)
+      new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"), 1 << 16)
     try {
       out.write(("" +: (0 until dim).map(_.toString)).mkString(","))
       out.write("\n")
@@ -154,6 +167,14 @@ object GraphIO {
         out.write("\n")
       }
     } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      // a concurrent complete attempt committed first — fine; anything
+      // else is a real FS failure the caller must see
+      require(fs.exists(p),
+        s"writeEmbeddingsCsvFromTask: commit rename $tmp -> $p failed")
+    }
   }
 
   /** Embedding CSV scan (concat_embeddings.py:14-17): header

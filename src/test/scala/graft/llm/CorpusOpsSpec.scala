@@ -58,4 +58,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 3L, 0L, 1L), (2L, 2L, 0L, 2L), (3L, 0L, 1L, 1L), (4L, 5L, 1L, 2L)))
   }
+
+  test("packSequences: shard-count invariant — cross-shard straddles agree with one shard") {
+    // token counts 0..10 cycling over 500 docs at window 16: windows
+    // straddle shard boundaries wherever they fall, so any base-offset
+    // error shows up as a start/span mismatch vs the single-shard run
+    val docs = (0 until 500)
+      .map(i => (i.toLong, ("tok " * (i % 11)).trim))
+      .toDF("doc_id", "text")
+    def packed(shards: Int) =
+      TextOps.packSequences(docs, "doc_id", "text", windowTokens = 16,
+          numShards = shards)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val one = packed(1)
+    assert(packed(7) === one)
+    assert(packed(32) === one, "more shards than useful must still agree")
+  }
+
+  test("packSequences: no single-partition stage in the plan (100 TB contract)") {
+    val docs = (0 until 200).map(i => (i.toLong, s"a b c d")).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, "doc_id", "text", windowTokens = 4,
+      numShards = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"packSequences must never funnel the corpus through one task:\n$plan")
+    // the running sum is a per-shard window, never a global one
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.forall(_.contains("__part")),
+      s"every window must be keyed by the shard column:\n${windowLines.mkString("\n")}")
+  }
 }

@@ -87,6 +87,65 @@ class PqSpec extends SparkSpec {
     index.unpersist(); df.unpersist()
   }
 
+  test("lossless mode (k >= corpus): ADC equals the exact dot-product top-k (q47 contract)") {
+    // with every subvector its own centroid (k = n, iters = 0: the
+    // hash-sample init returns all rows, Lloyd never moves them),
+    // encoding is the identity and ADC collapses to the exact dot
+    // product — the q47 oracle construction, pinned here against the
+    // engine's own exact scan
+    val df = clustered(3, 12, seed = 23)
+    val queries = df.filter(col("vec_id") < 4)
+    val books = Pq.trainCodebooks(df, "embedding", dim, m = 4, k = 36,
+      iters = 0, seed = 7L)
+    val approx = Pq.adcTopK(Pq.encode(df, "vec_id", "embedding", books),
+      queries, books, k = 8)
+    // exact dot-product rank twin (same round-9 + id total order; dot,
+    // not cosine — ADC estimates the inner product)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("__qv"))
+    val c = df.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dot_sim").desc, col("neighbor_id").asc)
+    val exact = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("__qv"), col("__cv")), 9).as("dot_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 8)
+    val got = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val want = exact.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want, "lossless ADC must reproduce the exact ranking")
+    // and the scores themselves are the rounded exact dots
+    val simDiff = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .select(max(abs(col("adc_sim") - col("dot_sim")))).as[Double].head()
+    assert(simDiff <= 1e-9, s"lossless ADC scores drifted by $simDiff")
+  }
+
+  test("malformed vectors (wrong length / null element) are filtered at encode") {
+    val good = clustered(2, 10, seed = 31)
+    val books = Pq.trainCodebooks(good, "embedding", dim, m = 2, k = 4,
+      iters = 1, seed = 3L)
+    val short = Seq((900L, Array.fill(dim - 3)(0.5f))).toDF("vec_id", "embedding")
+    val withNull = Seq((901L, (0 until dim).map(i =>
+      if (i == 5) null else java.lang.Float.valueOf(0.5f)))).toDF("vec_id", "embedding")
+    val corpus = good.unionByName(short).unionByName(withNull)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", books)
+    val ids = codes.select(col("vec_id")).as[Long].collect().toSet
+    assert(!ids.contains(900L) && !ids.contains(901L),
+      "malformed rows must not reach the ADC scan (code -1 would corrupt the LUT index)")
+    assert(ids.size === 20, "well-formed rows must all survive")
+    // ... and at the IVF-PQ index build
+    val coarse = Similarity.kmeansCentroids(
+      good.select(col("embedding").cast("array<double>").as("__v")),
+      k = 2, iters = 1, vecCol = "__v", seed = 13L)
+    val idxIds = Pq.indexIvfPq(corpus, "vec_id", "embedding", coarse, books)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(!idxIds.contains(900L) && !idxIds.contains(901L) && idxIds.size === 20)
+  }
+
   test("encode is deterministic and assignment-consistent") {
     val df = clustered(2, 30)
     val books = Pq.trainCodebooks(df, "embedding", dim, m = 2, k = 8,

@@ -73,4 +73,57 @@ class DocStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(batchKept.nonEmpty && !batchKept.contains(2L))
   }
+
+  test("batch/stream agreement on a real corpus: kept ids AND redacted hashes identical") {
+    // The intake claims to BE the batch pipeline run incrementally
+    // (same expressions, DocStream scaladoc) — assert it on the real
+    // documents table plus planted normalized re-crawls: same kept-id
+    // set, same redacted text (by md5), same quality/token columns.
+    import graft.llm.TextOps
+    // event times offset well past epoch 0: a row AT the initial
+    // watermark (0) is dropped as late by the stateful operator
+    val originals = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(col("doc_id") * 1000 + 10000000L).as("ts"))
+    // every 3rd doc re-crawled later with case/whitespace noise — the
+    // normalized fingerprint (q24's key) must catch it
+    val recrawls = originals.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"),
+        timestamp_millis(col("doc_id") * 1000 + 10400000L).as("ts"))
+    val minQuality = 0.0
+    // batch twin: keep-first (earliest ts) per fingerprint, then the
+    // same stateless gate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("ts"))
+    val batchOut = DocStream.qualityGate(
+      originals.unionByName(recrawls)
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__fp", "__rn"),
+      minQuality)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        col("quality"), col("n_tokens"))
+      .as[(Long, String, Double, Int)].collect().toSet
+    val want = key(batchOut)
+    // stream: originals first, re-crawls in a later micro-batch (their
+    // event times are later; batch order pins which copy wins)
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Doc]
+    val q = DocStream.intake(source.toDF(), minQuality, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("intake_corpus")
+      .outputMode("append").start()
+    source.addData(originals.as[Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    source.addData(recrawls.as[Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = key(spark.table("intake_corpus"))
+    assert(got.map(_._1) === want.map(_._1),
+      "stream intake must keep exactly the batch pipeline's id set")
+    assert(got === want,
+      "redacted text, quality and token count must match the batch expressions")
+  }
 }
