@@ -328,6 +328,23 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // q31's 100 TB variant ON the measured surface: approx_percentile's
+    // mergeable KLL-style sketch replaces the exact sort-based
+    // percentile — per-partition sketches merge in the partial
+    // aggregate, so memory is O(sketch), not O(group rows). NO ORACLE
+    // by construction (the sketch's answer is accuracy-bounded, not
+    // value-defined; DuckDB's approx sketch differs); the error bound
+    // vs q31's exact answer is pinned by PercentileScaleSpec at sf0.1.
+    "q49_percentiles_approx" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_percentile(col("l_quantity"), lit(0.5), lit(10000)).as("p50_qty"),
+          approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // Running aggregate window (frame-based) per supplier over ship time.
     "q18_window_running" -> ((s, dir) => {
       val t = Tables(s, dir)
