@@ -39,14 +39,18 @@ object Pq {
   type Codebooks = Array[Array[Array[Double]]]
 
   /** Train one codebook per subspace on (a sample of) the corpus.
-    * `dim` must be divisible by `m`.
+    * `dim` must be divisible by `m`. The m subspace trainings are
+    * independent Spark jobs — submitted from driver threads
+    * (`Par.mapAll`) so the scheduler interleaves them instead of
+    * running m serial critical paths; each training is seeded per
+    * subspace, so concurrency cannot change any codebook.
     */
   def trainCodebooks(df: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
                      iters: Int = 3, seed: Long = 42L,
                      trainFraction: Double = 1.0): Codebooks = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { j =>
+    graft.util.Par.mapAll((0 until m).toSeq) { j =>
       val sliced = df.select(
         slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sv"))
       Similarity.kmeansCentroids(sliced, k, iters, "__sv", seed + j, trainFraction)
