@@ -437,10 +437,18 @@ object LlmQueries {
     "q48_ivfpq_probe" -> ((s, dir) => {
       val t = Tables(s, dir)
       val emb = t.embeddings
-      val coarse = Similarity.kmeansCentroids(emb, k = 16, iters = 1,
-        vecCol = "embedding", seed = 42L, trainFraction = 0.5)
+      // coarse quantizer and PQ codebooks are independent trainings —
+      // overlap them from driver threads (both internally seeded, so
+      // scheduling cannot change either result)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val coarseF = scala.concurrent.Future(
+        Similarity.kmeansCentroids(emb, k = 16, iters = 1,
+          vecCol = "embedding", seed = 42L, trainFraction = 0.5))
       val cb = Pq.trainCodebooks(emb, "embedding", dim = 64, m = 8,
         k = 16, iters = 1)
+      val coarse = scala.concurrent.Await.result(coarseF,
+        scala.concurrent.duration.Duration.Inf)
       val index = Pq.indexIvfPq(emb, "vec_id", "embedding", coarse, cb)
       Pq.ivfPqTopK(index, emb.filter(col("vec_id") < 10), coarse, cb,
         k = 5, nProbe = 4)
