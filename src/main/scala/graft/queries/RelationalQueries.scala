@@ -398,6 +398,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Backward as-of join: for each click, the most recent error at or
+    // before it by the same user. Spark has no ASOF JOIN (DuckDB does —
+    // the oracle uses it verbatim); AsOfJoin.backward expresses it as
+    // ONE user_id-keyed shuffle (tagged union + struct-packed
+    // last(ignoreNulls) window) instead of a per-key range self-join.
+    // Errors pre-aggregated to unique (user_id, ts) so the match is
+    // well-defined in both engines.
+    "q50_asof_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = t.events.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("err_value"))
+        .withColumnRenamed("ts", "err_ts")
+      graft.operators.AsOfJoin
+        .backward(clicks, errors, Seq("user_id"), "ts", "err_ts", Seq("err_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+          date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
+          col("err_value"))
     })
   )
 
@@ -565,6 +588,16 @@ object RelationalQueries {
          CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    "q50_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+         strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+         strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+         r.err_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
+               FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+         ON l.user_id = r.user_id AND l.ts >= r.ts"""
   )
 }
