@@ -421,6 +421,30 @@ object RelationalQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
           date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss").as("err_ts"),
           col("err_value"))
+    }),
+
+    // Interval (range) join: clicks falling inside the 10-minute
+    // window after each error, counted per error. No equi-key exists,
+    // so a naive BETWEEN join is a nested loop; RangeJoin restores a
+    // hash-joinable key by binning time (bin width = window length ⇒
+    // ≤ 2 bin replicas per interval). Left-outer counting per the
+    // operator's recipe: ids-only pair counts re-join the intervals.
+    "q51_range_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val errors = t.events.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val pairs = graft.operators.RangeJoin.pointInInterval(
+        errors, "w_start", "w_end", clicks, "click_ts", 10L * 60 * 1000000)
+      val counts = pairs.groupBy(col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          date_format(min(col("click_ts")), "yyyy-MM-dd HH:mm:ss").as("first_click"))
+      errors.select(col("err_id"))
+        .join(counts, Seq("err_id"), "left")
+        .select(col("err_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("first_click"))
     })
   )
 
@@ -598,6 +622,13 @@ object RelationalQueries {
                WHERE event_type = 'click') l
          ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
                FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
-         ON l.user_id = r.user_id AND l.ts >= r.ts"""
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q51_range_join" ->
+      """SELECT e.event_id AS err_id, COUNT(c.event_id) AS n_clicks,
+         strftime(MIN(c.ts), '%Y-%m-%d %H:%M:%S') AS first_click
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+         ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+         GROUP BY 1"""
   )
 }
