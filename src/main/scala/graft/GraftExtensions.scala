@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgmaxDot, HyperplaneBuckets, MinHashSig, SimHash64,
-  VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
+import graft.functions.{ArgmaxDot, BloomMightContain, HyperplaneBuckets,
+  MinHashSig, SimHash64, VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -81,6 +81,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArgmaxDot(exprs(0), GraftExtensions.doubleMatrixLit(exprs(1), "candidates"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain takes 2 arguments (bloomBytes, hash), got ${exprs.length}")
+        BloomMightContain(exprs(1),
+          GraftExtensions.binaryLit(exprs(0), "bloomBytes"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (exprs: Seq[Expression]) => {
@@ -103,6 +112,17 @@ object GraftExtensions {
       org.apache.spark.sql.types.IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an INT literal, got $other")
+  }
+
+  private[graft] def binaryLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                               name: String): Array[Byte] = e match {
+    case other if other.foldable &&
+        other.dataType == org.apache.spark.sql.types.BinaryType =>
+      val v = other.eval(null)
+      require(v != null, s"$name must not be null")
+      v.asInstanceOf[Array[Byte]]
+    case other => throw new IllegalArgumentException(
+      s"$name must be a BINARY literal, got $other")
   }
 
   private[graft] def longLit(e: org.apache.spark.sql.catalyst.expressions.Expression,

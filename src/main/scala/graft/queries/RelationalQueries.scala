@@ -445,6 +445,26 @@ object RelationalQueries {
         .join(counts, Seq("err_id"), "left")
         .select(col("err_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           col("first_click"))
+    }),
+
+    // Bloom-pre-filtered join: semantically the plain lineitem⋈part
+    // join (the oracle IS the plain join — bloom false positives are
+    // removed by the real join, false negatives are impossible), but
+    // physically the fact rows for non-matching parts die inside the
+    // codegen'd scan, before the exchange. The manual form of Spark's
+    // runtime bloom filter, for when the planner can't see the build
+    // side's selectivity.
+    "q52_bloom_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val dim = t.part.filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey").as("l_partkey"), col("p_size"))
+      graft.operators.BloomJoin.inner(
+        t.lineitem.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")),
+        dim, Seq("l_partkey"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
     })
   )
 
@@ -629,6 +649,13 @@ object RelationalQueries {
          FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
          LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
          ON c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+         GROUP BY 1""",
+    "q52_bloom_join" ->
+      """SELECT p.p_size, COUNT(*) AS n_items,
+         CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_brand = 'Brand#13'
          GROUP BY 1"""
   )
 }

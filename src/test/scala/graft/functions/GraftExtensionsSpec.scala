@@ -23,7 +23,8 @@ class GraftExtensionsSpec extends SparkSpec {
     "word_shingles",      // WordShingles
     "word_hits",          // WordHits
     "winnow_hash",        // WinnowHash
-    "winnow_md5")         // WinnowMd5
+    "winnow_md5",         // WinnowMd5
+    "bloom_might_contain") // BloomMightContain
 
   private def registry = {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
