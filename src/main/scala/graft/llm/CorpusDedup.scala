@@ -71,4 +71,29 @@ object CorpusDedup {
       .groupBy(col(idCol))
       .agg(countDistinct(col("__gram")).as("n_overlap_grams"))
   }
+
+  /** Scale variant of [[decontaminate]] for when the benchmark's
+    * distinct gram set is too big to broadcast as exact strings (many
+    * eval suites × long n-grams): a bloom filter over `xxhash64` of
+    * the grams (~1.2 MB per million grams at 1% fpp) rides the probe
+    * expression to every executor, and train grams that cannot overlap
+    * die INSIDE the codegen'd scan stage — the exact gram join that
+    * follows (it removes bloom false positives; false negatives are
+    * impossible) sees ~overlaps + fpp × |corpus grams| rows instead of
+    * every gram of the corpus. Output is IDENTICAL to
+    * [[decontaminate]] — DecontaminateBloomSpec asserts it.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int = 13,
+                         fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(TextOps.wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    graft.operators.BloomJoin.inner(
+        train.select(col(idCol),
+          explode(TextOps.wordShingles(col(textCol), n)).as("__gram")),
+        benchGrams, Seq("__gram"), fpp = fpp)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__gram")).as("n_overlap_grams"))
+  }
 }

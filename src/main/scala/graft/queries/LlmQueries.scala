@@ -326,6 +326,19 @@ object LlmQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // q41's 100 TB variant: identical semantics (same oracle), but the
+    // bench gram set ships as bloom bits instead of exact strings and
+    // non-overlapping train grams are killed inside the codegen'd scan
+    // before the join — the plan that survives a bench set too big to
+    // broadcast.
+    "q53_decontaminate_bloom" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      CorpusDedup.decontaminateBloom(
+        t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        t.documents.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // Multimodal pipeline over a persisted parquet fixture (seeded,
     // deterministic, ~10% planted exact-duplicate payloads): typed-meta
     // projection feeds nothing here — the measured path is video
@@ -613,6 +626,21 @@ object LlmQueries {
                END AS BIGINT) AS n_windows
         FROM run""",
     "q41_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 5 THEN []
+                 ELSE list_transform(range(0, len(toks) - 4),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END AS sh
+            FROM tok),
+          bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0),
+          train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 20 != 0)
+        SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_overlap_grams
+        FROM train t JOIN bench b ON t.g = b.g
+        GROUP BY t.doc_id""",
+    // bloom pre-filter changes the plan, not the answer: same twin as
+    // q41 (false positives die in the exact join, false negatives are
+    // impossible)
+    "q53_decontaminate_bloom" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           sh AS (SELECT doc_id,
             CASE WHEN len(toks) < 5 THEN []

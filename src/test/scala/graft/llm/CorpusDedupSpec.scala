@@ -47,6 +47,41 @@ class CorpusDedupSpec extends SparkSpec {
     assert(flagged(1L) === 6L && flagged(3L) === 6L)
   }
 
+  test("decontaminateBloom ≡ decontaminate on planted leaks and on real docs") {
+    val leak = "four score and seven years ago our fathers brought forth"
+    val bench = Seq(
+      100L -> s"benchmark question about history $leak on this continent",
+      101L -> "an unrelated eval prompt regarding photosynthesis chemistry pathways"
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> s"a training document that quotes $leak verbatim in the middle",
+      2L -> "clean training text with no overlap against any benchmark at all here",
+      3L -> s"another leaky one, $leak, twice even: $leak"
+    ).toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(toSet(CorpusDedup.decontaminateBloom(train, bench, "doc_id", "text", n = 5)) ===
+      toSet(CorpusDedup.decontaminate(train, bench, "doc_id", "text", n = 5)))
+    // real documents table, the q41/q53 split: identical contamination map
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tr = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val be = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    val plain = toSet(CorpusDedup.decontaminate(tr, be, "doc_id", "text", n = 5))
+    assert(toSet(CorpusDedup.decontaminateBloom(tr, be, "doc_id", "text", n = 5)) === plain)
+    assert(plain.nonEmpty, "fixture must actually contain contamination")
+  }
+
+  test("decontaminateBloom: bloom probe reaches the plan; empty bench is empty, not an NPE") {
+    val train = Seq(1L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val bench = Seq(100L -> "alpha beta gamma delta epsilon zeta").toDF("doc_id", "text")
+    val plan = CorpusDedup.decontaminateBloom(train, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), s"probe missing from plan:\n$plan")
+    val emptyBench = bench.filter(col("doc_id") < 0)
+    assert(CorpusDedup.decontaminateBloom(train, emptyBench, "doc_id", "text", n = 5)
+      .count() === 0L)
+  }
+
   test("clean preserves all original columns on kept rows") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8),
                    (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", 8))
