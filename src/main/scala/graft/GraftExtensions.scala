@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArgmaxDot, BloomMightContain, HyperplaneBuckets,
-  MinHashSig, SimHash64, VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
+  InterleaveBits, MinHashSig, RankBucket, SimHash64, VecDot, WinnowHash,
+  WinnowMd5, WordHits, WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -90,6 +91,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.binaryLit(exprs(0), "bloomBytes"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("rank_bucket"),
+      new ExpressionInfo(classOf[RankBucket].getName, "rank_bucket"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"rank_bucket takes 2 arguments (value, boundaries), got ${exprs.length}")
+        RankBucket(exprs(0),
+          GraftExtensions.doubleArrayLit(exprs(1), "boundaries"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"interleave_bits takes 2 arguments (buckets, bits), got ${exprs.length}")
+        InterleaveBits(exprs(0), GraftExtensions.intLit(exprs(1), "bits"))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       (exprs: Seq[Expression]) => {
@@ -156,6 +174,16 @@ object GraftExtensions {
     (0 until arr.numElements()).map { i =>
       require(!arr.isNullAt(i), s"$name must not contain nulls")
       arr.getUTF8String(i).toString
+    }
+  }
+
+  private[graft] def doubleArrayLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      name: String): Array[Double] = {
+    val arr = foldedArray(e, org.apache.spark.sql.types.DoubleType, name)
+    Array.tabulate(arr.numElements()) { i =>
+      require(!arr.isNullAt(i), s"$name must not contain nulls")
+      arr.getDouble(i)
     }
   }
 

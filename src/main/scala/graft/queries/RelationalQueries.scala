@@ -50,6 +50,23 @@ object RelationalQueries {
     (liTbl, ordTbl)
   }
 
+  /** One z-ordered copy of `events` per (process, sf): like the
+    * bucketed tables, the layout write is the once-per-deployment cost
+    * the query amortizes (bench warm-up materializes it; measured runs
+    * read it).
+    */
+  private val zEventsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureZOrderedEvents(s: SparkSession, dir: String): String =
+    zEventsPaths.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_z_events_$sfName"
+      graft.operators.ZOrder.write(Tables(s, dir).events,
+        Seq("user_id", "value"), path, numFiles = 8)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed CO-LOCATED join — the layout lever that decides whether
     // a repeatedly-joined 100 TB fact pair shuffles at all: both fact
@@ -465,6 +482,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Selective 2-D range scan over the Z-ORDERED events copy
+    // (operators.ZOrder): the layout is a physical property — the
+    // logical answer is the plain filtered aggregate, which is the
+    // oracle. Because the files cluster along the Morton curve of
+    // (user_id, value), the parquet min/max stats prune most files/row
+    // groups for a range predicate on EITHER column (ZOrderSpec
+    // measures the per-file spans); a single-column sort would only
+    // serve one of them.
+    "q54_zorder_scan" -> ((s, dir) => {
+      val path = ensureZOrderedEvents(s, dir)
+      s.read.parquet(path)
+        .filter(col("user_id").between(3, 9) &&
+          col("value").between(10.0, 60.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          min(col("ts")).as("first_ts"))
     })
   )
 
@@ -656,6 +692,15 @@ object RelationalQueries {
          CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          WHERE p.p_brand = 'Brand#13'
+         GROUP BY 1""",
+    // the z-order layout is physical; the logical answer is the plain
+    // filtered aggregate over the same rows
+    "q54_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         MIN(ts) AS first_ts
+         FROM events
+         WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10.0 AND 60.0
          GROUP BY 1"""
   )
 }

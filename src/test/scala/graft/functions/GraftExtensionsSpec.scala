@@ -24,7 +24,9 @@ class GraftExtensionsSpec extends SparkSpec {
     "word_hits",          // WordHits
     "winnow_hash",        // WinnowHash
     "winnow_md5",         // WinnowMd5
-    "bloom_might_contain") // BloomMightContain
+    "bloom_might_contain", // BloomMightContain
+    "rank_bucket",        // RankBucket
+    "interleave_bits")    // InterleaveBits
 
   private def registry = {
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.functions.{InterleaveBits, RankBucket}
+
+/** ZOrder: rank + interleave correctness against driver references,
+  * equi-depth balance under skew, and the measured layout claim — per-
+  * file min/max ranges stay narrow on EVERY layout column, where a
+  * single-column sort leaves the other column's ranges spanning the
+  * whole table.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank_bucket matches a driver-side upper-bound search") {
+    val bounds = Array(10.0, 20.0, 30.0)
+    val vals = Seq(-5.0, 9.99, 10.0, 15.0, 20.0, 29.9, 30.0, 99.0,
+      Double.NaN)
+    val got = vals.toDF("v")
+      .select(RankBucket(col("v"), bounds).as("b")).as[Int].collect().toSeq
+    // upper bound: count of boundaries <= v; NaN compares false -> 0
+    assert(got === Seq(0, 0, 1, 1, 2, 2, 3, 3, 0))
+    // null propagates
+    val n = Seq(Option.empty[Double]).toDF("v")
+      .select(RankBucket(col("v"), bounds)).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("interleave_bits matches a reference Morton code") {
+    def morton(bs: Seq[Int], bits: Int): Long = {
+      var z = 0L
+      for (j <- bs.indices; i <- 0 until bits)
+        z |= ((bs(j).toLong >> i) & 1L) << (i * bs.length + j)
+      z
+    }
+    val cases = Seq(Seq(0, 0), Seq(1, 0), Seq(0, 1), Seq(3, 5),
+      Seq(255, 255), Seq(7, 200))
+    val got = cases.toDF("bs")
+      .select(InterleaveBits(col("bs"), 8).as("z")).as[Long].collect().toSeq
+    assert(got === cases.map(morton(_, 8)))
+    // clamp: an index over the bit budget behaves as the max index
+    val clamped = Seq(Seq(300, 1)).toDF("bs")
+      .select(InterleaveBits(col("bs"), 8).as("z")).as[Long].head()
+    assert(clamped === morton(Seq(255, 1), 8))
+    // null element ranks 0
+    val withNull = Seq(Seq(Option.empty[Int], Some(5))).toDF("bs")
+      .select(InterleaveBits(col("bs"), 8).as("z")).as[Long].head()
+    assert(withNull === morton(Seq(0, 5), 8))
+  }
+
+  test("equi-depth ranks stay balanced on skewed data") {
+    // exponential-ish skew: equi-width bucketing would put ~all rows in
+    // bucket 0; quantile boundaries must spread them ~evenly
+    val df = (1 to 4096).map(i => math.pow(1.002, i)).toDF("v")
+    val z = ZOrder.zValue(df, Seq("v"), bits = 3) // 8 buckets
+    val counts = df.select(z.as("z")).groupBy("z").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.size === 8, s"got buckets ${counts.keySet}")
+    assert(counts.values.min >= 4096 / 8 / 2,
+      s"equi-depth buckets must be balanced: $counts")
+  }
+
+  test("z-order keeps per-file min/max narrow on BOTH columns; single-column sort does not") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 8192).map(_ => (rng.nextInt(1000), rng.nextInt(1000)))
+    val df = rows.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val files = 16
+
+    ZOrder.write(df, Seq("x", "y"), s"$dir/z", numFiles = files, bits = 8)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+
+    // mean per-file normalized span — the file-skipping potential a
+    // min/max-pruning reader sees on that column
+    def spans(path: String): (Double, Double) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x")) / 999.0).as("sx"),
+          ((max("y") - min("y")) / 999.0).as("sy"))
+        .agg(avg("sx"), avg("sy")).as[(Double, Double)].head()
+      stats
+    }
+    val (zx, zy) = spans(s"$dir/z")
+    val (lx, ly) = spans(s"$dir/linear")
+    // linear: x tightly clustered, y spans ~everything
+    assert(lx < 0.15, s"linear x span $lx")
+    assert(ly > 0.8, s"linear y span $ly")
+    // z-order: BOTH columns clustered — 16 files ~ 4x4 curve cells
+    assert(zx < 0.5 && zy < 0.5, s"z-order spans x=$zx y=$zy")
+    assert(zx + zy < lx + ly, "z-order must beat single-column layout overall")
+
+    // the pruning claim, per column: how many files a min/max reader
+    // must touch for a selective predicate on ONE column. The x-sorted
+    // layout is unbeatable on x but reads EVERYTHING on y; z-order
+    // prunes on either column.
+    def filesTouched(path: String, c: String): Long = spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(c).as("lo"), max(c).as("hi"))
+      .filter(col("hi") >= 450 && col("lo") <= 550)
+      .count()
+    assert(filesTouched(s"$dir/linear", "y") === files,
+      "single-column layout cannot prune on the other column")
+    assert(filesTouched(s"$dir/z", "x") <= 10, "z-order must prune on x")
+    assert(filesTouched(s"$dir/z", "y") <= 10, "z-order must prune on y")
+  }
+
+  test("zValue rejects non-numeric columns and over-budget bits") {
+    val df = Seq((1, "a")).toDF("x", "s")
+    intercept[IllegalArgumentException] { ZOrder.zValue(df, Seq("s")) }
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(Seq((1, 2, 3, 4, 5, 6, 7, 8)).toDF(
+        "a", "b", "c", "d", "e", "f", "g", "h"),
+        Seq("a", "b", "c", "d", "e", "f", "g", "h"), bits = 8)
+    }
+  }
+}
