@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.llm.{CorpusDedup, Multimodal, NearDup, Pq, Similarity, TextOps}
 
@@ -337,6 +338,34 @@ object LlmQueries {
         t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         t.documents.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", n = 5)
+    }),
+
+    // Corpus TF-IDF: top-3 highest-weighted terms per document — the
+    // term-weighting primitive behind quality filtering and topic
+    // binning. Two keyed shuffles (doc-term tf, term df) + one window;
+    // the 1-row corpus count broadcasts. idf is the raw-ratio variant
+    // (N/df, SMART 'n' — no transcendental, so both engines compute
+    // the identical double from identical integers; ranking inside a
+    // doc is tf-monotone either way), rounded to 9 and tie-broken by
+    // term for a total order.
+    "q58_tfidf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+      val tf = docs.select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf").cast("double") * col("__n") / col("df").cast("double"), 9))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
     }),
 
     // Multimodal pipeline over a persisted parquet fixture (seeded,
@@ -806,6 +835,21 @@ object LlmQueries {
            CASE WHEN len(sh) = 0 THEN 0.0
                 ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
            END AS repetition
-         FROM sh"""
+         FROM sh""",
+    "q58_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, term, tf, df,
+              round(CAST(tf AS DOUBLE) * n_docs / CAST(df AS DOUBLE), 9) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          ranked AS (
+            SELECT doc_id, term, tf, df, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INT) AS rank
+            FROM scored)
+        SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3"""
   )
 }

@@ -67,6 +67,28 @@ object RelationalQueries {
       path
     })
 
+  /** One time-clustered events copy + its file manifest per
+    * (process, sf) — the append-only log layout (range-partitioned and
+    * sorted by ts) every event table at scale already has, plus the
+    * per-file min/max manifest `operators.Manifest` maintains over it.
+    * Built once (bench warm-up), reused by every q57 run; the manifest
+    * is localCheckpointed so pruning never rescans the data.
+    */
+  private val manifestEvents =
+    scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
+  private def ensureManifestEvents(s: SparkSession, dir: String): (String, DataFrame) =
+    manifestEvents.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_m_events_$sfName"
+      Tables(s, dir).events
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(path)
+      (path, graft.operators.Manifest.collectStats(s, path, Seq("ts")).localCheckpoint())
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed CO-LOCATED join — the layout lever that decides whether
     // a repeatedly-joined 100 TB fact pair shuffles at all: both fact
@@ -501,6 +523,79 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value"),
           min(col("ts")).as("first_ts"))
+    }),
+
+    // TPC-H Q5-shaped star join: 6 tables, mixed broadcast/shuffle.
+    // The plan Catalyst should pick — and PLANS.md verifies — is the
+    // one that survives 100 TB: region/nation/supplier broadcast (tiny
+    // dims; the fact side never moves for them), lineitem⋈orders and
+    // ⋈customer shuffle on their keys, the date filter pushes to the
+    // orders scan so the biggest join's build side is already pruned.
+    "q55_star_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val nations = t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t.lineitem
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Per-user rolling 1-hour aggregate — a RANGE-frame window (frame
+    // bounds by VALUE, not row count), the shape rows-frames cannot
+    // express when event spacing is irregular. One user_id-keyed
+    // shuffle; frames are per-user and bounded by time, so state never
+    // exceeds an hour of one user's events regardless of table size.
+    // Frame key is whole seconds (both engines floor the microsecond
+    // timestamp identically); the decimal window sum is order-exact.
+    "q56_rolling_window" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__sec"))
+        .rangeBetween(-3600L, 0L)
+      t.events
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("ts").cast("long").as("__sec"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(D)).over(w).cast("double").as("sum_1h"))
+    }),
+
+    // Manifest-pruned time-range scan over the time-clustered events
+    // copy (operators.Manifest): the driver drops files whose [min_ts,
+    // max_ts] misses the predicate BEFORE any task launches — Delta/
+    // Iceberg-style data skipping over plain parquet. The layout+
+    // manifest are the once-per-deployment cost (ensureManifestEvents);
+    // the residual filter keeps file-granular pruning semantically
+    // invisible, so the oracle is the plain filtered aggregate.
+    "q57_manifest_scan" -> ((s, dir) => {
+      val (path, m) = ensureManifestEvents(s, dir)
+      val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hi = lit("2024-01-12 23:59:59").cast("timestamp")
+      graft.operators.Manifest.prunedRead(s, path, m, "ts", lo, hi)
+        .filter(col("ts").between(lo, hi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
     })
   )
 
@@ -701,6 +796,42 @@ object RelationalQueries {
          MIN(ts) AS first_ts
          FROM events
          WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10.0 AND 60.0
+         GROUP BY 1""",
+    "q55_star_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "q56_rolling_window" ->
+      """SELECT event_id, user_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+         COUNT(*) OVER w AS n_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    // the manifest prune is file-granular and semantically invisible;
+    // the logical answer is the plain filtered aggregate
+    "q57_manifest_scan" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+         FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+           AND TIMESTAMP '2024-01-12 23:59:59'
          GROUP BY 1"""
   )
 }

