@@ -353,9 +353,15 @@ object LlmQueries {
       val docs = t.documents
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
       val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+      // tf feeds BOTH the df aggregation and the final join; without a
+      // materialization Spark plans the scan→tokenize→explode→agg
+      // subtree twice (attribute ids differ, so ReuseExchange can't
+      // dedupe). Checkpointing the doc-term counts — far smaller than
+      // the raw token stream — runs the heaviest stage once.
       val tf = docs.select(col("doc_id"), explode(col("__toks")).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))
