@@ -384,6 +384,27 @@ object RelationalQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Approximate distinct users per event type via HLL sketches — and
+    // not one sketch pass but the 100 TB deployment shape: per-day
+    // sketches (the persisted pre-aggregate a dashboard maintains; new
+    // days append without touching history) merged by hll_union_agg
+    // into the full-range estimate. Sketches are a few KB per group —
+    // the exchange carries registers, never user ids. NO ORACLE by
+    // construction (estimates are accuracy-bounded, not value-defined;
+    // DuckDB's approx_count_distinct is a different sketch);
+    // ApproxDistinctSpec pins the error vs the exact count and the
+    // merge-equals-direct property.
+    "q59_approx_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg(hll_sketch_agg(col("user_id")).as("__sk"))
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_users"),
+          count(lit(1)).as("n_days"))
+    }),
+
     // Running aggregate window (frame-based) per supplier over ship time.
     "q18_window_running" -> ((s, dir) => {
       val t = Tables(s, dir)
