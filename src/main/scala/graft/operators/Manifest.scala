@@ -27,19 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Manifest {
 
+  private def perFileStats(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "manifest needs at least one stat column")
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** Per-file statistics for `statCols`: one row per parquet file with
     * `n_rows` and `min_<c>` / `max_<c>` per column, from ONE scan.
     * All-null files keep null min/max (treated as non-prunable by
     * `prune` — they must be read, the residual filter decides).
     */
   def collectStats(spark: SparkSession, path: String,
-                   statCols: Seq[String]): DataFrame = {
-    require(statCols.nonEmpty, "manifest needs at least one stat column")
-    val aggs = statCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+                   statCols: Seq[String]): DataFrame =
+    perFileStats(spark.read.parquet(path), statCols)
+
+  /** Incremental maintenance: scan ONLY `newFiles` (an appended batch)
+    * and union their rows with the existing manifest — the per-append
+    * cost is O(new data), never a history rescan. `statCols` must match
+    * the columns the manifest was built with.
+    */
+  def appendStats(spark: SparkSession, manifest: DataFrame,
+                  newFiles: Seq[String], statCols: Seq[String]): DataFrame = {
+    require(newFiles.nonEmpty, "appendStats needs at least one new file")
+    manifest.unionByName(perFileStats(spark.read.parquet(newFiles: _*), statCols))
   }
 
   /** The files whose `[min_c, max_c]` interval overlaps `[lo, hi]`

@@ -74,6 +74,34 @@ class ManifestSpec extends SparkSpec {
       "no evidence is not evidence of absence")
   }
 
+  test("appendStats over only the new batch equals a full rebuild") {
+    val dir = writeClustered(500, 4)
+    val before = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val m0 = Manifest.collectStats(spark, dir, Seq("k")).localCheckpoint()
+    // append a second batch of files to the same directory
+    (501 to 800).map(i => (i.toLong, s"v$i", i * 2.0)).toDF("k", "s", "v")
+      .repartitionByRange(2, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("append").parquet(dir)
+    val after = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val newFiles = (after -- before).toSeq
+    assert(newFiles.nonEmpty)
+    val incr = Manifest.appendStats(spark, m0, newFiles, Seq("k"))
+    val full = Manifest.collectStats(spark, dir, Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "n_rows", "min_k", "max_k")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(canon(incr) === canon(full))
+    // and the maintained manifest prunes correctly over the grown table
+    val survivors = Manifest.prune(incr, "k", lit(600L), lit(700L))
+    assert(survivors.nonEmpty && survivors.toSet.subsetOf(after))
+    val pruned = Manifest.prunedRead(spark, dir, incr, "k", lit(600L), lit(700L))
+      .filter(col("k").between(600L, 700L)).count()
+    assert(pruned === 101L)
+  }
+
   test("empty survivor set returns an empty frame with the full schema") {
     val dir = writeClustered(100, 2)
     val m = Manifest.collectStats(spark, dir, Seq("k"))
