@@ -451,6 +451,70 @@ object Similarity {
       .connectedComponents().vertices.toDF("id", "keep_id")
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (public recipe:
+    * Abbas et al. 2023, arXiv:2303.09540): spherical k-means cells
+    * bound the pair space instead of `cosinePairs`' random LSH
+    * buckets. Cells are LEARNED, so they track data density, and
+    * within a cell the check is exact all-pairs cosine — no
+    * band-collision recall loss for pairs that land together; `k`
+    * tunes the budget (cells of ~n/k rows ⇒ ~n²/k pair work).
+    * Cross-cell near-dups are missed BY DESIGN — that is the SemDeDup
+    * trade; SemDedupSpec measures recall against the exact pair set,
+    * and the k=1 degeneracy (one cell ⇒ exact all-pairs, the q47
+    * lossless-PQ trick) is DuckDB-oracle-checked as q60.
+    *
+    * Scale shape: centroids train on a (sampled) driver-resident
+    * literal; assignment is a zero-shuffle native-argmax projection;
+    * the (id, cell) index is checkpointed once and the cell-keyed
+    * self-join ships ids only; vectors join back per candidate pair.
+    */
+  def semanticPairs(df: DataFrame, tau: Double, k: Int,
+                    iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L, trainFraction: Double = 1.0,
+                    dim: Int = 0): DataFrame = {
+    val cents = kmeansCentroids(df, k, iters, vecCol, seed, trainFraction)
+    val normed: Seq[Seq[Double]] = cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (if (n == 0) c else c.map(_ / n)).toSeq
+    }.toSeq
+    val vecD = col(vecCol).cast("array<double>")
+    val assigned = df
+      .select(col(idCol).as("__id"),
+        graft.functions.ArgmaxDot(vecD, normed).as("__c"))
+      .localCheckpoint() // one assignment scan feeds both join sides
+    val cand = assigned.as("l")
+      .join(assigned.as("r"),
+        col("l.__c") === col("r.__c") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    val vecs = df.select(col(idCol).as("__vid"), vecD.as("__v"))
+    cand
+      .join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), Seq("id_a"))
+      .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** Semantic near-dup GROUPS: connected components over
+    * `semanticPairs`, min id as representative — `cosineDupGroups`'
+    * learned-cell sibling.
+    */
+  def semanticDupGroups(df: DataFrame, tau: Double, k: Int,
+                        iters: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L, trainFraction: Double = 1.0,
+                        dim: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = semanticPairs(df, tau, k, iters, idCol, vecCol, seed,
+      trainFraction, dim)
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices.toDF("id", "keep_id")
+  }
+
   /** Recall@k of an approximate result against the exact one: fraction
     * of (query, neighbor) pairs in the exact top-k that the approx
     * result also returned. Test/monitoring utility.

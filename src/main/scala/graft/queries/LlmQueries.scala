@@ -35,6 +35,46 @@ object LlmQueries {
   private def sqlHits(listSql: String): String =
     s"len(list_filter(toks, t -> list_contains($listSql, t)))"
 
+  /** The embeddings-plus-perturbed-twins corpus q34 and q60 share.
+    * Twin perturbation mirrors the DuckDB twin exactly: double math,
+    * dim index i (0-based here, 1-based in DuckDB — hence i+1).
+    * STAGED: the perturbation must run in a select of its own —
+    * referencing col("vec_id") in a lambda alongside an
+    * `(vec_id + 1000000).as("vec_id")` alias in the SAME select
+    * resolves against the ALIAS, not the input column.
+    */
+  private def cosineCorpus(t: Tables): DataFrame = {
+    val base = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val twins = t.embeddings
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + lit(0.005) *
+            (pmod(col("vec_id") + i.cast("bigint") + 1, lit(7)) - 3).cast("double"))
+          .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    base.unionByName(twins)
+  }
+
+  // Exact all-pairs cosine ≥ 0.8 over the shared embeddings+twins
+  // corpus — the ground truth both q34 (LSH plan) and q60 (learned-cell
+  // plan, k=1 degeneracy) must reproduce.
+  private val sqlExactCosinePairs =
+    """WITH corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  (x, i) -> x + CAST(0.005 AS DOUBLE) * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
+         FROM embeddings),
+       sims AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9)
+             AS cos_sim
+         FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+     SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.8"""
+
   private val sqlStopwords =
     TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -265,30 +305,30 @@ object LlmQueries {
     // the 8-band miss probability is ~1e-8 while the natural pair
     // distribution tops out at 0.51 — no borderline band exists.
     "q34_cosine_neardup" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val base = t.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      // twin perturbation mirrors the DuckDB twin exactly: double math,
-      // dim index i (0-based here, 1-based in DuckDB — hence i+1).
-      // STAGED: the perturbation must run in a select of its own —
-      // referencing col("vec_id") in a lambda alongside an
-      // `(vec_id + 1000000).as("vec_id")` alias in the SAME select
-      // resolves against the ALIAS, not the input column.
-      val twins = t.embeddings
-        .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            (x, i) => x + lit(0.005) *
-              (pmod(col("vec_id") + i.cast("bigint") + 1, lit(7)) - 3).cast("double"))
-            .as("embedding"))
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       // 80 planes × 8 bands = 10 bits/band: at the planted pairs'
       // cosine (≈0.997, per-plane agree 0.974) a twin misses all 8
       // bands with p ≈ 7e-6, while unrelated pairs (cosine ≤ 0.51)
       // collide in ~0.8% of buckets — the 4-bit default bucketed 3.2M
       // of the 8M possible pairs at sf0.1; 10 bits cuts that ~50×.
-      Similarity.cosinePairs(base.unionByName(twins), tau = 0.8,
+      Similarity.cosinePairs(cosineCorpus(Tables(s, dir)), tau = 0.8,
         idCol = "vec_id", vecCol = "embedding", numPlanes = 80, bands = 8,
         dim = Tables.EmbeddingDim) // contract constant → no LIMIT-1 dim probe
+    }),
+
+    // SemDeDup-style semantic dedup (Similarity.semanticPairs): learned
+    // spherical-k-means cells bound the pair space instead of q34's
+    // random LSH buckets; within a cell the check is exact all-pairs
+    // cosine. On the oracle surface in its k=1 degeneracy — one cell ⇒
+    // exact all-pairs over the whole corpus, the same lossless trick
+    // that puts PQ on the surface as q47 — so the DuckDB twin is q34's
+    // exact pair set and the whole train→assign→cell-join→verify
+    // machinery is hash-checked end to end. The production path (k>1,
+    // sampled training, cells ≈ n/k) is pinned by SemDedupSpec:
+    // pairs ⊆ exact, planted-twin recall, determinism.
+    "q60_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticPairs(cosineCorpus(Tables(s, dir)), tau = 0.8,
+        k = 1, iters = 0, idCol = "vec_id", vecCol = "embedding",
+        dim = Tables.EmbeddingDim)
     }),
 
     // End-to-end corpus cleaning — the full pre-training dedup
@@ -724,21 +764,10 @@ object LlmQueries {
     // Exact all-pairs cosine ≥ 0.8 over embeddings + perturbed twins —
     // the ground truth for q34's LSH + exact-verify path. The twin's
     // (x, i) lambda index is 1-based in DuckDB (Spark side adds 1).
-    "q34_cosine_neardup" ->
-      """WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-                  list_transform(CAST(embedding AS DOUBLE[]),
-                    (x, i) -> x + CAST(0.005 AS DOUBLE) * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
-           FROM embeddings),
-         sims AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9)
-               AS cos_sim
-           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
-       SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= 0.8""",
+    "q34_cosine_neardup" -> sqlExactCosinePairs,
+    // q60's k=1 degeneracy is exact all-pairs over the same corpus:
+    // learned-cell plan, q34's answer (the q53/q41 same-oracle pattern)
+    "q60_semantic_dedup" -> sqlExactCosinePairs,
     "q19_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
