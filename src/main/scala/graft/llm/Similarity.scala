@@ -472,7 +472,10 @@ object Similarity {
                     iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L, trainFraction: Double = 1.0,
-                    dim: Int = 0): DataFrame = {
+                    dim: Int = 0, blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
     val cents = kmeansCentroids(df, k, iters, vecCol, seed, trainFraction)
     val normed: Seq[Seq[Double]] = cents.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
@@ -480,18 +483,46 @@ object Similarity {
     }.toSeq
     val vecD = col(vecCol).cast("array<double>")
     val assigned = df
-      .select(col(idCol).as("__id"),
-        graft.functions.ArgmaxDot(vecD, normed).as("__c"))
+      .select(col(idCol).as("__id"), vecD.as("__v"),
+        graft.functions.ArgmaxDot(vecD, normed).as("__c"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__b"))
       .localCheckpoint() // one assignment scan feeds both join sides
-    val cand = assigned.as("l")
-      .join(assigned.as("r"),
-        col("l.__c") === col("r.__c") && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-    val vecs = df.select(col(idCol).as("__vid"), vecD.as("__v"))
-    cand
-      .join(vecs.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), Seq("id_a"))
-      .join(vecs.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // Triangle-blocked self-join with INLINE verify. Two forces shape
+    // this plan:
+    //  - a cell is ONE join key, so a naive self-join runs a hot
+    //    cell's entire pair space in a single task (k=1, the oracle
+    //    mode, is the extreme: every row in one cell). Each row hashes
+    //    into one of `blocks` sub-blocks and candidates join on
+    //    (cell, block-pair) over the i <= j triangle, spreading a cell
+    //    over blocks(blocks+1)/2 keys — explicitly repartitioned so
+    //    AQE's input-size heuristic (which sees the small index, not
+    //    the quadratic pair output) cannot coalesce them back into one
+    //    partition.
+    //  - the pair space is QUADRATIC in the cell size, so shipping id
+    //    pairs to a separate vector join-back shuffles O(pairs) rows;
+    //    carrying the vectors through the triangle join instead ships
+    //    (blocks+1)/2 × the LINEAR vector table and emits only the
+    //    ≥ tau survivors — cheaper whenever cells exceed a few rows.
+    // Each unordered pair survives exactly once: an (i, j) pair with
+    // i < j appears only with the i-side row on the left; i == j rows
+    // orient by id.
+    val blockPairs = (for (i <- 0 until blocks; j <- i until blocks)
+      yield (i, j)).toDF("__bi", "__bj")
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val l2 = assigned.join(broadcast(blockPairs), col("__b") === col("__bi"))
+      .select(col("__id").as("__ida"), col("__v").as("__va"),
+        col("__c"), col("__bi"), col("__bj"))
+      .repartition(shufflePartitions, col("__c"), col("__bi"), col("__bj"))
+    val r2 = assigned.join(broadcast(blockPairs), col("__b") === col("__bj"))
+      .select(col("__id").as("__idb"), col("__v").as("__vb"),
+        col("__c"), col("__bi"), col("__bj"))
+      .repartition(shufflePartitions, col("__c"), col("__bi"), col("__bj"))
+    l2.join(r2, Seq("__c", "__bi", "__bj"))
+      .filter(col("__bi") < col("__bj") || col("__ida") < col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        // cosine is symmetric, so the id orientation is irrelevant
         round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
   }
