@@ -56,6 +56,26 @@ object EventStream {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Per-window HLL sketch table — the streaming PRODUCER of q59's
+    * pre-aggregate: each watermark-closed window emits (window_start,
+    * event_type, user_sketch) where the sketch is the mergeable HLL
+    * register blob, not an estimate. Any time-range's distinct-user
+    * count is then a tiny batch `hll_union_agg` over the stored
+    * sketches (EventStreamSpec proves the round trip) — the event
+    * stream is scanned once, ever, and re-aggregation to any coarser
+    * granularity never revisits it. State per (window, type) group is
+    * one ~KB sketch, bounded by the watermark.
+    */
+  def userSketches(events: DataFrame, windowMinutes: Int = 60,
+                   watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("win"),
+        col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("user_sketch"))
+
   /** Streaming exact dedup by event id with watermark-bounded state:
     * duplicates arriving within `watermarkDelay` of the original are
     * dropped; state for ids older than the watermark is evicted, so

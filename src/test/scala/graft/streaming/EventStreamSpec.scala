@@ -130,6 +130,38 @@ class EventStreamSpec extends SparkSpec {
       Seq(("click", 3L, 1), ("view", 2L, 2)))
   }
 
+  test("userSketches: streamed sketch table batch-merges to the true distinct count") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStream.userSketches(source.toDF(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("sketches")
+      .outputMode("append").start()
+    // 300 events over 2 hours, users cycle mod 97 per type
+    val evs = (1 to 300).map(i => Event(i, i % 97,
+      if (i % 2 == 0) "click" else "view", 0.0, ts(i % 120)))
+    source.addData(evs: _*)
+    q.processAllAvailable()
+    source.addData(Event(9999, 999, "sentinel", 0.0, ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val sketches = spark.table("sketches")
+      .filter(col("event_type") =!= "sentinel")
+    // one sketch row per (closed window, type): 2 windows x 2 types
+    assert(sketches.count() === 4)
+    // the whole-range answer comes from merging STORED sketches — the
+    // stream itself is never rescanned
+    val merged = sketches.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("m"))
+      .as[(String, Long)].collect().toMap
+    val truth = evs.groupBy(_.event_type)
+      .map { case (t, es) => t -> es.map(_.user_id).distinct.size }
+    assert(merged.keySet === truth.keySet)
+    truth.foreach { case (t, exact) =>
+      assert(math.abs(merged(t) - exact).toDouble / exact <= 0.02,
+        s"$t: merged ${merged(t)} vs exact $exact")
+    }
+  }
+
   test("batch twin: hourlyAgg grouping matches q15's on the events table") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val agg = hourlyAgg(t.events)
