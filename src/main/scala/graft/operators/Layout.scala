@@ -74,6 +74,51 @@ object Layout {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  final case class CompactionStats(filesBefore: Int, filesAfter: Int,
+                                   bytes: Long)
+
+  /** Small-file compaction (the lakehouse OPTIMIZE): rewrite a parquet
+    * directory into files of roughly `targetBytes`, optionally
+    * re-clustering on `clusterCols` (range-partition + sort, so
+    * per-file min/max stats stay narrow — a `Manifest` built after
+    * compaction prunes as well as before). Streaming sinks and
+    * per-task writers accrete thousands of KB-sized files whose
+    * per-file task/open/footer overhead eventually dominates scans;
+    * compaction is the periodic maintenance that pays one bounded
+    * rewrite to restore scan efficiency.
+    *
+    * The rewrite goes to a temp sibling directory and swaps in via
+    * delete + rename through the Hadoop FS API (same semantics on
+    * HDFS/S3A as local disk). Single-writer assumption, like every
+    * log-less table format: readers racing the swap can fail and
+    * retry; a crash between delete and rename leaves the temp dir
+    * intact for manual recovery.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long, clusterCols: Seq[String] = Nil): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parquetFiles = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parquetFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(nOut, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      else df.repartition(nOut)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+    val nAfter = fs.listStatus(tmp)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    CompactionStats(parquetFiles.length, nAfter, totalBytes)
+  }
+
   /** Salt from a hash of ALL of `df`'s columns — a pure row function,
     * so each row's salt is identical under any physical partitioning
     * (monotonically_increasing_id would vary with row placement and

@@ -103,4 +103,47 @@ class LayoutSpec extends SparkSpec {
     val again = salts(big.repartition(17))
     assert(once === again, "per-row salt changed with physical partitioning")
   }
+
+  test("compact: merges small files to the byte target, preserves the row set") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val rows = (1 to 5000).map(i => (i.toLong, s"payload-$i"))
+    rows.toDF("k", "s").repartition(32).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(nFiles === 32)
+    val stats = Layout.compact(spark, dir, targetBytes = stats0(dir) / 4)
+    assert(stats.filesBefore === 32)
+    assert(stats.filesAfter === nFiles)
+    assert(stats.filesAfter < 8, s"expected ~4-5 files, got ${stats.filesAfter}")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq === rows)
+  }
+
+  private def stats0(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  test("compact with clusterCols restores manifest-prunable layout") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // unclustered small files: every file spans ~the whole key range
+    (1 to 4000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .repartition(16).write.parquet(dir)
+    val spread = Manifest.collectStats(spark, dir, Seq("k"))
+    assert(Manifest.prune(spread, "k", lit(100L), lit(200L)).length === 16,
+      "random layout: no file can be skipped")
+    val stats = Layout.compact(spark, dir, targetBytes = stats0(dir) / 4,
+      clusterCols = Seq("k"))
+    assert(stats.filesAfter < stats.filesBefore)
+    val m = Manifest.collectStats(spark, dir, Seq("k"))
+    val surv = Manifest.prune(m, "k", lit(100L), lit(200L))
+    assert(surv.length < stats.filesAfter,
+      s"clustered compaction must restore skipping: ${surv.length}/${stats.filesAfter}")
+    val got = Manifest.prunedRead(spark, dir, m, "k", lit(100L), lit(200L))
+      .filter(col("k").between(100L, 200L)).count()
+    assert(got === 101L)
+  }
 }
