@@ -405,6 +405,37 @@ object RelationalQueries {
           count(lit(1)).as("n_days"))
     }),
 
+    // Pearson correlation per group — NOT the builtin corr(): streaming
+    // co-moment updates are order-sensitive in the low bits, so two
+    // partitionings (or two engines) disagree under exact hash-compare.
+    // Instead: the five moment sums in exact DECIMAL (order-independent
+    // by construction — the distributed-statistics shape that survives
+    // any partitioning), then one closed-form double evaluation from
+    // identical exact inputs; sqrt is correctly rounded in both
+    // engines, so round-9 equality is safe. One map-side-combined
+    // shuffle, same cost as any groupBy.
+    "q61_corr" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val D2 = DecimalType(38, 8)
+      val x = col("l_quantity").cast(D2)
+      val y = col("l_discount").cast(D2)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("__sx"), sum(y).as("__sy"),
+          sum(x * x).cast(D2).as("__sxx"), sum(y * y).cast(D2).as("__syy"),
+          sum(x * y).cast(D2).as("__sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round(
+            (col("n").cast("double") * col("__sxy").cast("double") -
+              col("__sx").cast("double") * col("__sy").cast("double")) /
+              (sqrt(col("n").cast("double") * col("__sxx").cast("double") -
+                col("__sx").cast("double") * col("__sx").cast("double")) *
+                sqrt(col("n").cast("double") * col("__syy").cast("double") -
+                  col("__sy").cast("double") * col("__sy").cast("double"))), 9)
+            .as("corr_qty_disc"))
+    }),
+
     // Running aggregate window (frame-based) per supplier over ship time.
     "q18_window_running" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -853,6 +884,24 @@ object RelationalQueries {
          FROM events
          WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
            AND TIMESTAMP '2024-01-12 23:59:59'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // same closed form over the same exact decimal moments — NOT the
+    // builtin corr(), whose streaming co-moments are order-sensitive
+    "q61_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(38,8))) AS sx,
+             SUM(CAST(l_discount AS DECIMAL(38,8))) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_quantity AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,8)) * CAST(l_discount AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_qty_disc
+         FROM m"""
   )
 }
