@@ -106,6 +106,39 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
 object PropertyGraph {
 
+  /** Size-gated connected components over a PAIR DataFrame — the
+    * group-forming step every dedup family member ends with (near-dup
+    * groups q36, embedding-cosine groups, SemDeDup groups q60).
+    * Vertices are the pair endpoints (GraphX `Graph.fromEdges`
+    * contract), label = min id per component. Routes through
+    * `EdgeSplitter.components`, so below 2^20 edges the labels come
+    * from a driver union-find instead of the ~10-iteration Pregel
+    * cascade (ComponentsSpec: bitwise-identical labels); at scale the
+    * GraphX path runs unchanged. Pairs are persisted for the duration
+    * of the call — the pair pipeline (LSH join + cosine verify) is the
+    * expensive part and feeds both the vertex list and the edge list.
+    */
+  def pairComponents(pairs: DataFrame,
+                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col(aCol).cast("long").as("source"), col(bCol).cast("long").as("target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    val nodeIds = edges.select(col("source").as("id"))
+      .union(edges.select(col("target").as("id"))).distinct()
+    val cutoff = 1L << 20
+    val out = EdgeSplitter.components(spark, nodeIds, edges,
+        edgeCountHint = nEdges, smallCutoff = cutoff)
+      .toDF("id", "keep_id")
+    // the driver union-find path has already materialized its result so
+    // the cache is droppable; the GraphX path's output is still lazy
+    // over these edges — leave the cache in place for it (GraphX CC
+    // re-reads the edge RDD across Pregel iterations)
+    if (nEdges <= cutoff) edges.unpersist()
+    out
+  }
+
   /** Build from the reference's canonical CSV pair
     * `{dir}/{gid}_nodes_{pid}.csv` / `{gid}_edges_{pid}.csv`
     * (fl_server.py:202-207).

@@ -138,7 +138,8 @@ object NearDup {
   }
 
   /** Near-dup GROUPS from the verified pair graph: connected components
-    * over near-dup pairs (union-find via GraphX), keep the minimum id
+    * over near-dup pairs (size-gated: driver union-find below 2^20
+    * edges, GraphX Pregel at scale), keep the minimum id
     * as each group's representative. Returns `(id, keep_id)` for every
     * doc in some group (singletons omitted). This is the "which rows
     * do I drop" form a dedup pipeline actually consumes.
@@ -147,13 +148,8 @@ object NearDup {
                     threshold: Double = 0.8, shingleN: Int = 3,
                     numHashes: Int = 64, bands: Int = 16,
                     seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN, numHashes, bands, seed)
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
-    graph.connectedComponents().vertices.toDF("id", "keep_id")
+    graft.graph.PropertyGraph.pairComponents(
+      nearDupPairs(df, idCol, textCol, threshold, shingleN, numHashes, bands, seed))
   }
 
   /** Exact all-pairs n-gram Jaccard above `threshold` — O(n²)

@@ -442,13 +442,8 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       numPlanes: Int = 32, bands: Int = 8, seed: Long = 42L,
                       dim: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pairs = cosinePairs(df, tau, idCol, vecCol, numPlanes, bands, seed, dim)
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    org.apache.spark.graphx.Graph.fromEdges(edges, ())
-      .connectedComponents().vertices.toDF("id", "keep_id")
+    graft.graph.PropertyGraph.pairComponents(
+      cosinePairs(df, tau, idCol, vecCol, numPlanes, bands, seed, dim))
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (public recipe:
@@ -536,14 +531,9 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         seed: Long = 42L, trainFraction: Double = 1.0,
                         dim: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pairs = semanticPairs(df, tau, k, iters, idCol, vecCol, seed,
-      trainFraction, dim)
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
-    org.apache.spark.graphx.Graph.fromEdges(edges, ())
-      .connectedComponents().vertices.toDF("id", "keep_id")
+    graft.graph.PropertyGraph.pairComponents(
+      semanticPairs(df, tau, k, iters, idCol, vecCol, seed,
+        trainFraction, dim))
   }
 
   /** Recall@k of an approximate result against the exact one: fraction
