@@ -58,6 +58,18 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 
+  // the Array payload compares by reference under the synthesized case
+  // class equals, so two semantically identical probes would never be
+  // `equals` — defeating Catalyst's semanticEquals-based reuse
+  // (ReuseExchange, common-subexpression elimination); compare contents
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def prettyName: String = "bloom_might_contain"
 }
 

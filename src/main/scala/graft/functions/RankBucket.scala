@@ -61,6 +61,16 @@ case class RankBucket(child: Expression, boundaries: Array[Double])
   override protected def withNewChildInternal(newChild: Expression): RankBucket =
     copy(child = newChild)
 
+  // content equality for the Array field (see BloomMightContain): the
+  // synthesized reference-compare would defeat semanticEquals reuse
+  override def equals(other: Any): Boolean = other match {
+    case r: RankBucket =>
+      child == r.child && java.util.Arrays.equals(boundaries, r.boundaries)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(boundaries)
+
   override def prettyName: String = "rank_bucket"
 }
 

@@ -235,8 +235,12 @@ object Similarity {
       // row (dim× the work — measured 13 s/iteration vs 0.3 s on the
       // sf0.1 sample). localCheckpoint materializes (centroid, vector)
       // once per row; it also keeps the per-iteration plans flat.
+      // ArgmaxDot codes malformed vectors (wrong length / null element)
+      // as -1; drop them like Pq.encode/indexIvfPq do, instead of
+      // letting the driver-side accumulate crash on acc(-1)
       val assigned = train.select(vecD.as("__v"))
         .select(bestIdx.as("__c"), col("__v"))
+        .filter(col("__c") =!= -1)
         .localCheckpoint()
       val sums = assigned
         .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))

@@ -54,6 +54,15 @@ object AsOfJoin {
     require(emitted.forall(!leftCols.contains(_)),
       s"right output columns ${emitted.mkString(",")} must not collide " +
         "with left columns — rename on the right side first")
+    // the join's internal working columns would silently overwrite a
+    // same-named input column (a left `__ts` would emerge as a copy of
+    // leftTs) — reject them on either side
+    val reserved = Seq("__ts", "__side", "__match", "__hit")
+    val clash = reserved.filter(n =>
+      leftCols.contains(n) || right.columns.contains(n))
+    require(clash.isEmpty,
+      s"column names [${clash.mkString(",")}] are reserved by the as-of " +
+        "join internals — rename them on the input first")
 
     // one struct per right row: match atomicity + a single ignoreNulls
     val payload = struct((rightTs +: payloadCols).map(col): _*)

@@ -99,7 +99,19 @@ object Layout {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parquetFiles = fs.listStatus(hPath)
+    val entries = fs.listStatus(hPath)
+    // Fail fast on nested (Hive-partitioned) layouts: the flat listing
+    // below would see totalBytes=0 while the read+rewrite silently
+    // flattens the partition structure into an unpartitioned directory
+    // before the destructive swap. Compacting partitioned tables means
+    // compacting each leaf directory individually.
+    val subDirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    require(subDirs.isEmpty,
+      s"compact() supports flat parquet directories only; $path contains " +
+        s"subdirectories [${subDirs.take(3).mkString(", ")}] — compact each " +
+        "partition leaf directory instead")
+    val parquetFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = parquetFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

@@ -45,7 +45,11 @@ object ZOrder {
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val quantiles = df.stat.approxQuantile(cols.toArray, probs, relErr)
     val buckets: Seq[Column] = cols.zip(quantiles).map { case (c, qs) =>
-      val bounds = qs.distinct.sorted
+      // a column containing NaN can surface NaN quantile boundaries;
+      // non-finite cuts would violate RankBucket's strictly-ascending
+      // contract and fail the whole layout write, while NaN rows
+      // themselves already rank 0 by the bucket function
+      val bounds = qs.filter(java.lang.Double.isFinite).distinct.sorted
       if (bounds.isEmpty) lit(0) // all-null column: single bucket
       else RankBucket(col(c).cast("double"), bounds)
     }

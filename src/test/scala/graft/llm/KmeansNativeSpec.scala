@@ -62,4 +62,24 @@ class KmeansNativeSpec extends SparkSpec {
     assert(r >= 0.9, s"trained-IVF recall@5 at nProbe=1 = $r")
     exact.unpersist(); df.unpersist()
   }
+
+  test("kmeansCentroids skips malformed vectors instead of crashing") {
+    // ArgmaxDot codes wrong-length / null-element vectors as -1; the
+    // trainer must drop them (the Pq.encode contract), not index
+    // acc(-1) on the driver
+    val rng = new scala.util.Random(3)
+    val good = (1 to 40).map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val shortRow = Seq((998L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val nullElem = Seq((999L, Seq.fill(8)(1.0))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 3, lit(null).cast("double")).otherwise(x))
+          .as("embedding"))
+    val df = good.unionByName(shortRow).unionByName(nullElem)
+    val cents = Similarity.kmeansCentroids(df, k = 2, iters = 2)
+    assert(cents.length === 2)
+    assert(cents.forall(_.length === 8), "centroids keep the good-vector dim")
+    assert(cents.forall(_.forall(x => !x.isNaN)))
+  }
 }

@@ -79,4 +79,20 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"))
     }
   }
+
+  test("reserved internal column names are rejected on either input") {
+    // a left column literally named __ts would be silently overwritten
+    // (it would emerge as a copy of leftTs) without the guard
+    val lBad = Seq((1L, "a", ts(10), 9L)).toDF("id", "k", "t", "__ts")
+    val r = Seq(("a", ts(5), 0.5)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(lBad, r, Seq("k"), "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val l = Seq((1L, "a", ts(10))).toDF("id", "k", "t")
+    val rBad = Seq(("a", ts(5), 0.5, 0)).toDF("k", "rt", "v", "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, rBad, Seq("k"), "t", "rt", Seq("v"))
+    }
+  }
 }

@@ -146,4 +146,16 @@ class LayoutSpec extends SparkSpec {
       .filter(col("k").between(100L, 200L)).count()
     assert(got === 101L)
   }
+
+  test("compact fails fast on a partitioned (nested) layout, before any mutation") {
+    val dir = java.nio.file.Files.createTempDirectory("compactpart").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("flat parquet"))
+    // the guard fires before the destructive swap: the table still reads
+    assert(spark.read.parquet(dir).count() === 2L)
+  }
 }
