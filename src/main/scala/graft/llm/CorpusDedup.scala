@@ -46,6 +46,77 @@ object CorpusDedup {
     kept.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Paragraph-granularity dedup — the missing rung between the
+    * line-level boilerplate gate (`TextOps.removeBoilerplate`) and the
+    * whole-document stages above: pre-training corpora repeat
+    * paragraphs/passages *within and across* otherwise-distinct
+    * documents (mirrored articles, quoted passages, templated
+    * sections), and document-level dedup never sees them.
+    *
+    * Semantics (engine-reproducible, the q62 oracle recomputes all
+    * four stages exactly in SQL):
+    *  1. split each document on `sep` into ordered paragraphs
+    *     (`(doc, idx, para)`);
+    *  2. EXACT stage: for each distinct paragraph text, only the
+    *     first occurrence corpus-wide survives — min `(doc, idx)`
+    *     per `md5(para)` class (keep-first, like [[clean]]'s stage 1
+    *     but at paragraph granularity);
+    *  3. NEAR-DUP stage: MinHash-LSH + exact-Jaccard-verify + CC over
+    *     the surviving paragraphs (the proven q27/q36 machinery,
+    *     paragraph id = `doc * maxParas + idx`); every group keeps
+    *     its minimum paragraph id, the rest drop;
+    *  4. reassemble: per document, surviving paragraphs re-join with
+    *     `sep` in original order. Documents left with no surviving
+    *     paragraph are omitted (they carried no novel text).
+    *
+    * Scale shape: the explode multiplies row count but not bytes
+    * (paragraphs partition the text); stage 2 shuffles
+    * `(hash, doc, idx)` triples with map-side combine, then an
+    * id-keyed semi-join; stage 3 is ids-only banded LSH exactly as at
+    * document level; reassembly is one doc-keyed shuffle whose
+    * payload is the kept text itself. Nothing pairs paragraphs
+    * all-against-all and no stage widens beyond O(text).
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n", threshold: Double = 0.6,
+                      shingleN: Int = 3, numHashes: Int = 48,
+                      bands: Int = 16, seed: Long = 42L,
+                      maxParas: Int = 1024): DataFrame = {
+    // 1. ordered paragraph explode
+    val paras = df.select(col(idCol).cast("long").as("__doc"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__para")))
+    // 2. exact keep-first corpus-wide: min (doc, idx) per content hash
+    val keyed = paras.withColumn("__h", md5(col("__para")))
+    val firsts = keyed.groupBy(col("__h"))
+      .agg(min(struct(col("__doc"), col("__idx"))).as("__first"))
+      .select(col("__h"), col("__first.__doc").as("__doc"),
+        col("__first.__idx").as("__idx"))
+    val survExact = keyed.join(firsts, Seq("__h", "__doc", "__idx"), "left_semi")
+      // paragraph id for the LSH stage; the guard keeps the encoding
+      // injective (a doc with >= maxParas paragraphs would alias ids)
+      .withColumn("__pid",
+        when(col("__idx") >= maxParas, raise_error(concat(
+          lit(s"dedupParagraphs: document "), col("__doc"),
+          lit(s" has >= $maxParas paragraphs — raise maxParas"))))
+          .otherwise(col("__doc") * maxParas + col("__idx")))
+    // 3. near-dup groups over surviving paragraphs; drop non-representatives
+    val dropNear = NearDup
+      .nearDupGroups(survExact, "__pid", "__para", threshold, shingleN,
+        numHashes, bands, seed)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("__pid"))
+    val kept = survExact.join(dropNear, Seq("__pid"), "left_anti")
+    // 4. reassemble in original paragraph order
+    kept.groupBy(col("__doc"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__idx"), col("__para")))),
+          s => s.getField("__para")),
+        sep).as(textCol))
+      .select(col("__doc").as(idCol), col(textCol))
+  }
+
   /** Benchmark decontamination — the n-gram overlap scan every
     * pre-training pipeline runs against its eval sets (the GPT-3-style
     * 13-gram check, n configurable): a training doc is contaminated if
@@ -70,6 +141,52 @@ object CorpusDedup {
       .join(benchGrams, Seq("__gram"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__gram")).as("n_overlap_grams"))
+  }
+
+  /** Contamination FRACTION scoring — [[decontaminate]]'s boolean
+    * flag, graduated: real decontamination pipelines set removal
+    * thresholds on the contaminated share of a document, not on "any
+    * overlap at all" (one shared n-gram flags a doc that quotes a
+    * single sentence the same as a verbatim benchmark copy). Score =
+    * |doc winnowing fingerprints ∩ benchmark fingerprint set| /
+    * |doc fingerprints| — winnowing (q38's k-gram/window sketch)
+    * rather than raw n-grams because its guarantee is POSITIONAL:
+    * any shared normalized substring of length ≥ k+w-1 contributes a
+    * shared fingerprint, so the fraction tracks how much of the
+    * document's CONTENT is benchmark material, at ~1/w the volume of
+    * full gram sets.
+    *
+    * Returns `(idCol, n_fps, n_hit, contamination)` for every train
+    * doc with at least one fingerprint; `contamination` rounds to 9
+    * places (the oracle-stable convention).
+    *
+    * Scale shape: the benchmark side collapses to a distinct
+    * fingerprint set (tiny vs the corpus — broadcast-able; at bloom
+    * scale, [[decontaminateBloom]]'s probe pattern applies verbatim
+    * to fingerprints); the train side explodes fingerprints once,
+    * joins on the fingerprint value, and aggregates per doc — one
+    * keyed shuffle, no doc-doc pairing.
+    */
+  def contaminationFraction(train: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = train.select(col(idCol),
+        TextOps.winnowingFingerprints(col(textCol), k, w).as("__fps"))
+      .filter(size(col("__fps")) > 0)
+    val benchFps = bench
+      .select(explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("__fp"))
+      .distinct()
+    // fingerprint arrays are distinct by construction (winnowing
+    // selection dedups), so one row per (doc, matching fingerprint)
+    val hits = fps.select(col(idCol), explode(col("__fps")).as("__fp"))
+      .join(benchFps, Seq("__fp"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    fps.select(col(idCol), size(col("__fps")).cast("long").as("n_fps"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_fps"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_fps").cast("double"), 9).as("contamination"))
   }
 
   /** Scale variant of [[decontaminate]] for when the benchmark's

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-bucket mergeable quantile sketches — q59's deployment pattern
+  * (per-day persisted pre-aggregates, merged at query time) applied to
+  * percentiles. Spark's `approx_percentile` buffer cannot round-trip
+  * through storage (the sketch state is internal to the aggregate), so
+  * the sketch here is a FIXED-BIN histogram: an `array<bigint>` of bin
+  * counts per (group, bucket) row. That choice buys three properties
+  * the builtin cannot offer:
+  *   - merge = elementwise sum — fully distributive, so per-day rows
+  *     combine across any partitioning, storage round-trip, or
+  *     late-arriving day with no accuracy interaction;
+  *   - determinism — bin boundaries are a pure function of (lo, hi,
+  *     bins), so the merged percentile is VALUE-DEFINED and
+  *     oracle-checkable (unlike KLL/GK sketches whose answer depends
+  *     on merge order), with error bounded by one bin width
+  *     (hi-lo)/bins;
+  *   - O(bins) state per group-bucket — a few KB rides the exchange
+  *     and the parquet row, never the value population.
+  *
+  * Scale shape: the histogram build is one map-side-combinable keyed
+  * shuffle (group, bucket, bin); the merge explodes O(bins) rows per
+  * sketch row, sums per (group, bin), and extracts percentiles with a
+  * per-group window over `bins` rows — no stage ever sees raw values.
+  * The 100 TB dashboard maintains the per-day table incrementally
+  * (new days append) and pays only the merge query per refresh.
+  */
+object QuantileSketch {
+
+  /** Build the per-(groupCols, bucket) histogram sketch table:
+    * one row per group × bucket with a `counts` array of `bins`
+    * elements. Values are clamped into [lo, hi] (bin = floor((v-lo)/w)
+    * clamped to [0, bins-1]) — pass the data's true min/max for
+    * clamp-free binning.
+    */
+  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                bucketExpr: Column, bucketName: String,
+                lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val bin = least(
+      greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)),
+        lit(0L)),
+      lit((bins - 1).toLong)).cast("int")
+    val keyCols = groupCols.map(col) :+ col(bucketName)
+    df.select((groupCols.map(col) :+ bucketExpr.as(bucketName) :+
+        bin.as("__bin")): _*)
+      .groupBy((keyCols :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(keyCols: _*)
+      .agg(map_from_entries(collect_list(struct(col("__bin"), col("__cnt"))))
+        .as("__m"))
+      .select((keyCols :+
+        transform(sequence(lit(0), lit(bins - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("counts")): _*)
+  }
+
+  /** Merge sketch rows across buckets and extract percentiles per
+    * group: for each (name, q), the upper edge of the first bin whose
+    * cumulative count reaches q × total — deterministic, error ≤ one
+    * bin width. Output: (groupCols..., <name> per entry, n).
+    * (lo, hi, bins) must be the values the sketch was built with.
+    */
+  def percentiles(sketch: DataFrame, groupCols: Seq[String],
+                  qs: Seq[(String, Double)],
+                  lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 })
+    val width = (hi - lo) / bins
+    val g = groupCols.map(col)
+    val merged = sketch
+      .select((g :+ posexplode(col("counts")).as(Seq("__pos", "__cnt"))): _*)
+      .groupBy((g :+ col("__pos")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val wOrd = Window.partitionBy(g: _*).orderBy(col("__pos"))
+    val wAll = Window.partitionBy(g: _*)
+    val cum = merged
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__tot", sum(col("__cnt")).over(wAll))
+    val aggs = qs.map { case (name, q) =>
+      round(lit(lo) + (min(when(col("__cum") >= lit(q) * col("__tot"),
+        col("__pos"))) + 1) * lit(width), 9).as(name)
+    } :+ max(col("__tot")).as("n")
+    cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

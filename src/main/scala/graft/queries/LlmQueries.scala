@@ -540,6 +540,52 @@ object LlmQueries {
       val index = Pq.indexIvfPq(emb, "vec_id", "embedding", coarse, cb)
       Pq.ivfPqTopK(index, emb.filter(col("vec_id") < 10), coarse, cb,
         k = 5, nProbe = 4)
+    }),
+
+    // Paragraph-granularity dedup (CorpusDedup.dedupParagraphs) — the
+    // granularity rung between line-level boilerplate removal (q44)
+    // and whole-document dedup (q40). Corpus plants all three dup
+    // classes: every doc carries its own text (unique), its group
+    // anchor's text (exact dup across the 10-doc group, AND a
+    // within-doc dup on the anchor itself), a truncated anchor text
+    // (exact dup across the group whose one survivor is a NEAR-dup of
+    // the anchor paragraph — q27's planted-twin relation, same LSH
+    // params, so band completeness carries), and — on every third doc
+    // — a doc-unique tail paragraph that must survive untouched.
+    // Oracle: all four stages recomputed exactly in SQL (keep-first
+    // window, exact all-pairs Jaccard, recursive min-label CC,
+    // ordered string_agg reassembly).
+    "q62_paragraph_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val anchors = docs.select(col("doc_id").as("__aid"), col("text").as("__atext"))
+      val corpus = docs
+        .withColumn("__aid", col("doc_id") - pmod(col("doc_id"), lit(10)))
+        .join(anchors, Seq("__aid"))
+        .select(col("doc_id"), concat_ws("\n\n",
+          col("text"),
+          col("__atext"),
+          substring(col("__atext"), lit(1),
+            greatest(length(col("__atext")) - 10, lit(1))),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("tail marker "), col("doc_id"), lit(" end")))
+        ).as("text"))
+      CorpusDedup.dedupParagraphs(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+    }),
+
+    // Contamination FRACTION — q41/q53's boolean flag graduated to the
+    // score real pipelines threshold on: the share of each train doc's
+    // winnowing fingerprints (q38's sketch, same k=8/w=4) present in
+    // the benchmark fingerprint set, over the same %20 train/bench
+    // split. Oracle: the fingerprint sets are deterministic (q38's
+    // proven twin), so DuckDB recomputes the fraction exactly.
+    "q63_contamination_frac" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      CorpusDedup.contaminationFraction(
+        t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        t.documents.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", k = 8, w = 4)
     })
   )
 
@@ -885,6 +931,89 @@ object LlmQueries {
               CAST(row_number() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, term) AS INT) AS rank
             FROM scored)
-        SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3"""
+        SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3""",
+    // Paragraph-dedup twin: same corpus construction, then the four
+    // stages recomputed exactly — ordered split (unnest over
+    // range(len)), keep-first per md5 class by (doc, idx), exact
+    // all-pairs Jaccard >= 0.6 over the surviving paragraphs under the
+    // pid = doc*1024 + idx encoding (reusing q27's pair CTEs; LSH
+    // completeness carries because the planted near-dup relation is
+    // q27's text-minus-10-chars construction), recursive min-label CC,
+    // and string_agg reassembly in paragraph order.
+    "q62_paragraph_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+            SELECT d.doc_id,
+                   d.text || chr(10)||chr(10) || a.text || chr(10)||chr(10) ||
+                   substring(a.text, 1, greatest(length(a.text) - 10, 1)) ||
+                   CASE WHEN d.doc_id % 3 = 0
+                        THEN chr(10)||chr(10) || 'tail marker ' ||
+                             CAST(d.doc_id AS VARCHAR) || ' end'
+                        ELSE '' END AS text
+            FROM documents d
+            JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 10),
+          sp AS (
+            SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts
+            FROM corpus),
+          paras AS (
+            SELECT doc_id, idx, parts[idx + 1] AS para FROM (
+              SELECT doc_id, parts, unnest(range(len(parts))) AS idx FROM sp)),
+          kept1 AS (
+            SELECT doc_id, idx, para FROM (
+              SELECT doc_id, idx, para, ROW_NUMBER() OVER (
+                PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+              FROM paras) WHERE rn = 1),
+          pp AS (SELECT doc_id * 1024 + idx AS doc_id, para AS text FROM kept1),
+          ${sqlPairCtes("pp")},
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          grp AS (SELECT id, MIN(k) AS keep_id FROM lbl GROUP BY id),
+          kept2 AS (
+            SELECT k1.doc_id, k1.idx, k1.para
+            FROM kept1 k1 LEFT JOIN grp g ON g.id = k1.doc_id * 1024 + k1.idx
+            WHERE g.id IS NULL OR g.keep_id = g.id)
+        SELECT doc_id,
+               string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+        FROM kept2 GROUP BY doc_id""",
+    // Contamination-fraction twin: q38's exact fingerprint pipeline
+    // (same normalization, md5 8-grams, 4-window distinct minima) for
+    // both sides of the %20 split, then the fraction recomputed from
+    // the exact sets.
+    "q63_contamination_frac" ->
+      """WITH norm AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+           FROM documents),
+         gh AS (
+           SELECT doc_id,
+             list_transform(range(1, greatest(length(norm) - 7, 0) + 1),
+               i -> md5(substr(norm, i, 8))) AS gh
+           FROM norm),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN len(gh) < 4 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(gh) - 3 + 1),
+                    j -> list_min(gh[j:j+3]))) END AS fps
+           FROM gh),
+         tr AS (SELECT doc_id, fps FROM fp
+                WHERE doc_id % 20 != 0 AND len(fps) > 0),
+         be AS (SELECT DISTINCT unnest(fps) AS f FROM fp WHERE doc_id % 20 = 0),
+         hits AS (
+           SELECT t.doc_id, COUNT(*) AS n_hit
+           FROM (SELECT doc_id, unnest(fps) AS f FROM tr) t
+           JOIN be ON be.f = t.f
+           GROUP BY t.doc_id)
+       SELECT tr.doc_id,
+              CAST(len(tr.fps) AS BIGINT) AS n_fps,
+              CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+              round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                    / CAST(len(tr.fps) AS DOUBLE), 9) + 0.0 AS contamination
+       FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id"""
   )
 }

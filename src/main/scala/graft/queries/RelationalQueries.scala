@@ -89,6 +89,33 @@ object RelationalQueries {
       (path, graft.operators.Manifest.collectStats(s, path, Seq("ts")).localCheckpoint())
     })
 
+  /** One persisted per-day quantile-sketch table over `events.value`
+    * per (process, sf) — q59's deployment shape for percentiles: the
+    * per-day pre-aggregate a latency dashboard maintains (new days
+    * append without touching history), merged at query time. The
+    * (lo, hi) bin range is the data's exact min/max — exact aggregates,
+    * so the sketch (and q64's answer) is fully deterministic and
+    * oracle-checkable, unlike merge-order-sensitive KLL/GK sketches.
+    */
+  private val dailyValueSketch =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Double, Double)]
+  private val SketchBins = 256
+  private def ensureDailyValueSketch(s: SparkSession, dir: String): (String, Double, Double) =
+    dailyValueSketch.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_qsketch_events_$sfName"
+      val t = Tables(s, dir)
+      val r = t.events.agg(min(col("value")).cast("double"),
+        max(col("value")).cast("double")).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      graft.operators.QuantileSketch.histogram(t.events, "value",
+          Seq("event_type"), to_date(col("ts")), "day", lo, hi, SketchBins)
+        .write.mode("overwrite").parquet(path)
+      (path, lo, hi)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed CO-LOCATED join — the layout lever that decides whether
     // a repeatedly-joined 100 TB fact pair shuffles at all: both fact
@@ -648,6 +675,26 @@ object RelationalQueries {
           dsum(col("value")).as("sum_value"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    }),
+
+    // Per-day mergeable quantile sketches (QuantileSketch) — q59's
+    // persisted-pre-aggregate deployment shape applied to percentiles:
+    // a per-(event_type, day) fixed-bin histogram table persists as
+    // parquet (built on first touch like q54/q57's layout artifacts),
+    // and the query merges the stored sketch rows — elementwise count
+    // sums — into full-range p50/p90. Deterministic bins (exact
+    // min/max range) make the merged answer value-defined, so unlike
+    // q49's KLL path this IS oracle-checkable: the DuckDB twin
+    // recomputes the same histogram percentile from the raw rows
+    // (merging per-day integer counts ≡ counting directly). Error vs
+    // the true percentile ≤ one bin width — pinned with the
+    // merge-equals-direct and storage-round-trip properties by
+    // QuantileSketchSpec.
+    "q64_daily_quantile_sketch" -> ((s, dir) => {
+      val (path, lo, hi) = ensureDailyValueSketch(s, dir)
+      graft.operators.QuantileSketch.percentiles(s.read.parquet(path),
+        Seq("event_type"), Seq("p50_value" -> 0.5, "p90_value" -> 0.9),
+        lo, hi, SketchBins)
     })
   )
 
@@ -902,6 +949,39 @@ object RelationalQueries {
              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
              AS corr_qty_disc
-         FROM m"""
+         FROM m""",
+    // Quantile-sketch twin: the per-day sketch table is a PHYSICAL
+    // artifact; merging its per-day integer bin counts is exactly
+    // counting over all rows, so the logical answer is the same
+    // fixed-bin histogram percentile computed directly — same exact
+    // min/max range, same double bin arithmetic, same
+    // first-bin-reaching-q×total upper edge.
+    "q64_daily_quantile_sketch" ->
+      """WITH b AS (
+           SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                  CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+         binned AS (
+           SELECT event_type,
+             CAST(least(greatest(floor((CAST(value AS DOUBLE) - lo)
+               / ((hi - lo) / 256)), 0), 255) AS INT) AS pos
+           FROM events, b),
+         cnt AS (
+           SELECT event_type, pos, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, pos,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY pos) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS tot
+           FROM cnt),
+         sel AS (
+           SELECT event_type,
+             MIN(CASE WHEN cum >= 0.5 * tot THEN pos END) AS b50,
+             MIN(CASE WHEN cum >= 0.9 * tot THEN pos END) AS b90,
+             MAX(tot) AS n
+           FROM cum GROUP BY 1)
+       SELECT event_type,
+         round(lo + (b50 + 1) * ((hi - lo) / 256), 9) + 0.0 AS p50_value,
+         round(lo + (b90 + 1) * ((hi - lo) / 256), 9) + 0.0 AS p90_value,
+         CAST(n AS BIGINT) AS n
+       FROM sel, b"""
   )
 }

@@ -16,7 +16,8 @@ object SoakDedup {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.local(cpus, "soak-dedup")
     spark.sparkContext.setLogLevel("WARN")
-    val targets = Seq("q27_minhash_neardup", "q36_neardup_groups", "q40_corpus_dedup")
+    val targets = Seq("q27_minhash_neardup", "q36_neardup_groups",
+      "q40_corpus_dedup", "q62_paragraph_dedup")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // plan shape first (cheap), then one timed materialization

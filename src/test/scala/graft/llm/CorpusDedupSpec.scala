@@ -90,4 +90,72 @@ class CorpusDedupSpec extends SparkSpec {
     assert(kept.columns.toSeq === Seq("doc_id", "text", "lang", "n"))
     assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("dedupParagraphs: hand trace across all four stages") {
+    val sep = "\n\n"
+    val p1 = "the quick brown fox jumps over the lazy dog tonight"
+    val p3 = "the quick brown fox jumps over the lazy dog" // near-dup of p1
+    val p2 = "shared boilerplate paragraph that appears in several documents"
+    val p4 = "a wholly unrelated paragraph on sourdough fermentation and hydration"
+    val u1 = "unique alpha paragraph for ordering checks"
+    val u2 = "unique omega paragraph for ordering checks"
+    val u5 = "novel paragraph that only document two carries forward"
+    val docs = Seq(
+      1L -> (p1 + sep + p2),         // both survive (first occurrences)
+      2L -> (p2 + sep + p3 + sep + u5), // p2 exact-dropped, p3 near-dropped vs p1, u5 kept
+      3L -> p4,                      // untouched
+      4L -> (p2 + sep + p2),         // both occurrences exact-dropped -> doc omitted
+      5L -> (u1 + sep + p2 + sep + u2) // keeps u1, u2 in order
+    ).toDF("doc_id", "text")
+    val got = CorpusDedup.dedupParagraphs(docs, "doc_id", "text", sep,
+        threshold = 0.6)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> (p1 + sep + p2),
+      2L -> u5,
+      3L -> p4,
+      5L -> (u1 + sep + u2)))
+  }
+
+  test("dedupParagraphs keeps the FIRST occurrence corpus-wide, by (doc, idx)") {
+    val sep = "\n\n"
+    val shared = "identical paragraph planted at different positions across docs"
+    val docs = Seq(
+      7L -> ("leading context paragraph seven" + sep + shared),
+      8L -> (shared + sep + "trailing context paragraph eight")
+    ).toDF("doc_id", "text")
+    val got = CorpusDedup.dedupParagraphs(docs, "doc_id", "text", sep)
+      .as[(Long, String)].collect().toMap
+    // (7, 1) precedes (8, 0) in (doc, idx) order -> doc 7 keeps it
+    assert(got(7L) === "leading context paragraph seven" + sep + shared)
+    assert(got(8L) === "trailing context paragraph eight")
+  }
+
+  test("contaminationFraction: verbatim copy scores 1.0, clean doc 0.0, partial in between") {
+    val quote = "four score and seven years ago our fathers brought forth a new nation"
+    val bench = Seq(100L -> quote).toDF("doc_id", "text")
+    val train = Seq(
+      1L -> quote,                                         // verbatim copy
+      2L -> "zzqx jvwk pfmt hqzn wxyv bkrd lsgc mjpt qvnf", // disjoint junk
+      3L -> (quote + " entirely novel continuation stretching well beyond the quoted region with many extra words")
+    ).toDF("doc_id", "text")
+    val got = CorpusDedup.contaminationFraction(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._3 === 1.0, s"verbatim copy must score 1.0: ${got(1L)}")
+    assert(got(2L)._3 === 0.0, s"disjoint doc must score 0.0: ${got(2L)}")
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0,
+      s"partial quote must score strictly between: ${got(3L)}")
+    // sanity: hit count never exceeds fingerprint count
+    got.values.foreach { case (n, h, _) => assert(h <= n) }
+  }
+
+  test("dedupParagraphs plan: no cartesian product, no single-partition stage") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), concat_ws("\n\n", col("text"), col("text")).as("text"))
+    val plan = CorpusDedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs stage leaked:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-partition stage:\n$plan")
+  }
 }
