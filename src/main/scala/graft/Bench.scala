@@ -50,8 +50,9 @@ object Bench {
     // already sits on disk. Materialize them for the MEASURED sf
     // during warm-up so the measured runs read from disk like their
     // peers instead of paying a one-time layout write.
-    Seq("q32_multimodal", "q42_bucketed_join", "q54_zorder_scan",
-        "q57_manifest_scan", "q64_daily_quantile_sketch").foreach { q =>
+    Seq("q32_multimodal", "q42_bucketed_join", "q48_ivfpq_probe",
+        "q54_zorder_scan", "q57_manifest_scan",
+        "q64_daily_quantile_sketch").foreach { q =>
       SparkEntry.queries.get(q).foreach { fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }

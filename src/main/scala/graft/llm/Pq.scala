@@ -230,4 +230,46 @@ object Pq {
       array(codeCols: _*).as("codes"))
       .filter(col("centroid_id") =!= -1 && !array_contains(col("codes"), -1))
   }
+
+  /** Persist a built IVF-PQ index — (coarse centroids, per-subspace
+    * codebooks, coded corpus) — as three parquet tables under `path`,
+    * the way a real ANN service stores its index: built once (or
+    * incrementally re-encoded), loaded by every query session. The
+    * codes table keeps its full distribution; the two codebook tables
+    * are driver-sized metadata (KBs) written as single files.
+    */
+  def saveIndex(path: String, codes: DataFrame,
+                coarse: Array[Array[Double]], codebooks: Codebooks): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for { j <- codebooks.indices; c <- codebooks(j).indices }
+       yield (j, c, codebooks(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load an index written by [[saveIndex]]: the codes DataFrame stays
+    * lazy/distributed (queries scan it like any table); the coarse
+    * centroids and codebooks collect to the driver arrays `ivfPqTopK`
+    * expects — id/position order restored explicitly, so the loaded
+    * index is bitwise the saved one regardless of file or row order.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Array[Array[Double]], Codebooks) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .collect().sortBy(_.getAs[Int]("centroid_id"))
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (codes, coarse, codebooks)
+  }
 }

@@ -172,4 +172,30 @@ class PqSpec extends SparkSpec {
     val inCluster = top.count(_.getLong(1) < 20)
     assert(inCluster >= 4, s"only $inCluster of top-5 in the query's cluster")
   }
+
+  test("index persistence: load(save(index)) serves identical top-k (q48 storage path)") {
+    val df = clustered(4, 50, noise = 1.0).cache()
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val books = Pq.trainCodebooks(df, "embedding", dim, m = 4, k = 16,
+      iters = 3, seed = 7L)
+    val coarse = Similarity.kmeansCentroids(
+      df.select(col("embedding").cast("array<double>").as("__v")),
+      k = 4, iters = 3, vecCol = "__v", seed = 13L)
+    val index = Pq.indexIvfPq(df, "vec_id", "embedding", coarse, books)
+    val live = Pq.ivfPqTopK(index, queries, coarse, books, k = 10, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Pq.saveIndex(path, index, coarse, books)
+    val (codes2, coarse2, books2) = Pq.loadIndex(spark, path)
+    // metadata round-trips bitwise: same centroids, same codebooks
+    assert(coarse2.map(_.toSeq).toSeq === coarse.map(_.toSeq).toSeq)
+    assert(books2.map(_.map(_.toSeq).toSeq).toSeq ===
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    // and the stored index answers queries identically to the live one
+    val stored = Pq.ivfPqTopK(codes2, queries, coarse2, books2, k = 10, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+    assert(stored === live)
+    df.unpersist()
+  }
 }
