@@ -252,6 +252,22 @@ object Pq {
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Incremental index maintenance — the other half of the ANN-service
+    * story: new vectors are encoded with the STORED quantizers (no
+    * retraining — retraining would re-code the whole corpus; periodic
+    * retrains are a separate, heavier operation) and their code rows
+    * appended to the codes table. Encoding is deterministic given the
+    * codebooks, so append-then-load equals having indexed everything
+    * in one pass (PqSpec pins this).
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    df: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val (_, coarse, cb) = loadIndex(spark, path)
+    indexIvfPq(df, idCol, vecCol, coarse, cb)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Load an index written by [[saveIndex]]: the codes DataFrame stays
     * lazy/distributed (queries scan it like any table); the coarse
     * centroids and codebooks collect to the driver arrays `ivfPqTopK`

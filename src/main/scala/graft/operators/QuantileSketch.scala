@@ -37,16 +37,25 @@ object QuantileSketch {
     * clamped to [0, bins-1]) — pass the data's true min/max for
     * clamp-free binning.
     */
-  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                bucketExpr: Column, bucketName: String,
-                lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+  /** The bin index of `value` under the (lo, hi, bins) grid —
+    * floor((v-lo)/width) clamped into [0, bins-1]. Shared by the batch
+    * histogram build and the streaming producer
+    * (`streaming.EventStream.valueHistograms`), so a stream-maintained
+    * sketch table and a batch-built one agree bin-for-bin.
+    */
+  def binExpr(value: Column, lo: Double, hi: Double, bins: Int): Column = {
     require(bins >= 1, "bins must be positive")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     val width = (hi - lo) / bins
-    val bin = least(
-      greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(width)),
-        lit(0L)),
+    least(
+      greatest(floor((value.cast("double") - lit(lo)) / lit(width)), lit(0L)),
       lit((bins - 1).toLong)).cast("int")
+  }
+
+  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                bucketExpr: Column, bucketName: String,
+                lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    val bin = binExpr(col(valueCol), lo, hi, bins)
     val keyCols = groupCols.map(col) :+ col(bucketName)
     df.select((groupCols.map(col) :+ bucketExpr.as(bucketName) :+
         bin.as("__bin")): _*)
@@ -68,14 +77,28 @@ object QuantileSketch {
     */
   def percentiles(sketch: DataFrame, groupCols: Seq[String],
                   qs: Seq[(String, Double)],
-                  lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+                  lo: Double, hi: Double, bins: Int = 256): DataFrame =
+    percentilesFromBins(
+      sketch.select((groupCols.map(col) :+
+        posexplode(col("counts")).as(Seq("__pos", "__cnt"))): _*),
+      groupCols, qs, lo, hi, bins, binCol = "__pos", cntCol = "__cnt")
+
+  /** [[percentiles]] over the ROW-form sketch — `(groupCols..., bin,
+    * count)` rows, the shape the streaming producer emits (an append
+    * stream cannot rewrite a per-window array, but it can append bin
+    * rows; summing them per (group, bin) is the same elementwise merge).
+    */
+  def percentilesFromBins(binRows: DataFrame, groupCols: Seq[String],
+                          qs: Seq[(String, Double)],
+                          lo: Double, hi: Double, bins: Int = 256,
+                          binCol: String = "bin",
+                          cntCol: String = "n"): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (_, q) => q > 0.0 && q <= 1.0 })
     val width = (hi - lo) / bins
     val g = groupCols.map(col)
-    val merged = sketch
-      .select((g :+ posexplode(col("counts")).as(Seq("__pos", "__cnt"))): _*)
-      .groupBy((g :+ col("__pos")): _*)
-      .agg(sum(col("__cnt")).as("__cnt"))
+    val merged = binRows
+      .groupBy((g :+ col(binCol).as("__pos")): _*)
+      .agg(sum(col(cntCol)).as("__cnt"))
     val wOrd = Window.partitionBy(g: _*).orderBy(col("__pos"))
     val wAll = Window.partitionBy(g: _*)
     val cum = merged

@@ -76,6 +76,31 @@ object EventStream {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("user_sketch"))
 
+  /** Per-window value-histogram rows — the streaming PRODUCER of
+    * q64's quantile pre-aggregate, `userSketches`' sibling for
+    * percentiles: each watermark-closed window emits
+    * `(window_start, event_type, bin, n)` rows under the same
+    * deterministic (lo, hi, bins) grid the batch
+    * `operators.QuantileSketch` uses (shared `binExpr`). Appended rows
+    * merge by integer SUM per (group, bin) — so any time-range's
+    * percentiles come from `QuantileSketch.percentilesFromBins` over
+    * the stored rows, bit-identical to a batch histogram over the same
+    * events (EventStreamSpec proves the agreement); the event stream
+    * is scanned once, ever. State per (window, type) group is at most
+    * `bins` counters, bounded by the watermark.
+    */
+  def valueHistograms(events: DataFrame, lo: Double, hi: Double,
+                      bins: Int = 256, windowMinutes: Int = 60,
+                      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("win"),
+        col("event_type"),
+        graft.operators.QuantileSketch.binExpr(col("value"), lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("bin"), col("n"))
+
   /** Streaming exact dedup by event id with watermark-bounded state:
     * duplicates arriving within `watermarkDelay` of the original are
     * dropped; state for ids older than the watermark is evicted, so

@@ -198,4 +198,31 @@ class PqSpec extends SparkSpec {
     assert(stored === live)
     df.unpersist()
   }
+
+  test("incremental append: index(half) + append(half) equals index(all) (no retrain)") {
+    val df = clustered(4, 50, noise = 1.0).cache()
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val books = Pq.trainCodebooks(df, "embedding", dim, m = 4, k = 16,
+      iters = 3, seed = 7L)
+    val coarse = Similarity.kmeansCentroids(
+      df.select(col("embedding").cast("array<double>").as("__v")),
+      k = 4, iters = 3, vecCol = "__v", seed = 13L)
+    val oneShot = Pq.ivfPqTopK(Pq.indexIvfPq(df, "vec_id", "embedding", coarse, books),
+        queries, coarse, books, k = 10, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-app").toString + "/idx"
+    val (a, b) = (df.filter(col("vec_id") % 2 === 0), df.filter(col("vec_id") % 2 =!= 0))
+    Pq.saveIndex(path, Pq.indexIvfPq(a, "vec_id", "embedding", coarse, books),
+      coarse, books)
+    Pq.appendToIndex(spark, path, b)
+    val (codes2, coarse2, books2) = Pq.loadIndex(spark, path)
+    assert(codes2.count() === 200L, "appended rows must land in the codes table")
+    // encoding is deterministic given the stored quantizers, so the
+    // incrementally-grown index answers exactly like the one-shot build
+    val grown = Pq.ivfPqTopK(codes2, queries, coarse2, books2, k = 10, nProbe = 2)
+      .select("query_id", "neighbor_id", "adc_sim", "rank").collect().toSet
+    assert(grown === oneShot)
+    df.unpersist()
+  }
 }

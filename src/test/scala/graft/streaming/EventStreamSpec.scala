@@ -175,4 +175,43 @@ class EventStreamSpec extends SparkSpec {
     // double total is order-sensitive — compare with tolerance
     assert(math.abs(a - b) < 1e-6 * math.abs(b))
   }
+
+  test("valueHistograms: streamed bin rows batch-merge to the EXACT batch percentiles") {
+    implicit val sq = spark.sqlContext
+    val (lo, hi, bins) = (0.0, 100.0, 64)
+    val source = MemoryStream[Event]
+    val q = EventStream.valueHistograms(source.toDF(), lo, hi, bins,
+        windowMinutes = 60)
+      .writeStream.format("memory").queryName("vhist")
+      .outputMode("append").start()
+    // 400 events over 2 hours, deterministic skewed values in [0, 100)
+    val evs = (1 to 400).map(i => Event(i, i % 50,
+      if (i % 2 == 0) "click" else "view",
+      (i * i % 997) % 100 * 1.0, ts(i % 120)))
+    source.addData(evs: _*)
+    q.processAllAvailable()
+    source.addData(Event(9999, 999, "sentinel", 0.0, ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.table("vhist").filter(col("event_type") =!= "sentinel")
+    assert(stored.count() > 0)
+    // percentiles from the STORED stream rows — the stream itself is
+    // never rescanned — must be BIT-IDENTICAL to a batch histogram
+    // over the same events: integer counts under the same fixed grid
+    // merge exactly, the property KLL/GK sketches cannot offer
+    val fromStream = graft.operators.QuantileSketch.percentilesFromBins(
+        stored, Seq("event_type"), Seq("p50" -> 0.5, "p90" -> 0.9), lo, hi, bins)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val batchDf = evs.filterNot(_.event_type == "sentinel")
+      .toDF().select(col("event_type"), col("value"))
+    val fromBatch = graft.operators.QuantileSketch.percentiles(
+        graft.operators.QuantileSketch.histogram(batchDf, "value",
+          Seq("event_type"), lit(0), "all", lo, hi, bins),
+        Seq("event_type"), Seq("p50" -> 0.5, "p90" -> 0.9), lo, hi, bins)
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(fromStream === fromBatch)
+    assert(fromBatch.keySet === Set("click", "view"))
+  }
 }
