@@ -59,6 +59,39 @@ object Similarity {
     sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact re-ranking of an ANN shortlist — the second stage every
+    * production ANN service runs: the approximate index (IVF, LSH,
+    * IVF-PQ) returns a generous candidate list (`k' ≫ k`), and only
+    * those candidates' FULL vectors are read and scored exactly, fixing
+    * quantization/bucketing error where it matters (the top of the
+    * list) at O(candidates) cost instead of a corpus rescan.
+    *
+    * `candidates` needs (query_id, neighbor_id) — any upstream ANN
+    * output here fits. Scale shape: the candidate ids equi-join the
+    * corpus on the id (only candidate rows' vectors move — at 10^10
+    * vectors this is the whole point), query vectors broadcast
+    * (driver-sized probe contract, as everywhere in this family), and
+    * the exact score + per-query rank window follow `bruteForceTopK`'s
+    * total order exactly — so rerank(full candidate set) ≡ brute force
+    * (SimilaritySpec pins it).
+    */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+                  k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val sim = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * (plane j, dimension d) — computed DRIVER-SIDE, replicating what
     * the Column expression `(pmod(xxhash64(lit(seed), j, d), 2000000)

@@ -610,6 +610,26 @@ object LlmQueries {
         t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0),
         t.documents.filter(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", k = 8, w = 4)
+    }),
+
+    // ANN shortlist + exact rerank — the two-stage retrieval every
+    // production ANN service runs (approximate index → generous k',
+    // exact scoring of only those candidates). On the oracle surface
+    // via q26's degeneracy: probing every IVF list makes the k'=20
+    // shortlist the exact top-20 ⊇ top-5, so the reranked top-5 IS the
+    // brute-force answer and DuckDB checks the whole
+    // shortlist→join-vectors→exact-score→rank machinery. The
+    // production setting (partial probes, rerank lifting recall) is
+    // pinned by SimilaritySpec.
+    "q65_ann_rerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      val queries = emb.filter(col("vec_id") < 10)
+      val shortlist = Similarity.ivfTopK(emb, queries, k = 20,
+        numCentroids = 16, nProbe = 16)
+      Similarity.rerankExact(shortlist, emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("cos_sim") + 0.0).as("cos_sim"), col("rank"))
     })
   )
 
@@ -1038,6 +1058,9 @@ object LlmQueries {
               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
               round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
                     / CAST(len(tr.fps) AS DOUBLE), 9) + 0.0 AS contamination
-       FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id"""
+       FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""",
+    // Rerank twin: exact shortlist (probe-all degeneracy) reranked
+    // exactly = the exact top-5 — q21/q26's oracle.
+    "q65_ann_rerank" -> sqlCosineTop5
   )
 }

@@ -695,6 +695,24 @@ object RelationalQueries {
       graft.operators.QuantileSketch.percentiles(s.read.parquet(path),
         Seq("event_type"), Seq("p50_value" -> 0.5, "p90_value" -> 0.9),
         lo, hi, SketchBins)
+    }),
+
+    // Funnel attribution — the INTERVAL self-join (click → purchase by
+    // the same user within 30 minutes), running the streaming
+    // stream-stream join operator in batch (watermarks are no-ops on a
+    // static frame; EventStreamSpec pins stream ≡ batch). The 100 TB
+    // shape: both sides shuffle once on the user key and the time
+    // predicate bounds the per-user pairing window — never a
+    // time-unbounded cross join per user. Timestamps emit formatted
+    // (q57's convention) so both engines hash identical strings.
+    "q66_funnel_attribution" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.streaming.EventStream.attribute(t.events, "click", "purchase",
+          withinMinutes = 30)
+        .select(col("user_id"), col("cause_id"), col("effect_id"),
+          date_format(col("cause_ts"), "yyyy-MM-dd HH:mm:ss").as("cause_ts"),
+          date_format(col("effect_ts"), "yyyy-MM-dd HH:mm:ss").as("effect_ts"),
+          col("lag_seconds"))
     })
   )
 
@@ -982,6 +1000,21 @@ object RelationalQueries {
          round(lo + (b50 + 1) * ((hi - lo) / 256), 9) + 0.0 AS p50_value,
          round(lo + (b90 + 1) * ((hi - lo) / 256), 9) + 0.0 AS p90_value,
          CAST(n AS BIGINT) AS n
-       FROM sel, b"""
+       FROM sel, b""",
+    // Attribution twin: the same interval self-join; lag in whole
+    // seconds via floored epochs (Spark's unix_timestamp truncates
+    // sub-second parts the same way).
+    "q66_funnel_attribution" ->
+      """SELECT c.user_id,
+                c.event_id AS cause_id, e.event_id AS effect_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS cause_ts,
+                strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS effect_ts,
+                CAST(floor(epoch(e.ts)) - floor(epoch(c.ts)) AS BIGINT)
+                  AS lag_seconds
+         FROM events c JOIN events e
+           ON c.user_id = e.user_id
+          AND e.ts >= c.ts
+          AND e.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND e.event_type = 'purchase'"""
   )
 }

@@ -112,6 +112,46 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join — funnel attribution, the join class
+    * `enrich`'s stream-static shape cannot express: every `effectType`
+    * event joins the same user's `causeType` events that happened at
+    * most `withinMinutes` before it (click → purchase, impression →
+    * click). Both sides are live streams; Spark buffers each side's
+    * rows in watermark-bounded state and emits a match as soon as both
+    * rows have arrived.
+    *
+    * Scale/state: the time-range predicate plus both watermarks lets
+    * the engine evict buffered rows once they can no longer match
+    * (cause rows older than watermark + interval are gone), so state
+    * tracks the join WINDOW, not stream history; the join shuffles
+    * both streams once on the user key. Batch semantics are identical
+    * (watermarks are no-ops): EventStreamSpec pins stream ≡ batch on
+    * the same data.
+    */
+  def attribute(events: DataFrame, causeType: String, effectType: String,
+                withinMinutes: Int,
+                watermarkDelay: String = "1 hour"): DataFrame = {
+    val cause = events.filter(col("event_type") === causeType)
+      .select(col("event_id").as("cause_id"), col("user_id"),
+        col("ts").as("cause_ts"))
+      .withWatermark("cause_ts", watermarkDelay)
+      .alias("cause")
+    val effect = events.filter(col("event_type") === effectType)
+      .select(col("event_id").as("effect_id"), col("user_id"),
+        col("ts").as("effect_ts"))
+      .withWatermark("effect_ts", watermarkDelay)
+      .alias("effect")
+    cause.join(effect,
+        expr(s"""cause.user_id = effect.user_id AND
+                 effect_ts >= cause_ts AND
+                 effect_ts <= cause_ts + INTERVAL $withinMinutes MINUTES"""))
+      .select(col("cause.user_id").as("user_id"),
+        col("cause_id"), col("effect_id"),
+        col("cause_ts"), col("effect_ts"),
+        (unix_timestamp(col("effect_ts")) -
+          unix_timestamp(col("cause_ts"))).as("lag_seconds"))
+  }
+
   /** Per-window trending top-k event types — streaming RANKING, which
     * append-mode window functions cannot express: counts accumulate in
     * per-window state (`flatMapGroupsWithState` keyed by window start)

@@ -214,4 +214,42 @@ class EventStreamSpec extends SparkSpec {
     assert(fromStream === fromBatch)
     assert(fromBatch.keySet === Set("click", "view"))
   }
+
+  test("attribute: stream-stream interval join matches hand trace and the batch twin") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStream.attribute(source.toDF(), "click", "buy",
+        withinMinutes = 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    val evs = Seq(
+      Event(1, 7, "click", 0.0, ts(10)),
+      Event(2, 7, "buy",   1.0, ts(25)),  // 15 min after click 1 -> match
+      Event(3, 7, "buy",   1.0, ts(45)),  // 35 min after click 1 (no) but 5 after click 7 (match)
+      Event(4, 8, "click", 0.0, ts(20)),
+      Event(5, 9, "buy",   1.0, ts(21)),  // user 9 never clicked -> no match
+      Event(6, 8, "buy",   1.0, ts(20)),  // same minute as click 4 -> match (lag 0)
+      Event(7, 7, "click", 0.0, ts(40)),
+      Event(8, 7, "buy",   1.0, ts(50))   // matches click 7 (10 min), not click 1
+    )
+    source.addData(evs: _*)
+    q.processAllAvailable()
+    // advance both watermarks far past every event so all matches emit
+    source.addData(Event(999, 999, "click", 0.0, ts(10000)),
+      Event(1000, 999, "buy", 0.0, ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").filter(col("user_id") =!= 999)
+      .select(col("cause_id"), col("effect_id"), col("lag_seconds"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 900L), (4L, 6L, 0L), (7L, 3L, 300L),
+      (7L, 8L, 600L)))
+    // batch twin: the same plan over the same rows as a static frame
+    // (watermarks are no-ops in batch) returns the same matches
+    val batch = EventStream.attribute(evs.toDF(), "click", "buy", 30)
+      .filter(col("user_id") =!= 999)
+      .select(col("cause_id"), col("effect_id"), col("lag_seconds"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch === got)
+  }
 }
