@@ -46,6 +46,76 @@ object CorpusDedup {
     kept.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** INCREMENTAL corpus dedup — the continuous-ingest form of
+    * [[clean]]: a new `batch` is deduplicated against an
+    * already-clean `corpus` AND within itself, returning the kept
+    * batch rows. The corpus is never rewritten and — the scale point —
+    * never re-paired against itself: batch band rows probe the
+    * (persistable — `NearDup.bandTable`) corpus band index, so pair
+    * candidates all touch the batch and per-ingest cost is
+    * O(batch + matches), not O(corpus²) or even O(corpus).
+    *
+    * Semantics (q68's oracle recomputes them exactly): a batch doc
+    * drops if its content hash already exists in the corpus, if it is
+    * not the min-id holder of its batch hash class, or if its near-dup
+    * component (over verified pairs touching ≥1 batch doc) contains a
+    * corpus doc or a smaller batch id. Equivalently: the batch rows of
+    * `clean(corpus ∪ batch)` — provided corpus ids precede batch ids
+    * (the contract: assign ingest batches ascending id ranges) and the
+    * corpus is itself clean (each prior ingest's output, by
+    * induction).
+    */
+  def cleanAgainst(corpus: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   threshold: Double = 0.8, shingleN: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16,
+                   seed: Long = 42L): DataFrame = {
+    // exact stage: batch keep-first, minus hashes the corpus already has
+    val cHashes = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    val keptIds = batch
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .join(cHashes, Seq("__h"), "left_anti")
+      .select(col(idCol))
+    // materialized once: the exact-kept batch feeds the band table,
+    // the shingle verification, and the final anti-join — without the
+    // checkpoint each reference replays the whole batch subtree (an
+    // ingest batch is bounded by contract, so this is O(batch) cache)
+    val keptExact = batch.join(keptIds, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    // near-dup stage: batch bands probe corpus + batch bands — every
+    // candidate pair has a batch side; corpus-corpus pairs are never
+    // generated (the corpus is clean: its internal near-dups are gone)
+    val probeDocs = keptExact.select(col(idCol), col(textCol))
+    val baseDocs = corpus.select(col(idCol), col(textCol))
+    val bp = NearDup.bandTable(probeDocs, idCol, textCol, shingleN,
+      numHashes, bands, seed).localCheckpoint()
+    val pool = NearDup.bandTable(baseDocs, idCol, textCol, shingleN,
+      numHashes, bands, seed).unionByName(bp)
+    val cands = bp.as("l")
+      .join(pool.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.__id") =!= col("r.__id"))
+      .select(least(col("l.__id"), col("r.__id")).as("id_a"),
+        greatest(col("l.__id"), col("r.__id")).as("id_b"))
+      .distinct()
+    // exact-Jaccard verification — shingles joined back by id, only
+    // candidate pairs pay the set intersection (NearDup's contract)
+    val sh = baseDocs.unionByName(probeDocs)
+      .select(col(idCol).as("__sid"),
+        array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+    val pairs = cands
+      .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NearDup.jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val drop = graft.graph.PropertyGraph.pairComponents(pairs)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    keptExact.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Paragraph-granularity dedup — the missing rung between the
     * line-level boilerplate gate (`TextOps.removeBoilerplate`) and the
     * whole-document stages above: pre-training corpora repeat

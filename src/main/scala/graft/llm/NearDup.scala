@@ -83,23 +83,32 @@ object NearDup {
     * rows) is O(near-dup cluster size), so the join output is close to
     * the true candidate count, not |pairs|.
     */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                     seed: Long = 42L): DataFrame = {
+  /** The materialized LSH band table of a corpus — `(__id, band,
+    * bucket)` — the per-doc index rows every banded join consumes
+    * (and the thing a continuously-ingested corpus PERSISTS so new
+    * batches can probe it without rescanning history —
+    * `CorpusDedup.cleanAgainst`). Staged shingles → signature → bands,
+    * so each is computed once per row.
+    */
+  private[llm] def bandTable(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, numHashes: Int, bands: Int,
+                             seed: Long): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    // staged: shingles → signature → bands, so each is computed once
-    // per row (explode is a Generate node — the signature projection
-    // under it is not collapsed into the generator expression)
-    val bucketed = df
-      .select(col(idCol).as("__id"),
+    df.select(col(idCol).as("__id"),
         TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
       .select(col("__id"), minhashSignature(col("__sh"), numHashes, seed).as("__sig"))
       .select(col("__id"), explode(lshBands(col("__sig"), bands, r, seed)).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // materialize once: both sides of the self-join read the tiny
-      // (id, band, bucket) table instead of re-running the signature
-      // scan (LSH indexes are persisted artifacts at any scale)
+  }
+
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    // materialize once: both sides of the self-join read the tiny
+    // (id, band, bucket) table instead of re-running the signature
+    // scan (LSH indexes are persisted artifacts at any scale)
+    val bucketed = bandTable(df, idCol, textCol, shingleN, numHashes, bands, seed)
       .localCheckpoint()
     bucketed.as("l")
       .join(bucketed.as("r"),

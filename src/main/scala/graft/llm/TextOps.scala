@@ -339,6 +339,42 @@ object TextOps {
     docs.filter(substring(md5(col(textCol)), 1, 2) < bound)
   }
 
+  /** Sliding-window token chunking — the RAG / long-document
+    * preprocessing twin of [[packSequences]]: where packing
+    * concatenates documents ACROSS boundaries into fixed windows,
+    * chunking splits each document WITHIN itself into `size`-token
+    * windows overlapping by `overlap` tokens (stride = size − overlap),
+    * the standard shape for embedding long documents or building
+    * retrieval passages. Returns
+    * `(idCol, chunk_idx, n_tokens, chunk_text)` — the last chunk may
+    * be short (n_tokens < size); empty documents emit no chunks.
+    *
+    * Scale: a pure zero-shuffle projection (tokenize once per row,
+    * explode the chunk starts, slice) — chunk count multiplies rows
+    * but the slices partition the tokens, so output bytes ≈ input
+    * bytes × (1 + overlap/stride). Deterministic, hence
+    * oracle-checkable (q67).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, "chunk size must be positive")
+    require(overlap >= 0 && overlap < size,
+      s"overlap=$overlap must be in [0, size=$size)")
+    val step = size - overlap
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          floor((col("__n") - 1) / lit(step)).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(size), col("__n") - col("chunk_idx") * step).cast("int")
+          .as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_idx") * lit(step) + 1,
+          lit(size)), " ").as("chunk_text"))
+  }
+
   /** Sequence packing — the pre-training step that concatenates the
     * corpus in a fixed document order and slices it into fixed-size
     * context windows: each document's tokens start at the running

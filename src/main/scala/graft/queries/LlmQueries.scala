@@ -630,6 +630,48 @@ object LlmQueries {
       Similarity.rerankExact(shortlist, emb, queries, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           (col("cos_sim") + 0.0).as("cos_sim"), col("rank"))
+    }),
+
+    // Sliding-window token chunking (TextOps.chunkTokens) — the RAG /
+    // long-document passage splitter: 32-token windows overlapping by
+    // 8 (stride 24), last chunk short, empty docs emit nothing. A
+    // zero-shuffle deterministic projection; the DuckDB twin slices
+    // the same token arrays.
+    "q67_token_chunks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.chunkTokens(t.documents.select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 32, overlap = 8)
+    }),
+
+    // INCREMENTAL dedup (CorpusDedup.cleanAgainst) — the
+    // continuous-ingest form of q40: a new batch dedups against the
+    // already-clean corpus and within itself; the corpus is never
+    // re-paired against itself. The batch plants every class: near-dup
+    // twins of corpus docs (drop), exact copies of corpus docs (drop),
+    // novel docs (keep), a batch-internal exact copy of each novel
+    // (drop — keep-first), and a batch-internal near-dup of each novel
+    // (drop — CC keeps the min id). Oracle: the operator's exact
+    // semantics in SQL — batch keep-first minus corpus hashes, exact
+    // all-pairs Jaccard restricted to pairs touching the batch,
+    // recursive min-label CC.
+    "q68_incremental_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val trunc = (c: org.apache.spark.sql.Column) => substring(c, lit(1),
+        greatest(length(c) - 10, lit(1)))
+      val novel = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat(lit("novel "), col("doc_id"), lit(" "), upper(col("text"))).as("text"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), trunc(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(novel.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .unionByName(novel.select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+        .unionByName(novel.select((col("doc_id") + 5000000L).as("doc_id"),
+          trunc(col("text")).as("text")))
+      CorpusDedup.cleanAgainst(docs, batch, "doc_id", "text",
+        threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
     })
   )
 
@@ -1061,6 +1103,71 @@ object LlmQueries {
        FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id""",
     // Rerank twin: exact shortlist (probe-all degeneracy) reranked
     // exactly = the exact top-5 — q21/q26's oracle.
-    "q65_ann_rerank" -> sqlCosineTop5
+    "q65_ann_rerank" -> sqlCosineTop5,
+    // Chunking twin: same tokenizer, same stride arithmetic
+    // (floor((n-1)/24) + 1 chunks), same inclusive token slices.
+    "q67_token_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          t2 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          idx AS (
+            SELECT doc_id, toks, n,
+              unnest(range(0, CAST(floor((n - 1) / 24.0) AS BIGINT) + 1)) AS ci
+            FROM t2)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+          CAST(least(32, n - ci * 24) AS INT) AS n_tokens,
+          array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')
+            AS chunk_text
+        FROM idx""",
+    // Incremental-dedup twin: the operator's semantics verbatim —
+    // batch keep-first minus corpus hashes; exact all-pairs Jaccard
+    // over corpus + surviving batch RESTRICTED to pairs with a batch
+    // side (batch ids >= 1000000; corpus-corpus pairs are not the
+    // ingest's business); recursive min-label CC; keep batch docs
+    // whose component rep is themselves.
+    "q68_incremental_dedup" ->
+      s"""WITH RECURSIVE batch AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   substring(text, 1, greatest(length(text) - 10, 1)) AS text
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   'novel ' || CAST(doc_id AS VARCHAR) || ' ' || upper(text)
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 4000000,
+                   'novel ' || CAST(doc_id AS VARCHAR) || ' ' || upper(text)
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 5000000,
+                   substring('novel ' || CAST(doc_id AS VARCHAR) || ' ' || upper(text),
+                     1, greatest(length('novel ' || CAST(doc_id AS VARCHAR) || ' ' || upper(text)) - 10, 1))
+            FROM documents WHERE doc_id % 7 = 0),
+          ch AS (SELECT DISTINCT md5(text) AS h FROM documents),
+          bk AS (SELECT doc_id, md5(text) AS h FROM batch),
+          bfirst AS (SELECT h, MIN(doc_id) AS doc_id FROM bk GROUP BY h),
+          kept1 AS (SELECT doc_id FROM bfirst
+                    WHERE h NOT IN (SELECT h FROM ch)),
+          pool AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT b.doc_id, b.text FROM batch b
+                   JOIN kept1 k ON k.doc_id = b.doc_id),
+          ${sqlPairCtes("pool")},
+          bpairs AS (SELECT id_a, id_b FROM pairs WHERE id_b >= 1000000),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM bpairs
+            UNION ALL
+            SELECT id_b, id_a FROM bpairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          grp AS (SELECT id, MIN(k) AS keep_id FROM lbl GROUP BY id)
+        SELECT b.doc_id, b.text
+        FROM batch b
+        JOIN kept1 k1 ON k1.doc_id = b.doc_id
+        LEFT JOIN grp g ON g.id = b.doc_id
+        WHERE g.id IS NULL OR g.keep_id = g.id"""
   )
 }

@@ -150,6 +150,33 @@ class CorpusDedupSpec extends SparkSpec {
     got.values.foreach { case (n, h, _) => assert(h <= n) }
   }
 
+  test("cleanAgainst: batch dedups against the corpus and within itself; corpus untouched") {
+    val x = "the quick brown fox jumps over the lazy dog again and again " +
+      "while seventeen astronauts debate orbital mechanics near the window"
+    val y = "completely unrelated text about maritime navigation charts and " +
+      "the tides of the northern sea during equinox storms"
+    val z = "a wholly novel batch document concerned with sourdough " +
+      "fermentation timing hydration ratios and crumb structure development"
+    val corpus = Seq(1L -> x, 2L -> y).toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> x,               // exact dup of corpus 1 -> drop
+      11L -> (y + " tail"),   // near-dup of corpus 2 -> drop
+      12L -> z,               // novel -> KEEP
+      13L -> z,               // batch-internal exact dup of 12 -> drop
+      14L -> (z + " extra")   // batch-internal near-dup of 12 -> drop
+    ).toDF("doc_id", "text")
+    val kept = CorpusDedup.cleanAgainst(corpus, batch, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L))
+    // matches the batch rows of clean(corpus ∪ batch) — the semantics
+    // contract (corpus ids precede batch ids)
+    val full = CorpusDedup.clean(corpus.unionByName(batch), "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === full.filter(_ >= 10L))
+  }
+
   test("dedupParagraphs plan: no cartesian product, no single-partition stage") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), concat_ws("\n\n", col("text"), col("text")).as("text"))

@@ -92,4 +92,26 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(shared) === fps(shared))
     assert(fps("tiny") === Set.empty)
   }
+
+  test("chunkTokens: hand trace — overlap, short last chunk, empty doc omitted") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 step 2 -> 4 chunks
+      (2L, "x"),             // single token -> one short chunk
+      (3L, "   ")            // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(docs, "doc_id", "text", size = 3, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got === Seq(
+      (1L, 0, 3, "a b c"),
+      (1L, 1, 3, "c d e"),
+      (1L, 2, 3, "e f g"),
+      (1L, 3, 1, "g"),
+      (2L, 0, 1, "x")))
+    // chunks reassemble the doc: stride-step prefixes of consecutive
+    // chunks concatenated = the token stream
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", size = 3, overlap = 3)
+    }
+  }
 }
