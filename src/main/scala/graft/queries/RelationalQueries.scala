@@ -713,6 +713,44 @@ object RelationalQueries {
           date_format(col("cause_ts"), "yyyy-MM-dd HH:mm:ss").as("cause_ts"),
           date_format(col("effect_ts"), "yyyy-MM-dd HH:mm:ss").as("effect_ts"),
           col("lag_seconds"))
+    }),
+
+    // BATCH sessionization — gap-based session islands per user (the
+    // lag + running-sum-of-boundaries idiom), the batch twin of the
+    // streaming `sessionize` (whose per-user state/timeout form
+    // EventStreamSpec covers): a new session starts when the user's
+    // gap exceeds 30 minutes. Exact integer boundary arithmetic
+    // (floored epochs) so both engines split identically; the window
+    // partitions by user — parallel across users, never a global sort.
+    "q69_sessionize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+      t.events
+        .withColumn("__ns", when(gap.isNull || gap > 1800L, 1).otherwise(0))
+        .withColumn("__sid", sum(col("__ns")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid").cast("int").as("session_idx"))
+        .agg(
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+    }),
+
+    // Pivot — event types to columns, per day: the OLAP reshaping op.
+    // Explicit pivot values (the five known types), so Spark plans ONE
+    // pass (no distinct-values pre-job) — the 100 TB form; absent
+    // (day, type) cells are null in both engines.
+    "q70_pivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
     })
   )
 
@@ -1015,6 +1053,37 @@ object RelationalQueries {
            ON c.user_id = e.user_id
           AND e.ts >= c.ts
           AND e.ts <= c.ts + INTERVAL 30 MINUTE
-         WHERE c.event_type = 'click' AND e.event_type = 'purchase'"""
+         WHERE c.event_type = 'click' AND e.event_type = 'purchase'""",
+    // Sessionization twin: same lag + boundary-sum islands, same
+    // floored-epoch gap arithmetic, same (ts, event_id) total order.
+    "q69_sessionize" ->
+      """WITH l AS (
+           SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN pts IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                          THEN 1 ELSE 0 END AS ns
+           FROM l),
+         s AS (
+           SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM f)
+       SELECT user_id, CAST(sid AS INT) AS session_idx,
+         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM s GROUP BY user_id, sid""",
+    // Pivot twin: conditional aggregation — the portable form of PIVOT.
+    "q70_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1"""
   )
 }
