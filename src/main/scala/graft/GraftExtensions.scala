@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArgmaxDot, BloomMightContain, HyperplaneBuckets,
-  InterleaveBits, MinHashSig, RankBucket, SimHash64, VecDot, WinnowHash,
-  WinnowMd5, WordHits, WordShingles}
+import graft.functions.{ArgmaxDot, BloomMightContain, CmsEstimate,
+  CmsMergeAgg, HyperplaneBuckets, InterleaveBits, MinHashSig, RankBucket,
+  SimHash64, VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -106,6 +106,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"interleave_bits takes 2 arguments (buckets, bits), got ${exprs.length}")
         InterleaveBits(exprs(0), GraftExtensions.intLit(exprs(1), "bits"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"cms_merge takes 1 argument, got ${exprs.length}")
+        CmsMergeAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cms_estimate takes 2 arguments (sketch, item), got ${exprs.length}")
+        CmsEstimate(exprs(0), exprs(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),

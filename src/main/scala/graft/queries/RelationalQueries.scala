@@ -751,6 +751,31 @@ object RelationalQueries {
         .groupBy(col("day"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(dsum(col("value")))
+    }),
+
+    // Per-day count-min sketches merged to whole-range item-count
+    // estimates — the THIRD mergeable-sketch deployment (HLL distincts
+    // q59, quantile histograms q64, now frequent items): the builtin
+    // `count_min_sketch` builds the per-(type, day) blobs, the native
+    // `cms_merge` aggregate (Spark has no SQL-level CMS merge) folds
+    // stored blobs, `cms_estimate` probes the result for the ten
+    // lowest user ids. NO ORACLE by construction (the blob format is
+    // engine-specific); CmsSketchSpec pins merge ≡ direct (CMS cells
+    // are sums — deterministic under a fixed seed), never-underestimate
+    // vs exact counts, and the eps bound.
+    "q71_heavy_hitters" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("__cms"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(graft.functions.CmsMergeAgg(col("__cms")).as("__m"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"), col("__m"),
+          explode(sequence(lit(0L), lit(9L))).as("user_id"))
+        .select(col("event_type"), col("user_id"), col("n_days"),
+          graft.functions.CmsEstimate(col("__m"), col("user_id")).as("est_events"))
     })
   )
 

@@ -24,4 +24,14 @@ object ColumnShim {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(registry)
+
+  /** The LIVE session's function registry (`sessionState` is
+    * `private[sql]`) — lets an already-built session install the
+    * extension functions after the fact (the `spark.sql.extensions`
+    * config only applies at session construction).
+    */
+  def sessionFunctionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
 }

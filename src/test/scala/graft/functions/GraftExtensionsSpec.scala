@@ -26,7 +26,9 @@ class GraftExtensionsSpec extends SparkSpec {
     "winnow_md5",         // WinnowMd5
     "bloom_might_contain", // BloomMightContain
     "rank_bucket",        // RankBucket
-    "interleave_bits")    // InterleaveBits
+    "interleave_bits",    // InterleaveBits
+    "cms_merge",          // CmsMergeAgg
+    "cms_estimate")       // CmsEstimate
 
   private def registry = {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
