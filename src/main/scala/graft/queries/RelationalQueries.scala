@@ -776,6 +776,31 @@ object RelationalQueries {
           explode(sequence(lit(0L), lit(9L))).as("user_id"))
         .select(col("event_type"), col("user_id"), col("n_days"),
           graft.functions.CmsEstimate(col("__m"), col("user_id")).as("est_events"))
+    }),
+
+    // CUBE — every subtotal combination over (segment, nation), q12's
+    // rollup completed to the full grouping family. One shuffle: Spark
+    // expands the grouping sets map-side and aggregates once.
+    "q72_cube" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Ranking-window family completion: ntile quartiles, percent_rank,
+    // cume_dist per order priority — deterministic under the
+    // (totalprice desc, orderkey) total order; round-9 keeps the two
+    // engines' double division hash-identical.
+    "q73_window_ranks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cume"))
     })
   )
 
@@ -1109,6 +1134,19 @@ object RelationalQueries {
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase,
          CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS signup,
          CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS view
-         FROM events GROUP BY 1"""
+         FROM events GROUP BY 1""",
+    "q72_cube" ->
+      """SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY CUBE (c_mktsegment, n_name)""",
+    "q73_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         round(percent_rank() OVER w, 9) + 0.0 AS pct_rank,
+         round(cume_dist() OVER w, 9) + 0.0 AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)"""
   )
 }

@@ -17,7 +17,7 @@ object SoakDedup {
     val spark = graft.GraftSession.local(cpus, "soak-dedup")
     spark.sparkContext.setLogLevel("WARN")
     val targets = Seq("q27_minhash_neardup", "q36_neardup_groups",
-      "q40_corpus_dedup", "q62_paragraph_dedup")
+      "q40_corpus_dedup", "q62_paragraph_dedup", "q68_incremental_dedup")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       // plan shape first (cheap), then one timed materialization
