@@ -801,6 +801,48 @@ object RelationalQueries {
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 9).as("pct_rank"),
         round(cume_dist().over(w), 9).as("cume"))
+    }),
+
+    // Data-quality expectations (operators.Expectations) — the
+    // continuous validation pass every ingest runs: all row-level
+    // rules fold into ONE aggregate over one scan (a new rule is a new
+    // conditional sum, never a new pass); uniqueness rides the same
+    // shuffle as count − distinct. Two rules are deliberately tight so
+    // nonzero violation counts are exercised.
+    "q74_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val t = Tables(s, dir)
+      check(t.lineitem, Seq(
+        NotNull("l_shipdate"),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_discount", 0.0, 0.05),
+        Matches("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Unique(Seq("l_orderkey"))))
+    }),
+
+    // CDC apply (operators.Cdc.applyChanges) — MERGE INTO as a plan:
+    // a synthetic change batch with conflicting upserts (highest seq
+    // wins), deletes, and inserts produces the next snapshot in one
+    // key anti-join + union; untouched base rows never move. The
+    // %9700 keys receive all three change kinds — the compaction
+    // tie-break path.
+    "q75_cdc_apply" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.orders
+      val upd1 = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 999.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val upd2 = base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val dels = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+      val ins = base.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+      graft.operators.Cdc.applyChanges(base, changes, Seq("o_orderkey"))
     })
   )
 
@@ -1147,6 +1189,69 @@ object RelationalQueries {
          round(cume_dist() OVER w, 9) + 0.0 AS cume
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
-                      ORDER BY o_totalprice DESC, o_orderkey)"""
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
+    // Expectations twin: each rule recomputed as a scalar subquery —
+    // rule-name strings match the operator's generated names exactly.
+    "q74_expectations" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+         SELECT 'not_null(l_shipdate)' AS rule,
+           (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS violations,
+           n_rows FROM n
+         UNION ALL
+         SELECT 'in_range(l_quantity,1.0,50.0)',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0),
+           n_rows FROM n
+         UNION ALL
+         SELECT 'in_range(l_discount,0.0,0.05)',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05),
+           n_rows FROM n
+         UNION ALL
+         SELECT 'matches(l_returnflag)',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+              AND NOT regexp_matches(l_returnflag, '^[ANR]$')),
+           n_rows FROM n
+         UNION ALL
+         SELECT 'unique(l_orderkey,l_linenumber)',
+           (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+           n_rows FROM n
+         UNION ALL
+         SELECT 'unique(l_orderkey)',
+           (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem),
+           n_rows FROM n""",
+    // CDC twin: the same change batch, latest-seq compaction, delete
+    // filter, and key anti-join.
+    "q75_cdc_apply" ->
+      """WITH changes AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 999.0 AS o_totalprice, o_orderdate,
+                  o_orderpriority, 'U' AS op, 1 AS seq
+           FROM orders WHERE o_orderkey % 100 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0, o_orderdate, o_orderpriority, 'U', 2
+           FROM orders WHERE o_orderkey % 100 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'D', 1
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority, 'I', 1
+           FROM orders WHERE o_orderkey % 500 = 0),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM changes) t WHERE rn = 1)
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+       UNION ALL
+       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority
+       FROM latest WHERE op != 'D'"""
   )
 }
