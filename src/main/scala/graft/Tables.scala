@@ -32,14 +32,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
-    * a raw long (nanosAsLong, set once above). Convert to a proper
-    * TIMESTAMP (micros, floor) so every consumer sees `ts TIMESTAMP`.
+  /** The physical encoding of `events.ts` is a driver-corpus detail the
+    * engine doesn't control — it has already shipped as TIMESTAMP(NANOS)
+    * (readable only as a raw long under nanosAsLong) and later as
+    * timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * Adapt on the ACTUAL dtype, the way the reference coerces dtypes
+    * after load (merge.py:32-35), so every consumer sees `ts TIMESTAMP`
+    * regardless of which corpus generation is on disk — and fail with a
+    * named error (not a Catalyst stack 14 queries later) on an encoding
+    * this catalog has never seen.
     */
-  def events: DataFrame =
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table("events")
+    val adapted = raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) surfaced as a long (nanosAsLong): floor to micros.
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      // timestamp[us] isAdjustedToUTC=false: session is pinned UTC above,
+      // so the NTZ→TZ cast is value-identical.
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet encoding $other in $dir — " +
+          "extend Tables.events for this corpus generation")
+    }
+    val out = raw.withColumn("ts", adapted)
+    require(out.schema("ts").dataType == TimestampType,
+      s"events.ts adaptation must yield TIMESTAMP, got ${out.schema("ts").dataType}")
+    out
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
