@@ -215,6 +215,111 @@ class EventStreamSpec extends SparkSpec {
     assert(fromBatch.keySet === Set("click", "view"))
   }
 
+  test("every streaming op runs over the post-catalog events schema (batch mode)") {
+    // Round-8 lesson: the corpus' physical encoding can drift under the
+    // repo. CatalogSpec pins the types; THIS pins that each streaming
+    // op still analyzes + executes against the REAL catalog schema
+    // (watermarks are no-ops in batch), so a drift that survives the
+    // type check — a renamed column, a narrowed nullable — still dies
+    // here with the op's name on it, not in a driver run.
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val ev = t.events
+    val n = ev.count()
+    assert(hourlyAgg(ev).count() > 0, "hourlyAgg over catalog schema")
+    assert(EventStream.userSketches(ev).count() > 0, "userSketches over catalog schema")
+    assert(EventStream.valueHistograms(ev, 0.0, 500.0, 64).count() > 0,
+      "valueHistograms over catalog schema")
+    // dropDuplicatesWithinWatermark is streaming-only: pin its schema
+    // contract by replaying catalog rows through a MemoryStream
+    locally {
+      implicit val sq = spark.sqlContext
+      val sample = ev.orderBy("event_id").limit(100).as[Event].collect()
+      val src = MemoryStream[Event]
+      val q = EventStream.dedupEvents(src.toDF()).writeStream
+        .format("memory").queryName("cat_dedup").outputMode("append").start()
+      src.addData(sample: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("cat_dedup").count() === sample.length,
+        "dedupEvents over catalog schema (event_id unique in corpus)")
+    }
+    assert(EventStream.attribute(ev, "click", "purchase", 30).count() > 0,
+      "attribute over catalog schema")
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+    assert(EventStream.enrich(ev, dim).count() === n, "enrich over catalog schema")
+    // typed ops: the Event encoder must still resolve against the
+    // catalog frame (extra columns like props are dropped by upcast)
+    assert(ev.as[Event].filter(_.ts != null).count() === n,
+      "Event encoder resolves the catalog schema")
+  }
+
+  test("sessionize and hourlyAgg: stream over REAL catalog rows equals batch") {
+    // The fixture tests pin semantics on hand rows; this replays actual
+    // corpus rows through MemoryStream so the stream ≡ batch contract
+    // is exercised on the data distribution the engine actually serves
+    // (sub-second timestamps, many users, both watermark orders).
+    implicit val sq = spark.sqlContext
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.events.orderBy("ts", "event_id").limit(2000)
+      .as[Event].collect()
+
+    // hourlyAgg: streamed closed windows == batch plan on the same rows
+    val src1 = MemoryStream[Event]
+    val q1 = hourlyAgg(src1.toDF()).writeStream
+      .format("memory").queryName("cat_hourly").outputMode("append").start()
+    src1.addData(rows: _*)
+    q1.processAllAvailable()
+    src1.addData(Event(-1, -1, "sentinel", 0.0,
+      new Timestamp(rows.map(_.ts.getTime).max + 100L * 3600 * 1000)))
+    q1.processAllAvailable()
+    q1.stop()
+    val streamedHourly = spark.table("cat_hourly")
+      .filter(col("event_type") =!= "sentinel")
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batchHourly = hourlyAgg(rows.toSeq.toDF())
+      .select("hour_start", "event_type", "n_events", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamedHourly === batchHourly)
+    assert(batchHourly.nonEmpty)
+
+    // sessionize: streamed closed sessions == ms-exact gaps-and-islands
+    // batch twin (same integer-ms gap rule the streaming state machine
+    // applies; q69's floored-seconds variant is its own oracle row)
+    val src2 = MemoryStream[Event]
+    val q2 = sessionize(src2.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("cat_sessions").outputMode("append").start()
+    src2.addData(rows: _*)
+    q2.processAllAvailable()
+    src2.addData(Event(-1, -1, "sentinel", 0.0,
+      new Timestamp(rows.map(_.ts.getTime).max + 100L * 3600 * 1000)))
+    q2.processAllAvailable()
+    q2.stop()
+    val streamedSessions = spark.table("cat_sessions").as[Session].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events,
+        BigDecimal(s.total_value).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapMs = unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)
+    val batchSessions = rows.toSeq.toDF()
+      .withColumn("__new", when(gapMs.isNull || gapMs > 30L * 60000, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .as[(Long, Long, Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._3, r._4, r._5,
+        BigDecimal(r._6).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(streamedSessions === batchSessions)
+    assert(batchSessions.nonEmpty)
+  }
+
   test("attribute: stream-stream interval join matches hand trace and the batch twin") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
