@@ -72,6 +72,37 @@ object Tables {
     * LSH/ANN entry points skips their LIMIT-1 dimension probe.
     */
   val EmbeddingDim: Int = 64
+
+  /** Cheap corpus-generation fingerprint (file count + max mtime under
+    * the sf dir). The ensure* fixture caches key their derived
+    * artifacts — z-ordered/manifested events copies, bucketed tables,
+    * sketch tables, the IVF-PQ index — on it, so a driver-side corpus
+    * regeneration MID-SESSION rebuilds them instead of serving rows
+    * from the previous corpus generation (the round-8 failure mode was
+    * a between-session regen; this closes the within-session variant).
+    * One directory listing per ensure* call — never a data read.
+    */
+  def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).iterator.flatten.flatMap(walk)
+      else Iterator.single(f)
+    val files = walk(new java.io.File(dir)).toVector
+    val maxM = if (files.isEmpty) 0L else files.map(_.lastModified).max
+    s"${files.size}:$maxM"
+  }
+
+  /** `corpusFingerprint` folded to 8 hex chars — for cache keys that
+    * must be valid SQL identifiers (bucketed table names) or short
+    * filesystem path segments.
+    */
+  def corpusFingerprintHex(dir: String): String =
+    f"${corpusFingerprint(dir).hashCode & 0xffffffffL}%08x"
+
+  /** Standard cache key for per-(process, sf) fixture TrieMaps:
+    * warehouse dir (per-process) + corpus dir + corpus generation.
+    */
+  def fixtureKey(s: SparkSession, dir: String): String =
+    s.conf.get("spark.sql.warehouse.dir") + "|" + dir + "|" + corpusFingerprint(dir)
 }
 
 /** Per-process-unique warehouse directories. The in-memory catalog is

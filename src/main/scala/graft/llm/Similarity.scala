@@ -334,6 +334,33 @@ object Similarity {
           xxhash64(lit(seed), col(idCol)).as("__r"))
         .orderBy(col("__r"), col("centroid_id")).limit(numCentroids)
         .drop("__r")
+    ivfTopKImpl(corpus, queries, cents, k, idCol, vecCol, nProbe)
+  }
+
+  /** IVF top-k with CALLER-SUPPLIED coarse centroids `(centroid_id,
+    * vector)` — the separated form of `ivfTopK`'s index build: a real
+    * deployment trains/owns its quantizer and serves many query batches
+    * against it, and a quantizer that is a deterministic function of the
+    * data (e.g. a pinned id set) makes the ENTIRE probe path — rounded-
+    * cosine assignment, top-nProbe probe selection, inverted-list join,
+    * exact re-scoring — recomputable by an independent engine, which is
+    * how q76 oracle-checks the production nProbe < numCentroids setting
+    * that q33's trained quantizer can't expose to SQL.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           centroids: DataFrame, k: Int,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           centroidIdCol: String = "centroid_id",
+                           centroidVecCol: String = "embedding",
+                           nProbe: Int = 4): DataFrame =
+    ivfTopKImpl(corpus, queries,
+      centroids.select(col(centroidIdCol).as("centroid_id"),
+        col(centroidVecCol).as("__centv")),
+      k, idCol, vecCol, nProbe)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame,
+                          cents: DataFrame, k: Int, idCol: String,
+                          vecCol: String, nProbe: Int): DataFrame = {
     // Centroid assignment carries IDS ONLY and aggregates MAP-SIDE: the
     // broadcast crossJoin's numCentroids candidate rows per input row
     // collapse in the partial HashAggregate before any exchange, so the

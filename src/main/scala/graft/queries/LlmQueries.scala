@@ -38,11 +38,11 @@ object LlmQueries {
   private val ivfPqIndexPaths =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
-    ivfPqIndexPaths.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+    ivfPqIndexPaths.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft_ivfpq_$sfName"
+        s"/graft_ivfpq_${sfName}_${Tables.corpusFingerprintHex(dir)}"
       val emb = Tables(s, dir).embeddings
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
@@ -672,6 +672,53 @@ object LlmQueries {
           trunc(col("text")).as("text")))
       CorpusDedup.cleanAgainst(docs, batch, "doc_id", "text",
         threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+    }),
+
+    // IVF ANN at the production PARTIAL-probe setting (nProbe = 4 of
+    // 16) with a PINNED coarse quantizer (centroids = the vec_id < 16
+    // corpus rows) — the q33 machinery made fully oracle-checkable:
+    // with the quantizer a deterministic function of the data, the
+    // ENTIRE approximate path — rounded-cosine list assignment with
+    // smallest-id tie-break, top-nProbe probe selection, inverted-list
+    // join, exact re-score — is recomputed by the DuckDB twin. q26
+    // proves the machinery in exact mode (nProbe = all); this proves
+    // the PROBE SELECTION itself, which q26 degenerates away and q33's
+    // trained quantizer can't expose to SQL.
+    "q76_ann_ivf_pinned" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 10),
+          centroids = emb.filter(col("vec_id") < 16),
+          k = 5, centroidIdCol = "vec_id", nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("cos_sim") + 0.0).as("cos_sim"), col("rank"))
+    }),
+
+    // IVF-PQ at the production partial-probe setting with BOTH
+    // engine-defined choices pinned to deterministic constructions:
+    // coarse quantizer = the vec_id < 16 rows (argmax-dot list routing
+    // becomes SQL-recomputable), PQ codebooks lossless over the
+    // vec_id < 64 corpus (q47's k = corpus-size identity, so ADC = the
+    // exact dot product). Unlike q48 (trained index, no_oracle by
+    // construction) every stage — coarse routing, driver-side rounded-
+    // cosine probe selection, probed-list ADC scan, ranking — has an
+    // engine-independent SQL definition, closing the oracle gap on the
+    // IVF-PQ *query path*; q48 keeps the trained/persisted production
+    // index shape.
+    "q77_ivfpq_pinned" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = t.embeddings.filter(col("vec_id") < 64)
+      val coarse = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      val cb = Pq.trainCodebooks(corpus, "embedding", dim = 64, m = 8,
+        k = 64, iters = 0)
+      val codes = Pq.indexIvfPq(corpus, "vec_id", "embedding", coarse, cb)
+      Pq.ivfPqTopK(codes, corpus.filter(col("vec_id") < 10), coarse, cb,
+          k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          (col("adc_sim") + 0.0).as("adc_sim"), col("rank"))
     })
   )
 
@@ -1168,6 +1215,85 @@ object LlmQueries {
         FROM batch b
         JOIN kept1 k1 ON k1.doc_id = b.doc_id
         LEFT JOIN grp g ON g.id = b.doc_id
-        WHERE g.id IS NULL OR g.keep_id = g.id"""
+        WHERE g.id IS NULL OR g.keep_id = g.id""",
+
+    // Pinned-quantizer IVF: the oracle recomputes the full approximate
+    // path — rounded-cosine inverted-list assignment (smallest-cid
+    // tie-break, mirroring max_by's (d, -cid) order), top-4 probe
+    // selection per query, probed-list candidates, exact re-score —
+    // because the centroid set is the deterministic vec_id < 16 rows.
+    "q76_ann_ivf_pinned" ->
+      """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+              corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+              q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              asgn AS (
+                SELECT nid, cid FROM (
+                  SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY
+                    ROUND(list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                    cid ASC) AS rn
+                  FROM corp, cents) t WHERE rn = 1),
+              probes AS (
+                SELECT qid, cid FROM (
+                  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                    ROUND(list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                    cid ASC) AS rn
+                  FROM q, cents) t WHERE rn <= 4),
+              cand AS (
+                SELECT p.qid, a.nid FROM probes p JOIN asgn a ON p.cid = a.cid
+                WHERE p.qid != a.nid),
+              sims AS (
+                SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                  ROUND(list_dot_product(q.qv, corp.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(corp.v, corp.v))), 9)
+                    AS cos_sim
+                FROM cand c JOIN q ON c.qid = q.qid JOIN corp ON c.nid = corp.nid)
+         SELECT query_id, neighbor_id, cos_sim + 0.0 AS cos_sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM sims) t WHERE rank <= 5""",
+
+    // Pinned-coarse lossless-PQ IVF-PQ: coarse routing is unrounded-
+    // cosine argmax (ArgmaxDot against normalized centroids — same
+    // order as cosine, first-index ≡ smallest-cid ties), probe
+    // selection is driver-side rounded cosine, and lossless codebooks
+    // make ADC the exact dot product (q47's contract) — so every stage
+    // has a SQL definition.
+    "q77_ivfpq_pinned" ->
+      """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+              corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 64),
+              q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              asgn AS (
+                SELECT nid, cid FROM (
+                  SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY
+                    list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                    cid ASC) AS rn
+                  FROM corp, cents) t WHERE rn = 1),
+              probes AS (
+                SELECT qid, cid FROM (
+                  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                    ROUND(list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                    cid ASC) AS rn
+                  FROM q, cents) t WHERE rn <= 4),
+              cand AS (
+                SELECT p.qid, a.nid FROM probes p JOIN asgn a ON p.cid = a.cid
+                WHERE p.qid != a.nid),
+              sims AS (
+                SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                  ROUND(list_dot_product(q.qv, corp.v), 9) AS adc_sim
+                FROM cand c JOIN q ON c.qid = q.qid JOIN corp ON c.nid = corp.nid)
+         SELECT query_id, neighbor_id, adc_sim + 0.0 AS adc_sim, rank FROM (
+           SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS rank
+           FROM sims) t WHERE rank <= 5"""
   )
 }

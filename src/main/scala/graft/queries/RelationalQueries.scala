@@ -37,8 +37,12 @@ object RelationalQueries {
     val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
       .replace(".", "_")
     val t = Tables(s, dir)
-    val liTbl = s"graft_bkt_lineitem_$sfName"
-    val ordTbl = s"graft_bkt_orders_$sfName"
+    // Corpus fingerprint in the TABLE NAME: a mid-session corpus regen
+    // changes the name, so tableExists misses and the layout rebuilds
+    // from the new corpus instead of joining stale buckets.
+    val fp = Tables.corpusFingerprintHex(dir)
+    val liTbl = s"graft_bkt_lineitem_${sfName}_$fp"
+    val ordTbl = s"graft_bkt_orders_${sfName}_$fp"
     if (!s.catalog.tableExists(liTbl))
       graft.operators.Layout.writeBucketed(
         t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -57,11 +61,11 @@ object RelationalQueries {
     */
   private val zEventsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureZOrderedEvents(s: SparkSession, dir: String): String =
-    zEventsPaths.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+    zEventsPaths.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft_z_events_$sfName"
+        s"/graft_z_events_${sfName}_${Tables.corpusFingerprintHex(dir)}"
       graft.operators.ZOrder.write(Tables(s, dir).events,
         Seq("user_id", "value"), path, numFiles = 8)
       path
@@ -77,11 +81,11 @@ object RelationalQueries {
   private val manifestEvents =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
   private def ensureManifestEvents(s: SparkSession, dir: String): (String, DataFrame) =
-    manifestEvents.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+    manifestEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft_m_events_$sfName"
+        s"/graft_m_events_${sfName}_${Tables.corpusFingerprintHex(dir)}"
       Tables(s, dir).events
         .repartitionByRange(8, col("ts"))
         .sortWithinPartitions("ts")
@@ -101,11 +105,11 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, Double, Double)]
   private val SketchBins = 256
   private def ensureDailyValueSketch(s: SparkSession, dir: String): (String, Double, Double) =
-    dailyValueSketch.getOrElseUpdate(s.conf.get("spark.sql.warehouse.dir") + "|" + dir, {
+    dailyValueSketch.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/graft_qsketch_events_$sfName"
+        s"/graft_qsketch_events_${sfName}_${Tables.corpusFingerprintHex(dir)}"
       val t = Tables(s, dir)
       val r = t.events.agg(min(col("value")).cast("double"),
         max(col("value")).cast("double")).head()
