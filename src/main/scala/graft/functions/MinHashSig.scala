@@ -166,3 +166,87 @@ object SimHash64 {
   def apply(tokens: Column, seed: Long): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens), seed))
 }
+
+/** 60-bit MD5-based SimHash — the ORACLE-REPRODUCIBLE twin of
+  * `SimHash64`. The token hash is the numeric value of the first 15
+  * hex chars of `md5(token)` (60 bits — the widest md5 prefix that
+  * fits a SIGNED 64-bit int in every engine), i.e. exactly
+  * `conv(substring(md5(t), 1, 15), 16, 10)` in Spark SQL and
+  * `('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB — so an
+  * independent engine can rebuild the signature bit-for-bit, which
+  * xxhash64-seeded `SimHash64` (Spark-internal hash) can never offer.
+  * Same vote semantics over bits 0..59: bit b is 1 iff the sum over
+  * tokens of ±1 (sign of bit b of the token hash) is positive. Null
+  * token → hash 0 (votes −1 on every bit), mirrored in the builtin
+  * twin; null token ARRAY → null.
+  *
+  * Production dedup stays on `SimHash64` (xxhash64 is one unseeded
+  * 64-bit mix vs a full MD5 block per token); this expression exists
+  * for cross-engine-checkable fingerprints (q78) and any pipeline that
+  * must publish signatures other systems can recompute.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Long = {
+    val md = SimHashMd5.digest.get()
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) 0L
+        else {
+          md.reset()
+          val d = md.digest(arr.getUTF8String(i).getBytes)
+          // first 15 hex chars = top 60 bits of the first 8 bytes
+          // (big-endian), dropping the low nibble of byte 7
+          (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        }
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashmd5", this, classOf[SimHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash_md5"
+}
+
+object SimHashMd5 {
+  // MessageDigest is stateful and not thread-safe; one per task thread.
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Column API over an ARRAY<STRING> token column. */
+  def apply(tokens: Column): Column =
+    ColumnShim.column(SimHashMd5(ColumnShim.expression(tokens)))
+}

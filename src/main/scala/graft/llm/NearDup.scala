@@ -207,6 +207,35 @@ object NearDup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** MD5-based 60-bit SimHash — the cross-engine-reproducible twin of
+    * `simhash64` (native `functions.SimHashMd5`; token hash =
+    * `conv(substring(md5(t), 1, 15), 16, 10)`, recomputable by any
+    * engine with md5). Production dedup uses `simhash64`; this one
+    * backs oracle-checked fingerprinting (q78).
+    */
+  def simhashMd5(text: Column): Column =
+    graft.functions.SimHashMd5(TextOps.tokens(text))
+
+  /** Builtin-composition twin of `simhashMd5` — the equivalence oracle
+    * for the native path (NearDupNativeSpec). Null tokens hash to 0
+    * (conv(null) is null → coalesce), matching the native rule.
+    */
+  def simhashMd5Generic(text: Column): Column = {
+    val votes = aggregate(
+      transform(TextOps.tokens(text),
+        t => coalesce(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(0L))),
+      transform(sequence(lit(0), lit(59)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
+        (a, b) => a + when(
+          h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0,
+          lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** SimHash near-dup candidate pairs with Hamming distance ≤ `maxDist`.
     * Pigeonhole blocking: split the 64-bit signature into `maxDist+1`
     * blocks — any pair within distance maxDist matches exactly on at
@@ -215,10 +244,26 @@ object NearDup {
     * Returns `(id_a, id_b, hamming)`.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, seed: Long = 42L): DataFrame = {
+                   maxDist: Int = 3, seed: Long = 42L): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("__id"), simhash64(col(textCol), seed).as("__sig")),
+      maxDist, sigBits = 64)
+
+  /** `simhashPairs` over the md5 signature (60 bits → 15-bit blocks at
+    * maxDist 3). Because pigeonhole blocking is EXACT (not
+    * probabilistic), the output is precisely the Hamming ≤ maxDist
+    * pair set of a signature any engine can recompute — a full oracle.
+    */
+  def simhashPairsMd5(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("__id"), simhashMd5(col(textCol)).as("__sig")),
+      maxDist, sigBits = 60)
+
+  private def simhashPairsOf(sigDf: DataFrame, maxDist: Int,
+                             sigBits: Int): DataFrame = {
     val nBlocks = maxDist + 1
-    val blockBits = 64 / nBlocks
-    val sigDf = df.select(col(idCol).as("__id"), simhash64(col(textCol), seed).as("__sig"))
+    val blockBits = sigBits / nBlocks
     val blocked = sigDf.select(col("__id"), col("__sig"),
       explode(transform(sequence(lit(0), lit(nBlocks - 1)),
         b => struct(b.cast("int").as("blk"),

@@ -719,6 +719,30 @@ object LlmQueries {
           k = 5, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"),
           (col("adc_sim") + 0.0).as("adc_sim"), col("rank"))
+    }),
+
+    // MD5-based SimHash near-dup pairs — the FULLY oracle-checked
+    // member of the SimHash family. q28's signature is Spark-internal
+    // xxhash64 (no_oracle by construction); here the token hash is
+    // conv(substring(md5(t), 1, 15), 16, 10) — recomputable by any
+    // engine — and pigeonhole blocking is EXACT (a pair within Hamming
+    // maxDist must match on ≥ 1 of maxDist+1 blocks), so the output IS
+    // the exact Hamming ≤ 3 pair set of an engine-independent
+    // signature: the DuckDB twin rebuilds every signature from raw
+    // text and brute-forces all pairs. Corpus plants both dup classes:
+    // an exact twin of every doc (Hamming 0, guaranteed pairs) and a
+    // truncated twin (q27's trailing-edit relation — few tokens
+    // change, so few vote margins flip).
+    "q78_simhash_md5" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), lit(1),
+            greatest(length(col("text")) - 10, lit(1))).as("text")))
+      NearDup.simhashPairsMd5(corpus, "doc_id", "text", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     })
   )
 
@@ -1294,6 +1318,39 @@ object LlmQueries {
          SELECT query_id, neighbor_id, adc_sim + 0.0 AS adc_sim, rank FROM (
            SELECT *, ROW_NUMBER() OVER (
              PARTITION BY query_id ORDER BY adc_sim DESC, neighbor_id) AS rank
-           FROM sims) t WHERE rank <= 5"""
+           FROM sims) t WHERE rank <= 5""",
+
+    // Ground truth for the md5 SimHash: rebuild every 60-bit signature
+    // from raw text (token hash = first 15 md5 hex chars as an int,
+    // per-bit ±1 vote, positive → bit set; empty-token docs get sig 0
+    // via the left join) and brute-force the exact Hamming ≤ 3 pair
+    // set the blocked join must reproduce.
+    "q78_simhash_md5" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1))
+            FROM documents),
+          tok AS (SELECT doc_id, unnest($sqlToks) AS t FROM corpus),
+          votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> b) & 1) = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM tok, range(60) r(b) GROUP BY doc_id, b),
+          sig0 AS (
+            SELECT doc_id, bit_or(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                                       ELSE 0::BIGINT END) AS s
+            FROM votes GROUP BY doc_id),
+          sig AS (
+            SELECT c.doc_id, COALESCE(s0.s, 0) AS s
+            FROM (SELECT DISTINCT doc_id FROM corpus) c
+            LEFT JOIN sig0 s0 ON s0.doc_id = c.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+        FROM sig a, sig b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3"""
   )
 }

@@ -54,6 +54,32 @@ class NearDupNativeSpec extends SparkSpec {
     assert(native === generic)
   }
 
+  test("native SimHashMd5 == builtin conv(md5) composition on sf0.01 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val native = docs.select(col("doc_id"), NearDup.simhashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val generic = docs.select(col("doc_id"), NearDup.simhashMd5Generic(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === generic)
+    // 60-bit contract: bits 60..63 never set
+    assert(native.values.forall(s => (s >>> 60) == 0L))
+    docs.unpersist(blocking = false)
+  }
+
+  test("SimHashMd5 edges: empty text -> sig 0; exact twins pair at Hamming 0") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "   "),
+      (4L, "alpha beta gamma")).toDF("id", "text")
+    val sigs = df.select(col("id"), NearDup.simhashMd5(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(2L) == 0L && sigs(3L) == 0L, "no-token docs must sign to 0")
+    assert(sigs(1L) == sigs(4L))
+    val pairs = NearDup.simhashPairsMd5(df, "id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 4L, 0)), s"exact twin pair missing from $pairs")
+    assert(pairs.contains((2L, 3L, 0)), "both empty-token docs share sig 0")
+  }
+
   test("native signature pass >= 2x faster than builtin on sf0.1 documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("__sh"))
