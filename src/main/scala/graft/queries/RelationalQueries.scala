@@ -847,6 +847,82 @@ object RelationalQueries {
         .withColumn("op", lit("I")).withColumn("seq", lit(1L))
       val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
       graft.operators.Cdc.applyChanges(base, changes, Seq("o_orderkey"))
+    }),
+
+    // Semi-structured extraction — events.props is a JSON payload
+    // column (the event-log norm: a typed envelope plus a free-form
+    // property bag). from_json with an explicit schema parses it INSIDE
+    // the scan projection (one pass, codegen'd envelope, no
+    // regex/UDF), then a standard keyed aggregate. Exact integer
+    // aggregates only, so both engines agree bit-for-bit. At 100 TB
+    // the parse is embarrassingly parallel and the only shuffle is the
+    // final tiny groupBy; a production deployment would materialize
+    // hot JSON fields as typed columns (q75's CDC shape), with this
+    // query as the backfill.
+    "q79_json_extract" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k")
+      t.events
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") > 50, lit(1))).as("n_high"))
+    }),
+
+    // Time-series DENSIFICATION (gap-fill): the hourly per-type series
+    // with every empty hour materialized as an explicit zero row —
+    // what every dashboard/forecast consumer needs and a bare groupBy
+    // can't give (missing groups simply don't exist). The hour spine
+    // is generated (sequence + explode) from one global bounds row ×
+    // the distinct type set — both contractually tiny, so the spine
+    // builds broadcast-side and the only data-sized shuffle is q15's
+    // keyed hourly aggregate; gaps never touch the fact table.
+    "q80_gapfill" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"), col("ts"), col("value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("__lo"),
+        date_trunc("hour", max(col("ts"))).as("__hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("__lo"), col("__hi"),
+            expr("interval 1 hour"))).as("__hour"))
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__hour"))
+        .agg(count(lit(1)).as("__n"), dsum(col("value")).as("__sv"))
+      spine.join(hourly, Seq("event_type", "__hour"), "left")
+        .select(col("event_type"),
+          date_format(col("__hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce(col("__n"), lit(0L)).as("n_events"),
+          coalesce(col("__sv"), lit(0.0)).as("sum_value"))
+    }),
+
+    // Cohort RETENTION — users grouped by first-seen day, counted at
+    // each later day offset (the product-analytics staple). Exact
+    // integer arithmetic end to end (floored dates, day subtraction,
+    // distinct counts). Two user-keyed shuffles (first-day agg, then
+    // the distinct-day set) + one small (cohort, offset) aggregate;
+    // per-user state is one date, so the shape holds at any user
+    // count.
+    "q81_retention" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.events
+        .select(col("user_id"), to_date(col("ts")).as("__day")).distinct()
+      val first = days.groupBy(col("user_id")).agg(min(col("__day")).as("__cohort"))
+      days.join(first, Seq("user_id"))
+        .groupBy(col("__cohort"),
+          datediff(col("__day"), col("__cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
     })
   )
 
@@ -1256,6 +1332,49 @@ object RelationalQueries {
        UNION ALL
        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
               o_orderdate, o_orderpriority
-       FROM latest WHERE op != 'D'"""
+       FROM latest WHERE op != 'D'""",
+
+    // JSON path extraction + exact integer aggregates; NULL k (absent
+    // or unparsable) is excluded from count(k)/sum/min/max in both
+    // engines by SQL NULL semantics.
+    "q79_json_extract" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k,
+                MIN(k) AS min_k, MAX(k) AS max_k,
+                COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high
+         FROM e GROUP BY event_type""",
+
+    // Densified hourly series: the generated hour spine × type set,
+    // left-joined to the q15-style hourly aggregate, gaps as zeros.
+    "q80_gapfill" ->
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi FROM events),
+              hs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                     FROM b),
+              spine AS (
+                SELECT et.event_type, hs.h
+                FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN hs),
+              hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+                FROM events GROUP BY 1, 2)
+         SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                COALESCE(n, 0) AS n_events, COALESCE(sv, 0.0) AS sum_value
+         FROM spine s
+         LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h""",
+
+    // Cohort retention: first-seen day per user, distinct users per
+    // (cohort, day offset) — all-integer date arithmetic.
+    "q81_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                CAST(d.day - f.cohort AS BIGINT) AS day_offset,
+                COUNT(DISTINCT d.user_id) AS n_users
+         FROM d JOIN f USING (user_id) GROUP BY 1, 2"""
   )
 }
