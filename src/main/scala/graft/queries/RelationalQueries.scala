@@ -886,18 +886,21 @@ object RelationalQueries {
     // keyed hourly aggregate; gaps never touch the fact table.
     "q80_gapfill" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val ev = t.events.select(col("event_type"), col("ts"), col("value"))
-      val bounds = ev.agg(
-        date_trunc("hour", min(col("ts"))).as("__lo"),
-        date_trunc("hour", max(col("ts"))).as("__hi"))
-      val spine = ev.select(col("event_type")).distinct()
+      // ONE fact scan: the hourly aggregate is the only events-sized
+      // work; bounds and the type set derive from its (tiny) output —
+      // localCheckpoint so the three consumers don't re-run the scan.
+      val hourly = t.events
+        .select(col("event_type"), col("ts"), col("value"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__hour"))
+        .agg(count(lit(1)).as("__n"), dsum(col("value")).as("__sv"))
+        .localCheckpoint()
+      val bounds = hourly.agg(min(col("__hour")).as("__lo"),
+        max(col("__hour")).as("__hi"))
+      val spine = hourly.select(col("event_type")).distinct()
         .crossJoin(broadcast(bounds))
         .select(col("event_type"),
           explode(sequence(col("__lo"), col("__hi"),
             expr("interval 1 hour"))).as("__hour"))
-      val hourly = ev
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("__hour"))
-        .agg(count(lit(1)).as("__n"), dsum(col("value")).as("__sv"))
       spine.join(hourly, Seq("event_type", "__hour"), "left")
         .select(col("event_type"),
           date_format(col("__hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -907,20 +910,27 @@ object RelationalQueries {
 
     // Cohort RETENTION — users grouped by first-seen day, counted at
     // each later day offset (the product-analytics staple). Exact
-    // integer arithmetic end to end (floored dates, day subtraction,
-    // distinct counts). Two user-keyed shuffles (first-day agg, then
-    // the distinct-day set) + one small (cohort, offset) aggregate;
-    // per-user state is one date, so the shape holds at any user
-    // count.
+    // integer arithmetic end to end (floored dates, day subtraction).
+    // TWO keyed shuffles total: one user-keyed aggregate computes the
+    // cohort AND the distinct-day set together (collect_set partials
+    // combine map-side; per-user state is its distinct ACTIVE DAYS —
+    // calendar-bounded, so a decade-long bot is ~4k dates), then the
+    // exploded (cohort, offset) rows fold in one small aggregate.
+    // After the per-user dedup each user hits a (cohort, offset) cell
+    // at most once, so count(*) IS the distinct-user count — no
+    // distinct expansion, no join (the naive distinct→agg→self-join
+    // form costs 4 shuffles and moves the day set twice).
     "q81_retention" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val days = t.events
-        .select(col("user_id"), to_date(col("ts")).as("__day")).distinct()
-      val first = days.groupBy(col("user_id")).agg(min(col("__day")).as("__cohort"))
-      days.join(first, Seq("user_id"))
+      t.events
+        .select(col("user_id"), to_date(col("ts")).as("__day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("__day")).as("__cohort"),
+          collect_set(col("__day")).as("__days"))
+        .select(col("__cohort"), explode(col("__days")).as("__day"))
         .groupBy(col("__cohort"),
           datediff(col("__day"), col("__cohort")).cast("long").as("day_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
     })
