@@ -901,7 +901,12 @@ object RelationalQueries {
         .select(col("event_type"),
           explode(sequence(col("__lo"), col("__hi"),
             expr("interval 1 hour"))).as("__hour"))
-      spine.join(hourly, Seq("event_type", "__hour"), "left")
+      // hourly is contractually tiny (types × hours) but its
+      // post-checkpoint size ESTIMATE scales with the corpus, so at
+      // 10× the static planner flips this join to sort-merge (SoakGen
+      // soak caught it) — broadcast explicitly rather than relying on
+      // AQE to undo the flip at runtime.
+      spine.join(broadcast(hourly), Seq("event_type", "__hour"), "left")
         .select(col("event_type"),
           date_format(col("__hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           coalesce(col("__n"), lit(0L)).as("n_events"),

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Generator for the 10× soak corpus (the previously ad-hoc recipe
+  * behind PLANS.md's soak tables, now reproducible): 10 copies of the
+  * sf0.1 `documents` and `events` tables.
+  *
+  *  - documents: copy c shifts doc_id by c·10⁵ and inserts a
+  *    copy-AND-position-specific token every 3 words (copies are NOT
+  *    near-dups of each other — without this every doc becomes a
+  *    10-clique in any near-dup query and the pair graph stops
+  *    resembling a real corpus; it also grows tokens/doc ~1.33× for
+  *    9 of 10 copies, so shingle volume is ~13×). The POSITION part
+  *    matters for multiset-vote sketches (SimHash): a single repeated
+  *    filler token would dominate every copy's vote vector and
+  *    correlate signatures ACROSS unrelated docs — measured as a
+  *    225M-pair explosion in q78 before the fix; distinct fillers
+  *    keep unrelated docs far apart in Hamming space.
+  *  - events: copy c shifts event_id by c·10⁹ and user_id by c·10⁶ —
+  *    horizontal user growth over the same time range, the shape a
+  *    10× traffic step actually has.
+  *
+  * Usage: runMain graft.tools.SoakGen [srcSfDir] [outDir]
+  */
+object SoakGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(1).headOption.getOrElse("/tmp/sf1soak")
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "soak-gen")
+    spark.sparkContext.setLogLevel("WARN")
+    val t = graft.Tables(spark, src)
+
+    val docs = t.documents
+    val copies = (0 until 10).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + c * 100000L).as("doc_id"),
+        // splice "copyN" after every 3rd token
+        array_join(flatten(transform(
+          graft.llm.TextOps.tokens(col("text")),
+          (tok, i) => when(pmod(i, lit(3)) === 2,
+              array(tok, concat(lit(s"c${c}w"), i.cast("string"))))
+            .otherwise(array(tok)))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = t.events
+    (0 until 10).map { c =>
+      if (c == 0) ev
+      else ev.select(
+        (col("event_id") + c * 1000000000L).as("event_id"), col("ts"),
+        (col("user_id") + c * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"SOAKGEN wrote 10x documents+events from $src to $out")
+    spark.stop()
+  }
+}
