@@ -192,6 +192,57 @@ object EventStream {
       }
   }
 
+  /** One row per (user, active day) first occurrence, with the user's
+    * cohort (first-seen) day attached — the streaming PRODUCER of the
+    * q81 retention input, in the `userSketches` deployment shape: the
+    * stream is scanned once ever, the emitted activity table is tiny
+    * (≤ one row per user-day), and any retention matrix is a batch
+    * `groupBy(cohort_day, day_offset).count()` over it — count(*) IS
+    * the distinct-user count because emission is deduped per
+    * (user, day) in state (EventStreamSpec pins stream ≡ q81 on real
+    * corpus rows).
+    *
+    * State per user: first-seen epoch day + the distinct active-day
+    * set — calendar-bounded (a decade-long daily user is ~4k ints),
+    * same bound the batch q81 collect_set carries; no timeout, because
+    * evicting a user would reset their cohort on return. Late
+    * PRE-cohort activity (an earlier day arriving after the cohort was
+    * emitted) is dropped: append mode cannot retract the already-
+    * emitted offsets a re-based cohort would invalidate — the
+    * documented first-touch-attribution trade, negligible under any
+    * sane watermark.
+    */
+  def retention(events: Dataset[Event]): Dataset[Activity] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserDays, Activity](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserDays]) =>
+          val out = Seq.newBuilder[Activity]
+          var cur = state.getOption.getOrElse(UserDays(Int.MaxValue, Seq.empty))
+          rows.toArray.map(e => Math.floorDiv(e.ts.getTime, 86400000L).toInt)
+            .sorted.foreach { d =>
+              if (cur.first == Int.MaxValue) {
+                cur = UserDays(d, Seq(d))
+                out += Activity(userId, new Timestamp(d * 86400000L), 0L)
+              } else if (d >= cur.first && !cur.seen.contains(d)) {
+                cur = UserDays(cur.first, cur.seen :+ d)
+                out += Activity(userId, new Timestamp(cur.first * 86400000L),
+                  (d - cur.first).toLong)
+              } // d < first: late pre-cohort activity, dropped (see doc)
+            }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
+  final case class Activity(user_id: Long, cohort_day: Timestamp,
+                            day_offset: Long)
+  // per-user retention state: first-seen epoch day + distinct active days
+  final case class UserDays(first: Int, seen: Seq[Int])
+
   /** Stream–static enrichment join: each event picks up its user's
     * dimension attributes. The static side is re-planned per
     * micro-batch (so a dimension refresh is picked up without restart)

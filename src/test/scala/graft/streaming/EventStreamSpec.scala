@@ -320,6 +320,52 @@ class EventStreamSpec extends SparkSpec {
     assert(batchSessions.nonEmpty)
   }
 
+  test("retention: streamed activity table batch-folds to the exact q81 matrix") {
+    // retention() emits one deduped (user, day) row with the cohort
+    // attached; grouping the emitted table must reproduce the
+    // oracle-checked q81 batch query on the same corpus.
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables(spark, dir).events
+      .orderBy("ts", "event_id").as[Event].collect()
+    val src = MemoryStream[Event]
+    val q = EventStream.retention(src.toDS()).writeStream
+      .format("memory").queryName("cat_retention").outputMode("append").start()
+    src.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cat_retention")
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("q81_retention")(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("retention: incremental arrival dedups days and drops late pre-cohort rows") {
+    implicit val sq = spark.sqlContext
+    val day = 86400000L
+    def ev(id: Long, uid: Long, d: Int) =
+      Event(id, uid, "click", 1.0, new Timestamp(d * day + 3600000L))
+    val src = MemoryStream[Event]
+    val q = EventStream.retention(src.toDS()).writeStream
+      .format("memory").queryName("ret_inc").outputMode("append").start()
+    src.addData(ev(1, 7, 10), ev(2, 7, 10)) // same day twice -> one row
+    q.processAllAvailable()
+    src.addData(ev(3, 7, 12)) // later batch, new day -> offset 2
+    q.processAllAvailable()
+    src.addData(ev(4, 7, 12), ev(5, 7, 9)) // dup day + late pre-cohort
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ret_inc")
+      .as[Activity].collect().map(a => (a.user_id, a.day_offset)).sorted.toSeq
+    assert(got === Seq((7L, 0L), (7L, 2L)),
+      s"expected deduped offsets 0 and 2 only, got $got")
+  }
+
   test("attribute: stream-stream interval join matches hand trace and the batch twin") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
