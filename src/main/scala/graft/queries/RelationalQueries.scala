@@ -938,6 +938,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
         .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
           col("day_offset"), col("n_users"))
+    }),
+
+    // Explicit GROUPING SETS — the general form rollup (q12) and cube
+    // (q29/q72) are shorthands of: an ARBITRARY set list, here
+    // {(flag, status), (status), ()} — note (flag) alone is absent,
+    // so neither shorthand can express it. grouping() flags
+    // disambiguate "NULL because aggregated away" from a real NULL
+    // key (the oracle relies on them too). One expanded aggregate,
+    // same single shuffle as a plain groupBy ×
+    // |sets| map-side expansion.
+    "q82_grouping_sets" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
     })
   )
 
@@ -1390,6 +1411,15 @@ object RelationalQueries {
          SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
                 CAST(d.day - f.cohort AS BIGINT) AS day_offset,
                 COUNT(DISTINCT d.user_id) AS n_users
-         FROM d JOIN f USING (user_id) GROUP BY 1, 2"""
+         FROM d JOIN f USING (user_id) GROUP BY 1, 2""",
+
+    "q82_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_linestatus), ())"""
   )
 }
