@@ -84,6 +84,25 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus minimum-cardinality contract at every SF") {
+    // The ANN oracle queries pin their quantizer/codebook constructions
+    // to the low id range (q21/q76: vec_id < 10/16 probes+centroids;
+    // q47/q77: the vec_id < 64 lossless corpus) — if a regenerated
+    // corpus ever ships without those ids, fail HERE with a named
+    // assert, not as 6 dead ANN queries.
+    import org.apache.spark.sql.functions.col
+    for (dir <- sfDirs) {
+      val t = Tables(spark, dir)
+      val nLow = t.embeddings.filter(col("vec_id") < 64).count()
+      assert(nLow == 64L,
+        s"$dir: embeddings must contain exactly the ids 0..63 in vec_id < 64 " +
+          s"(got $nLow rows) — the pinned ANN constructions (q47/q76/q77) " +
+          "assume this id range")
+      assert(t.documents.limit(1).count() == 1L, s"$dir: documents is empty")
+      assert(t.events.limit(1).count() == 1L, s"$dir: events is empty")
+    }
+  }
+
   test("embeddings.embedding width matches Tables.EmbeddingDim at every SF") {
     import org.apache.spark.sql.functions.{size => asize, col, countDistinct}
     for (dir <- sfDirs) {
