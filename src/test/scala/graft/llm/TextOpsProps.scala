@@ -134,4 +134,40 @@ object TextOpsProps extends Properties("textops") {
       got == want
     }
   }
+
+  /** md5-SimHash: the native expression equals an INDEPENDENT driver
+    * recomputation (JDK MessageDigest, not Spark's md5) on random
+    * docs, and the signature is invariant under token-order
+    * permutation (votes are a multiset sum) — the two facts the q78
+    * oracle leans on.
+    */
+  property("simhashMd5 = driver md5-vote recomputation; order-invariant") = {
+    def driverSig(text: String): Long = {
+      val toks = text.trim match {
+        case "" => Array.empty[String]
+        case t  => t.split("\\s+")
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      toks.foreach { tok =>
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL)) >>> 4
+        (0 until 60).foreach(b => if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 60).foldLeft(0L)((s, b) => if (votes(b) > 0) s | (1L << b) else s)
+    }
+    val gen = for {
+      d <- doc
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield (d, new scala.util.Random(seed))
+    Prop.forAllNoShrink(gen) { case (d, rnd) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val shuffled = rnd.shuffle(d.trim.split("\\s+").toSeq.filter(_.nonEmpty)).mkString(" ")
+      val got = Seq(d, shuffled).toDF("text")
+        .select(NearDup.simhashMd5(col("text")).as("s"))
+        .collect().map(_.getLong(0))
+      got(0) == driverSig(d) && got(1) == got(0)
+    }
+  }
 }
