@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArgmaxDot, BloomMightContain, CmsEstimate,
   CmsMergeAgg, HyperplaneBuckets, InterleaveBits, MinHashSig, RankBucket,
-  SimHash64, VecDot, WinnowHash, WinnowMd5, WordHits, WordShingles}
+  SimHash64, SimHashMd5, VecDot, WinnowHash, WinnowMd5, WordHits,
+  WordShingles}
 
 /** SparkSessionExtensions entry point (SURVEY §4.3's extension slot):
   * installs graft's native Catalyst functions into every session built
@@ -51,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"simhash64 takes 2 arguments, got ${exprs.length}")
         SimHash64(exprs(0), GraftExtensions.longLit(exprs(1), "seed"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash_md5 takes 1 argument, got ${exprs.length}")
+        SimHashMd5(exprs(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("winnow_md5"),

@@ -20,6 +20,7 @@ class GraftExtensionsSpec extends SparkSpec {
     "hyperplane_buckets", // HyperplaneBuckets
     "minhash_sig",        // MinHashSig
     "simhash64",          // SimHash64
+    "simhash_md5",        // SimHashMd5
     "word_shingles",      // WordShingles
     "word_hits",          // WordHits
     "winnow_hash",        // WinnowHash
