@@ -65,10 +65,19 @@ object Parity {
           || label | supervised R=3 wall (s) | mean test AUC | embed nodes | embed wall (s) | embed nodes/s |
           ||---|---|---|---|---|---|
           |""".stripMargin
-      val row = f"| $label | $supSecs%.1f | $meanAuc%.4f | $nNodes | $unsupSecs%.1f | $nodesPerSec%.0f |%n"
+      val row = f"| $label | $supSecs%.1f | $meanAuc%.4f | $nNodes | $unsupSecs%.1f | $nodesPerSec%.0f |"
       val path = Paths.get(outMd)
       if (!Files.exists(path)) Files.write(path, header.getBytes("UTF-8"))
-      Files.write(path, row.getBytes("UTF-8"), StandardOpenOption.APPEND)
+      // insert after the LAST table row, not at EOF — the file carries
+      // prose below the table and a blind append lands outside it
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(path)).asScala.toVector
+      val lastRow = lines.lastIndexWhere(_.startsWith("| "))
+      val updated =
+        if (lastRow < 0) lines :+ row
+        else (lines.take(lastRow + 1) :+ row) ++ lines.drop(lastRow + 1)
+      Files.write(path, updated.mkString("", "\n", "\n").getBytes("UTF-8"),
+        StandardOpenOption.TRUNCATE_EXISTING)
       println(s"PARITY $label supervised=${supSecs}s auc=$meanAuc " +
         s"embed=$nNodes nodes in ${unsupSecs}s (${nodesPerSec.toLong}/s) -> $outMd")
     } finally spark.stop()
