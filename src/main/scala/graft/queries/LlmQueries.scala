@@ -743,6 +743,26 @@ object LlmQueries {
             greatest(length(col("text")) - 10, lit(1))).as("text")))
       NearDup.simhashPairsMd5(corpus, "doc_id", "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // JSONL ingest (sources.JsonlIO) — corpora arrive as
+    // newline-delimited JSON long before they are parquet; the query
+    // reads a deterministic JSONL fixture with an EXPLICIT schema
+    // (nested struct included, no inference pre-scan) and folds it to
+    // per-language exact aggregates. The DuckDB twin reads the SAME
+    // files via read_json (q32's shared-fixture pattern), so the
+    // parse itself — not just downstream math — is cross-checked.
+    "q83_jsonl_ingest" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val n = math.max(60L, (20000 * sfOf(dir)).toLong)
+      val path = graft.sources.JsonlIO.fixtureJsonl(s,
+        s"${sys.props("java.io.tmpdir")}/graft-fixtures/jsonl_$sfName", n)
+      graft.sources.JsonlIO.read(s, path, graft.sources.JsonlIO.FixtureSchema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("id")).cast("long").as("sum_id"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          count(when(col("meta.src") === "web", lit(1))).as("n_web"))
     })
   )
 
@@ -1351,6 +1371,22 @@ object LlmQueries {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sig a, sig b
-        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3"""
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3""",
+
+    // Reads the SAME JSONL files q83 ingested (written by the q83 run
+    // before the oracle executes; the driver verifies at sf0.01, which
+    // fixes the fixture path) — the cross-engine check covers the
+    // PARSE, not just the aggregate.
+    "q83_jsonl_ingest" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/jsonl_sf0.01/*.json"
+      s"""SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(id) AS BIGINT) AS sum_id,
+                 CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                 COUNT(CASE WHEN meta.src = 'web' THEN 1 END) AS n_web
+          FROM read_json('$fixture', format='newline_delimited',
+               columns={id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+                        meta: 'STRUCT(src VARCHAR)'})
+          GROUP BY lang"""
+    }
   )
 }
