@@ -176,6 +176,69 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity join at scale via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; public
+    * algorithm): returns the COMPLETE `(id_a, id_b, jaccard ≥
+    * threshold)` pair set — same answer as `exactJaccardPairs` —
+    * without ever materializing the O(n²) pair space and without the
+    * probabilistic recall of MinHash-LSH (`nearDupPairs` catches a
+    * qualifying pair with S-curve probability; this catches every one
+    * by theorem).
+    *
+    * Prefix theorem: fix any total order over shingles. If
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉ =: o, and two sets with
+    * overlap ≥ o must share an element within their first
+    * |X| − o + 1 elements; p(X) = |X| − ⌈τ·|X|⌉ + 1 ≥ |X| − o + 1 is
+    * the per-doc-computable safe prefix. So the candidate join only
+    * pairs docs sharing a PREFIX shingle — with the order chosen
+    * rarest-first (ascending document frequency, shingle as
+    * tie-break), prefixes hold the corpus's rarest shingles and the
+    * join groups stay small.
+    *
+    * Scale shape: one shingle-keyed df aggregate (map-side
+    * combinable), one shingle-keyed join to attach the order key, one
+    * doc-keyed rebuild (per-doc state = its own shingle set), the
+    * prefix-shingle-keyed candidate join, and the id-keyed verify
+    * join. Every shuffle is keyed; nothing is all-pairs. The
+    * length-ratio filter (jaccard ≤ min/max of sizes) prunes
+    * candidates before verification, exactness-preserving.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // distinct shingle set per doc — feeds the df count, the prefix
+    // build, and the verify join; materialize once.
+    val sh = df.select(col(idCol).as("__sid"),
+        array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val ex = sh.select(col("__sid"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__g"))
+    // global rarest-first total order key: (document frequency, shingle)
+    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val pLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val prefix = ex.join(dfreq, Seq("__g"))
+      .groupBy(col("__sid"), col("__n"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .select(col("__sid"), col("__n"),
+        explode(slice(transform(col("__ord"), s => s.getField("__g")),
+          lit(1), pLen)).as("__g"))
+    val cand = prefix.as("l")
+      .join(prefix.as("r"),
+        col("l.__g") === col("r.__g") && col("l.__sid") < col("r.__sid")
+          && least(col("l.__n"), col("r.__n")).cast("double") >=
+             lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double"))
+      .select(col("l.__sid").as("id_a"), col("r.__sid").as("id_b"))
+      .distinct()
+    val sets = sh.select(col("__sid"), col("__sh"))
+    cand
+      .join(sets.select(col("__sid").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("__sid").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over the whitespace tokens: bit b of the signature
     * is 1 iff `sum over tokens of ±1 (sign of bit b of xxhash64(tok))`
     * is positive. Near-dups have small Hamming distance. Evaluates as

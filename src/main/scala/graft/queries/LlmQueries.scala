@@ -763,6 +763,45 @@ object LlmQueries {
           sum(col("id")).cast("long").as("sum_id"),
           sum(length(col("text"))).cast("long").as("n_chars"),
           count(when(col("meta.src") === "web", lit(1))).as("n_web"))
+    }),
+
+    // EXACT set-similarity join at scale (NearDup.prefixJaccardPairs,
+    // the AllPairs/PPJoin prefix-filter family): the COMPLETE Jaccard
+    // ≥ 0.6 pair set over q27's corpus — same oracle, different
+    // guarantee. q27's MinHash-LSH catches a qualifying pair with
+    // S-curve probability (tuned here to 100% on this corpus, spec- and
+    // probe-verified); prefix filtering catches every pair BY THEOREM:
+    // two sets with Jaccard ≥ τ must share a shingle within their
+    // rarest-first prefixes of length n − ⌈τn⌉ + 1, so the candidate
+    // join on prefix shingles is provably complete and the exact
+    // verify join only prunes. The choice at 100 TB: LSH when a recall
+    // target is negotiable (cheaper — fixed-width signatures instead
+    // of a df join), prefix filtering when dedup must be exhaustive
+    // (e.g. benchmark decontamination audits).
+    "q85_prefix_jaccard" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val twins = t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1), greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
+      NearDup.prefixJaccardPairs(corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 3)
+    }),
+
+    // Deterministic reproducible sampling — k docs per language chosen
+    // by the md5(text) order (doc_id tie-break): the "pin the training
+    // subset" op every data pipeline needs (rerun on the same corpus →
+    // the same sample, on any cluster size — unlike rand()-based
+    // sampling, which is partitioning-dependent). One keyed window
+    // shuffle; both engines recompute the same hex order.
+    "q88_hash_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      t.documents
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("__rn"))
+        .filter(col("__rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("__rn").cast("long").as("sample_rank"))
     })
   )
 
@@ -1387,6 +1426,21 @@ object LlmQueries {
                columns={id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
                         meta: 'STRUCT(src VARCHAR)'})
           GROUP BY lang"""
-    }
+    },
+    // q27's exact ground truth verbatim: prefix filtering must produce
+    // the COMPLETE threshold-0.6 pair set over the same corpus — the
+    // whole point of the operator is equality with this oracle by
+    // construction, not by tuning.
+    "q85_prefix_jaccard" ->
+      s"""WITH $sqlExactPairCtes
+        SELECT id_a, id_b, jaccard FROM pairs""",
+    // Same md5 hex order, same doc_id tie-break, same k=20 cut — both
+    // engines compare identical lowercase-hex strings.
+    "q88_hash_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+           SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS rn
+           FROM documents) WHERE rn <= 20"""
   )
 }

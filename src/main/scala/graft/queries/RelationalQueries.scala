@@ -959,6 +959,69 @@ object RelationalQueries {
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"))
+    }),
+
+    // UNPIVOT (melt) — q70's pivot inverted: the four lineitem metric
+    // columns fold into (metric, val) long form, then a per-(flag,
+    // metric) exact-decimal aggregate. Spark plans unpivot as an
+    // Expand — ×4 map-side rows of 2 pruned columns, NO extra
+    // exchange: the only shuffle is the final keyed aggregate, and the
+    // scan still reads just the 5 consumed columns. The wide→long
+    // reshape every feature store and metrics pipeline needs, at scan
+    // cost.
+    "q84_unpivot" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "val")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("val")).as("sum_val"))
+    }),
+
+    // SKEW-PROOF exact count-distinct via disjoint salting. events has
+    // FIVE event types over ~uniform users — the classic hot-key agg:
+    // a naive per-type COUNT(DISTINCT user_id) expands every (type,
+    // user) pair into 5 reducer groups, so 5 tasks own the whole
+    // table's distinct state. Salting by user_id % 16 partitions the
+    // USER SPACE (not random salt — salt classes are disjoint, so
+    // per-salt distinct counts ADD EXACTLY): stage 1 aggregates 5×16
+    // groups in parallel, stage 2 folds 80 tiny rows. Same answer by
+    // arithmetic, 16× the reduce parallelism — the pattern any
+    // low-cardinality-group distinct needs at 100 TB.
+    "q86_salted_distinct" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(col("event_type"), col("user_id"),
+          pmod(col("user_id"), lit(16)).as("__salt"))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(countDistinct(col("user_id")).as("__d"), count(lit(1)).as("__n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("__d")).cast("long").as("n_users"),
+          sum(col("__n")).cast("long").as("n_events"))
+    }),
+
+    // Windowed event THROTTLING/dedup — keep the first event per
+    // (user, type, 10-minute bucket): the at-most-once-per-window rule
+    // behind alert suppression, metering, and retry collapse. ONE
+    // user-keyed window shuffle (bucket rides the same partition);
+    // kept rows are deterministic under the (ts, event_id) total
+    // order. Bucket arithmetic is floored epoch seconds — identical in
+    // both engines (q69's convention).
+    "q87_window_dedup" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("__b"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          floor(unix_timestamp(col("ts")) / 600).as("__b"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("__b").cast("long").as("bucket"))
     })
   )
 
@@ -1420,6 +1483,38 @@ object RelationalQueries {
                 CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                 (l_linestatus), ())"""
+                                 (l_linestatus), ())""",
+
+    // Unpivot twin: the UNION ALL long form IS the semantics of melt.
+    "q84_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+           FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         SELECT l_returnflag, metric, COUNT(*) AS n_rows,
+                CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM m GROUP BY l_returnflag, metric""",
+
+    // The salted two-stage plan is answer-identical to the naive
+    // per-type distinct — the oracle IS the naive form.
+    "q86_salted_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM events GROUP BY event_type""",
+
+    // Windowed-dedup twin: same floored-epoch bucket, same
+    // (ts, event_id) total order, same rn = 1 cut.
+    "q87_window_dedup" ->
+      """SELECT event_id, user_id, event_type, CAST(b AS BIGINT) AS bucket
+         FROM (
+           SELECT event_id, user_id, event_type,
+             FLOOR(FLOOR(epoch(ts)) / 600) AS b,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, FLOOR(FLOOR(epoch(ts)) / 600)
+               ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1"""
   )
 }
