@@ -93,6 +93,33 @@ object RelationalQueries {
       (path, graft.operators.Manifest.collectStats(s, path, Seq("ts")).localCheckpoint())
     })
 
+  /** One Hive-style DAY-PARTITIONED copy of `events` per (process,
+    * sf) — `.../event_date=YYYY-MM-DD/part-*.parquet`, THE canonical
+    * time-series layout at 100 TB (every warehouse's event log is
+    * date-partitioned). Built once like the z-order/manifest fixtures;
+    * q89 queries it with a partition predicate so pruning happens at
+    * PLANNING time (PartitionFilters on the scan — files from other
+    * days are never listed into tasks, a stronger guarantee than
+    * row-group min/max skipping).
+    */
+  private val partitionedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensurePartitionedEvents(s: SparkSession, dir: String): String =
+    partitionedEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_p_events_${sfName}_${Tables.corpusFingerprintHex(dir)}"
+      Tables(s, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        // one file per day partition: the write shuffles on the
+        // partition key so a day's rows land in one task (without
+        // this, every task writes a sliver of every day — the
+        // small-file explosion `Layout.compact` exists to undo)
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      path
+    })
+
   /** One persisted per-day quantile-sketch table over `events.value`
     * per (process, sf) — q59's deployment shape for percentiles: the
     * per-day pre-aggregate a latency dashboard maintains (new days
@@ -1022,6 +1049,28 @@ object RelationalQueries {
         .filter(col("__rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("__b").cast("long").as("bucket"))
+    }),
+
+    // PARTITION-PRUNED scan over the Hive day-partitioned events copy
+    // (ensurePartitionedEvents): the first three days of the log,
+    // selected by a predicate on the PARTITION COLUMN — pruning
+    // happens at planning (PartitionFilters on the scan), so files
+    // from the other days are never even listed into tasks. This is
+    // the layout + query shape of every date-ranged dashboard at
+    // 100 TB; z-order (q54) and the manifest (q57) cover the
+    // within-partition and file-stat levels of the same hierarchy.
+    // The window start derives from the partition VALUES (tiny driver
+    // metadata, no data read), so the query is deterministic per
+    // corpus.
+    "q89_partition_prune" -> ((s, dir) => {
+      val path = ensurePartitionedEvents(s, dir)
+      val ev = s.read.parquet(path)
+      val firstDay = ev.select(min(col("event_date"))).head().getDate(0)
+      ev.filter(col("event_date") <= date_add(lit(firstDay), 2))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("sum_value"))
     })
   )
 
@@ -1515,6 +1564,16 @@ object RelationalQueries {
              ROW_NUMBER() OVER (
                PARTITION BY user_id, event_type, FLOOR(FLOOR(epoch(ts)) / 600)
                ORDER BY ts, event_id) AS rn
-           FROM events) WHERE rn = 1"""
+           FROM events) WHERE rn = 1""",
+
+    // The partitioned layout is PHYSICAL — the logical answer is the
+    // plain date-range filter + aggregate over the raw table.
+    "q89_partition_prune" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) <= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 2
+         GROUP BY 1, 2"""
   )
 }

@@ -112,6 +112,29 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming windowed THROTTLE — q87's batch rule run incrementally:
+    * at most one event per (user, type, `bucketSeconds` bucket)
+    * passes; later arrivals for an already-seen bucket drop. On an
+    * in-order stream (event time = arrival order) the kept rows are
+    * exactly q87's (ts, event_id)-minimal set — EventStreamSpec pins
+    * the equality on real catalog rows; under disorder the kept row is
+    * the first ARRIVAL, the semantics alert/metering dedup wants.
+    *
+    * State: one entry per ACTIVE (user, type, bucket) — buckets older
+    * than the watermark evict, so memory tracks delay × event rate,
+    * never stream history. The bucket arithmetic (floored epoch / 600)
+    * is byte-identical to the batch query's, so batch backfill and the
+    * live stream agree on bucket edges.
+    */
+  def throttle(events: DataFrame, bucketSeconds: Int = 600,
+               watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__b", floor(unix_timestamp(col("ts")) / bucketSeconds))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "__b")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("__b").cast("long").as("bucket"))
+
   /** STREAM-STREAM interval join — funnel attribution, the join class
     * `enrich`'s stream-static shape cannot express: every `effectType`
     * event joins the same user's `causeType` events that happened at

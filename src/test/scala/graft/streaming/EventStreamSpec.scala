@@ -90,6 +90,59 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("throttle: one event per (user, type, bucket); buckets and types independent") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = throttle(source.toDF(), bucketSeconds = 600).writeStream
+      .format("memory").queryName("throttled").outputMode("append").start()
+    source.addData(
+      Event(1, 100, "click", 1.0, ts(1)),
+      Event(2, 100, "click", 2.0, ts(5)),   // same bucket -> dropped
+      Event(3, 100, "view", 3.0, ts(5)),    // same bucket, other type -> kept
+      Event(4, 100, "click", 4.0, ts(11)),  // next 10-min bucket -> kept
+      Event(5, 200, "click", 5.0, ts(1)))   // other user -> kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("throttled").select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("throttle: in-order stream over REAL catalog rows equals the q87 batch rule") {
+    implicit val sq = spark.sqlContext
+    // sf0.001 events are too sparse for bucket collisions (one event
+    // per user-type-bucket), so plant a +1 s retry twin of every row —
+    // the retry burst the throttle exists to collapse — and replay the
+    // union in (ts, event_id) order.
+    val base = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .orderBy("ts", "event_id").limit(2000).as[Event].collect()
+    val rows = (base ++ base.map(r => r.copy(event_id = r.event_id + 100000,
+        ts = new Timestamp(r.ts.getTime + 1000))))
+      .sortBy(r => (r.ts.getTime, r.event_id))
+    val src = MemoryStream[Event]
+    val q = throttle(src.toDF()).writeStream
+      .format("memory").queryName("cat_throttled").outputMode("append").start()
+    src.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cat_throttled")
+      .select("event_id", "user_id", "event_type", "bucket")
+      .as[(Long, Long, String, Long)].collect().toSet
+    // q87's batch rule on the same rows: keep-first under (ts, event_id)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("__b"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val batch = rows.toSeq.toDF()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(unix_timestamp(col("ts")) / 600).as("__b"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("__b").cast("long").as("bucket"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty && batch.size < rows.length) // throttling actually dropped rows
+  }
+
   test("enrich: stream-static join decorates events, unmatched keys keep nulls") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
