@@ -51,4 +51,71 @@ object DocStream {
   def intake(docs: DataFrame, minQuality: Double,
              watermarkDelay: String = "1 hour"): DataFrame =
     qualityGate(dedupDocs(docs, watermarkDelay), minQuality)
+
+  /** Incremental NEAR-dup guard — q68's corpus probe run on a live
+    * feed: each arriving document's MinHash bands probe the PERSISTED
+    * corpus index (`NearDup.bandIndex` / `shingleSets` — the same
+    * artifact `CorpusDedup.cleanAgainst` probes batch-side), matching
+    * docs are exact-Jaccard-verified against the candidate corpus
+    * shingle sets, and one flag row per (doc, event window) emits when
+    * the watermark closes it: `(doc_id, window_start, dup_of,
+    * max_jaccard, n_matches)` — the quarantine feed a crawl pipeline
+    * routes around (kept docs = feed minus flags, q68's anti-join
+    * shape).
+    *
+    * Dataflow: signature/band expansion is STATELESS projection work
+    * (the native MinHashSig/WordShingles expressions), candidates come
+    * from a stream-static equi-join on (band, bucket), verification
+    * from a second stream-static join on the corpus id — the doc's own
+    * shingle set rides its row, so no stream-stream pairing ever
+    * happens. State is only the closing aggregate's per-(doc, window)
+    * row. Two deviations from the batch pass, both inherent to
+    * incrementality and spec-pinned: (a) batch-batch pairs WITHIN the
+    * live window are not flagged (the exact-dup stage `dedupDocs`
+    * upstream and the next index refresh catch them — the static index
+    * snapshot cannot grow mid-query; refresh it between
+    * Trigger.AvailableNow cycles); (b) flags emit per event-time
+    * window, so a doc re-sent across windows re-flags (idempotent for
+    * the quarantine consumer).
+    */
+  def nearDupFlags(docs: DataFrame, corpusBands: DataFrame,
+                   corpusShingles: DataFrame, threshold: Double = 0.8,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   seed: Long = 42L, watermarkDelay: String = "1 hour",
+                   windowMinutes: Int = 10): DataFrame = {
+    import graft.llm.NearDup
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val r = numHashes / bands
+    // watermark at the SOURCE: every arriving row advances event time,
+    // including rows the candidate join or verify later drops — with
+    // the watermark node downstream of the filter, a match-free feed
+    // would never close its windows
+    val banded = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("__sh", array_distinct(TextOps.wordShingles(col("text"), shingleN)))
+      .withColumn("__sig", NearDup.minhashSignature(col("__sh"), numHashes, seed))
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id"), col("ts"), col("__sh"),
+        explode(NearDup.lshBands(col("__sig"), bands, r, seed)).as("bb"))
+      .select(col("doc_id"), col("ts"), col("__sh"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // A pair colliding in several bands produces one candidate row per
+    // band (a streaming pre-aggregation distinct would need its own
+    // state store); the duplicate verifies are bounded by `bands` and
+    // the closing aggregate dedups via collect_set, so flags are
+    // per-PAIR exact.
+    banded
+      .join(corpusBands.select(col("__id").as("corpus_id"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .join(corpusShingles.select(col("__id").as("corpus_id"),
+        col("__sh").as("__csh")), Seq("corpus_id"))
+      .withColumn("jaccard", NearDup.jaccard(col("__sh"), col("__csh")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"), window(col("ts"), s"$windowMinutes minutes").as("win"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        max(col("jaccard")).as("max_jaccard"),
+        size(collect_set(col("corpus_id"))).cast("long").as("n_matches"))
+      .select(col("doc_id"), col("win.start").as("window_start"),
+        col("dup_of"), col("max_jaccard"), col("n_matches"))
+  }
 }

@@ -64,6 +64,82 @@ class DocStreamSpec extends SparkSpec {
       "content re-arriving after state eviction must pass (bounded memory)")
   }
 
+  test("nearDupFlags: planted near-dup flags against the static index; unrelated passes") {
+    implicit val sq = spark.sqlContext
+    import graft.llm.NearDup
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val bandsIdx = NearDup.bandIndex(corpus, "doc_id", "text")
+    val shingles = NearDup.shingleSets(corpus, "doc_id", "text")
+    val source = MemoryStream[Doc]
+    val q = DocStream.nearDupFlags(source.toDF(), bandsIdx, shingles,
+        threshold = 0.5).writeStream
+      .format("memory").queryName("ndflags").outputMode("append").start()
+    source.addData(
+      // near-dup of corpus doc 10 (one token changed)
+      Doc(101, "alpha beta gamma delta epsilon zeta eta theta iota REPLACED", ts(1)),
+      // unrelated content — must not flag
+      Doc(102, "completely different words about nothing shared at all here", ts(2)))
+    q.processAllAvailable()
+    // watermark mover so the (doc, window) aggregate closes and emits
+    source.addData(Doc(999, "sentinel mover with enough tokens to shingle fine", ts(500)))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("ndflags")
+      .select("doc_id", "dup_of", "n_matches")
+      .as[(Long, Long, Long)].collect()
+    assert(flags.map(_._1).toSet === Set(101L), s"unexpected flags: ${flags.toSeq}")
+    assert(flags.head._2 === 10L && flags.head._3 === 1L)
+  }
+
+  test("nearDupFlags: stream over the real corpus equals the batch run of the same plan") {
+    // Probe = truncated twins of every sf0.001 doc (q27's trailing-edit
+    // relation), corpus index = the originals: every twin must flag its
+    // base; flagged set and (dup_of, max_jaccard) must equal the SAME
+    // joins run in batch, and every flagged base must appear in the
+    // exact-Jaccard ground truth of (twin, base) pairs.
+    implicit val sq = spark.sqlContext
+    import graft.llm.NearDup
+    val originals = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bandsIdx = NearDup.bandIndex(originals, "doc_id", "text").localCheckpoint()
+    val shingles = NearDup.shingleSets(originals, "doc_id", "text").localCheckpoint()
+    val twins = originals.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      substring(col("text"), lit(1),
+        greatest(length(col("text")) - 10, lit(1))).as("text"),
+      timestamp_millis(col("doc_id") * 1000 + 10000000L).as("ts"))
+    val threshold = 0.6
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), col("dup_of"), round(col("max_jaccard"), 9), col("n_matches"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // batch twin: identical plan, watermark is a no-op in batch mode
+    val want = key(DocStream.nearDupFlags(twins, bandsIdx, shingles, threshold))
+    val source = MemoryStream[Doc]
+    val q = DocStream.nearDupFlags(source.toDF(), bandsIdx, shingles, threshold)
+      .writeStream.format("memory").queryName("ndflags_corpus")
+      .outputMode("append").start()
+    source.addData(twins.as[Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    source.addData(Doc(-1, "watermark mover sentinel with tokens", ts(100000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = key(spark.table("ndflags_corpus").filter(col("doc_id") >= 0))
+    assert(got === want)
+    assert(got.nonEmpty, "no twin flagged — index probe is broken")
+    // flags are real near-dups: (twin, base) must sit in the exact set
+    val exact = NearDup.exactJaccardPairs(
+      originals.unionByName(twins.drop("ts")), "doc_id", "text", threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got.foreach { case (id, dupOf, _, _) =>
+      assert(exact.contains((dupOf, id)) || exact.contains((id, dupOf)),
+        s"flag ($id -> $dupOf) not in the exact ground truth")
+    }
+  }
+
   test("batch/stream agreement: the gate keeps exactly the batch-filter rows") {
     val docs = Seq(
       Doc(1, body, ts(1)),
