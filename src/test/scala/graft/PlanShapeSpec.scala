@@ -1,0 +1,49 @@
+package graft
+
+/** Regression net for physical-plan SHAPES: the no-join headline
+  * queries' exchange counts are pinned to PLANS.md's audit rows, so a
+  * code change (or Spark upgrade) that silently adds a shuffle fails a
+  * test instead of surfacing as a bench regression three rounds later.
+  * Join queries are excluded on purpose — their exchange counts
+  * legitimately change with AQE's broadcast decisions per SF; the
+  * single-aggregate / single-window families below must never grow an
+  * exchange at any SF.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // query -> exact shuffle-exchange count (BroadcastExchange excluded)
+  private val pinned: Map[String, Int] = Map(
+    "q01_pruned_agg" -> 1,      // scan -> partial agg -> 1 keyed exchange
+    "q15_time_bucket" -> 2,     // hourly agg + the countDistinct expansion
+    "q19_exact_dedup" -> 1,     // hash-groupBy dedup
+    "q69_sessionize" -> 1,      // ONE user-keyed shuffle serves window+sum+agg
+    "q73_window_ranks" -> 1,    // one keyed window exchange
+    "q82_grouping_sets" -> 1,   // Expand folds into the same single aggregate
+    "q84_unpivot" -> 1,         // unpivot-as-Expand, same single aggregate
+    "q86_salted_distinct" -> 3, // (type,salt[,user]) expansion + 2-stage fold
+    "q87_window_dedup" -> 1,    // one user-keyed window shuffle
+    "q88_hash_sample" -> 1      // one lang-keyed window shuffle
+  )
+
+  test("pinned no-join queries keep their exact shuffle counts") {
+    val bad = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val lines = plan.split("\n")
+      val got = lines.count(_.contains("Exchange")) -
+        lines.count(_.contains("BroadcastExchange"))
+      if (got != want) Some(s"$name: $got exchanges (pinned $want)") else None
+    }
+    assert(bad.isEmpty, s"plan-shape drift:\n${bad.mkString("\n")}")
+  }
+
+  test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
+    for (q <- Seq("q84_unpivot", "q82_grouping_sets")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$q lost its Expand node:\n$plan")
+    }
+  }
+}
