@@ -45,4 +45,42 @@ object Cdc {
       .unionByName(latest.filter(col(opCol) =!= "D")
         .drop("__rn", opCol, seqCol))
   }
+
+  /** Snapshot DIFF — `applyChanges` inverted: given two keyed
+    * snapshots, recover the change feed that turns `old` into `new`:
+    * one row per differing key with `op` = "I" (key only in new),
+    * "D" (key only in old), or "U" (key in both, any non-key column
+    * differs), carrying the NEW row's values for I/U and the old
+    * row's for D. The anti-entropy primitive: replica reconciliation,
+    * backfill audits, and CDC-feed validation (diff(old, apply(old,
+    * changes)) must reproduce the compacted changes — CdcSpec pins
+    * the round-trip).
+    *
+    * Scale shape: ONE full-outer key-equi join — both snapshots
+    * shuffle once on the key (co-partitioned/bucketed snapshots join
+    * exchange-free, q42's layout) — and the value comparison is a
+    * codegen'd struct equality per row; identical keys emit nothing,
+    * so the output is change-sized, not table-sized.
+    */
+  def diff(old: DataFrame, newSnap: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(old.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"schema mismatch: ${old.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val valueCols = old.columns.filterNot(keys.contains).toSeq
+    val o = old.select(keys.map(col) :+
+      struct(valueCols.map(col): _*).as("__ov"): _*)
+    val n = newSnap.select(keys.map(col) :+
+      struct(valueCols.map(col): _*).as("__nv"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__ov").isNull, "I")
+          .when(col("__nv").isNull, "D")
+          // null-safe: a null field inside the value struct compares
+          // equal to null, different from any value
+          .when(!(col("__ov") <=> col("__nv")), "U"))
+      .filter(col("op").isNotNull)
+      .withColumn("__v", coalesce(col("__nv"), col("__ov")))
+      .select(keys.map(col) ++ Seq(col("op")) ++
+        valueCols.map(c => col(s"__v.$c").as(c)): _*)
+  }
 }

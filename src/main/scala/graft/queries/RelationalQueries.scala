@@ -1071,6 +1071,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // SNAPSHOT DIFF (operators.Cdc.diff) — q75 inverted: two keyed
+    // snapshots in, the change feed out (one row per differing key,
+    // op ∈ I/U/D) — the anti-entropy primitive behind replica
+    // reconciliation and backfill audits. ONE full-outer key join;
+    // identical keys emit nothing, so output is change-sized. The
+    // "next" snapshot derives from orders by SQL-reproducible
+    // transforms (%97 deletes, %100 re-prices, %500 re-keyed
+    // inserts — q75's recipe), so the oracle rebuilds both sides.
+    "q90_snapshot_diff" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      val surviving = base.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(100)) === 0,
+            col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"))
+      val next = surviving.unionByName(inserts)
+      graft.operators.Cdc.diff(base, next, Seq("o_orderkey"))
     })
   )
 
@@ -1574,6 +1596,30 @@ object RelationalQueries {
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events
          WHERE CAST(ts AS DATE) <= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 2
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // Diff twin: rebuild both snapshots from the same transforms, full
+    // outer join, classify — double arithmetic (+1000.0 / +5.0) is
+    // bit-identical in both engines.
+    "q90_snapshot_diff" ->
+      """WITH oldt AS (SELECT o_orderkey, o_totalprice FROM orders),
+            surv AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM oldt WHERE o_orderkey % 97 <> 0),
+            ins AS (
+              SELECT o_orderkey + 10000000 AS o_orderkey,
+                     o_totalprice + 5.0 AS o_totalprice
+              FROM oldt WHERE o_orderkey % 500 = 0),
+            newt AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                     WHEN n.o_orderkey IS NULL THEN 'D'
+                     ELSE 'U' END AS op,
+                COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+         FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+            OR o.o_totalprice <> n.o_totalprice"""
   )
 }

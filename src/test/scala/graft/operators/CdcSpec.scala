@@ -41,4 +41,40 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyChanges(base, changes, Seq("k")).columns.toSeq ===
       base.columns.toSeq)
   }
+
+  test("diff: classifies I/U/D, identical keys silent, null-safe values") {
+    val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None, 30.0), (4L, Some("d"), 40.0)).toDF("k", "s", "v")
+    val neu = Seq((1L, Some("a"), 10.0),           // unchanged -> silent
+      (2L, Some("B"), 20.0),                       // value change -> U
+      (3L, None, 30.0),                            // null field unchanged -> silent
+      (5L, Some("e"), 50.0)).toDF("k", "s", "v")   // 4 gone -> D; 5 new -> I
+    val got = Cdc.diff(old, neu, Seq("k"))
+      .select("k", "op", "s", "v")
+      .as[(Long, String, Option[String], Double)].collect().toSet
+    assert(got === Set(
+      (2L, "U", Some("B"), 20.0),   // U carries the NEW row
+      (4L, "D", Some("d"), 40.0),   // D carries the old row
+      (5L, "I", Some("e"), 50.0)))
+  }
+
+  test("diff round-trip: diff(base, applyChanges(base, c)) reproduces the compacted feed") {
+    val changes = Seq(
+      (2L, "B2", 22.0, "U", 2L),
+      (3L, "c", 30.0, "D", 1L),
+      (4L, "d", 40.0, "I", 1L)
+    ).toDF("k", "s", "v", "op", "seq")
+    val next = Cdc.applyChanges(base, changes, Seq("k"))
+    val got = Cdc.diff(base, next, Seq("k"))
+      .select("k", "op", "s", "v")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(got === Set((2L, "U", "B2", 22.0), (3L, "D", "c", 30.0),
+      (4L, "I", "d", 40.0)))
+  }
+
+  test("diff rejects mismatched schemas") {
+    intercept[IllegalArgumentException] {
+      Cdc.diff(base, base.drop("v"), Seq("k"))
+    }
+  }
 }
