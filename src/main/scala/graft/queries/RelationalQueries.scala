@@ -1093,6 +1093,30 @@ object RelationalQueries {
           (col("o_totalprice") + 5.0).as("o_totalprice"))
       val next = surviving.unionByName(inserts)
       graft.operators.Cdc.diff(base, next, Seq("o_orderkey"))
+    }),
+
+    // DYNAMIC partition pruning — q89's static prune's runtime twin
+    // and the 100 TB star-schema saver: the fact side is the
+    // day-partitioned events copy, the filter lives on a DIM table
+    // (day_rank ≤ 3 over a derived calendar dim), and Spark injects a
+    // dynamicpruning subquery into the fact scan's PartitionFilters at
+    // runtime — only the dim-selected days' files are read, though no
+    // static predicate mentions event_date (DppSpec asserts the
+    // dynamicpruning expression and answer parity). The dim is
+    // checkpointed so it is a real relation, not a constant-foldable
+    // subtree.
+    "q91_dpp" -> ((s, dir) => {
+      val path = ensurePartitionedEvents(s, dir)
+      val ev = s.read.parquet(path)
+      val w = Window.orderBy(col("event_date"))
+      val dim = ev.select(col("event_date")).distinct()
+        .withColumn("day_rank", row_number().over(w).cast("long"))
+        .localCheckpoint()
+      ev.join(broadcast(dim.filter(col("day_rank") <= 3)), Seq("event_date"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("sum_value"))
     })
   )
 
@@ -1620,6 +1644,18 @@ object RelationalQueries {
                 COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
          FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
          WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-            OR o.o_totalprice <> n.o_totalprice"""
+            OR o.o_totalprice <> n.o_totalprice""",
+
+    // DPP twin: the three smallest distinct days, by value — the
+    // partitioned layout and the runtime pruning are physical only.
+    "q91_dpp" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE CAST(ts AS DATE) IN (
+           SELECT d FROM (SELECT DISTINCT CAST(ts AS DATE) AS d
+                          FROM events ORDER BY d LIMIT 3))
+         GROUP BY 1, 2"""
   )
 }
