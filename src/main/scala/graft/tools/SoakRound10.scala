@@ -19,7 +19,8 @@ object SoakRound10 {
     val spark = graft.GraftSession.local(cpus, "soak-round10")
     spark.sparkContext.setLogLevel("WARN")
     val targets = Seq("q85_prefix_jaccard", "q86_salted_distinct",
-      "q87_window_dedup", "q88_hash_sample", "q89_partition_prune")
+      "q87_window_dedup", "q88_hash_sample", "q89_partition_prune",
+      "q91_dpp")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
