@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.llm.{CorpusDedup, Multimodal, NearDup, Pq, Similarity, TextOps}
+import graft.llm.{CorpusDedup, Embeddings, Multimodal, NearDup, Pq, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -802,6 +802,45 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"), row_number().over(w).as("__rn"))
         .filter(col("__rn") <= 20)
         .select(col("doc_id"), col("lang"), col("__rn").cast("long").as("sample_rank"))
+    }),
+
+    // Per-dimension STANDARDIZATION of the embedding matrix
+    // (Embeddings.dimStats) — feature whitening's first half, the
+    // preprocessing semantic dedup and embedding-quality audits run
+    // first. Cross-row moments are DECIMAL sums (q61's order-
+    // independent pattern — bit-stable on any partitioning, exactly
+    // SQL-recomputable); the query emits the long (vec_id, dim, z)
+    // form so the oracle needs no list reconstruction. One keyed
+    // aggregate + a d-row broadcast join; the production vector-form
+    // twin (`Embeddings.standardize`) is the zero-shuffle projection
+    // with the same stats as array literals (EmbeddingsSpec pins the
+    // two equal).
+    "q92_dim_standardize" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      val stats = Embeddings.dimStats(emb)
+      emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "__x")))
+        .join(broadcast(stats.select(col("dim"), col("mean"), col("std"))), Seq("dim"))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(when(col("std") === 0.0, 0.0)
+            .otherwise((col("__x") - col("mean")) / col("std")), 9).as("z"))
+    }),
+
+    // EXACT gram matrix G(i,j) = Σ_rows x_i·x_j over the embedding
+    // corpus (Embeddings.gramExact) — the d×d sufficient statistic
+    // behind covariance/PCA. Pair expansion is per-ROW (posexplode +
+    // suffix transform, no self-join), and the only shuffle is the
+    // (i,j)-keyed aggregate of d(d+1)/2 groups with map-side combine;
+    // decimal sums make it bit-stable and oracle-exact. The at-scale
+    // twin (`gramFast`, one treeAggregate of d×d accumulators) is
+    // spec-bounded against this — q61's "exact decimal vs streaming
+    // double" trade, applied to linear algebra.
+    "q93_gram_matrix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      Embeddings.gramExact(t.embeddings, Tables.EmbeddingDim)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round(col("g"), 9).as("g"))
     })
   )
 
@@ -1441,6 +1480,36 @@ object LlmQueries {
            SELECT doc_id, lang,
              ROW_NUMBER() OVER (PARTITION BY lang
                ORDER BY md5(text), doc_id) AS rn
-           FROM documents) WHERE rn <= 20"""
+           FROM documents) WHERE rn <= 20""",
+    // Standardization twin: same decimal moments, same double
+    // mean/std arithmetic, same zero-variance guard.
+    "q92_dim_standardize" ->
+      """WITH flat AS (
+           SELECT vec_id, e.d AS dim, e.x AS x FROM (
+             SELECT vec_id, UNNEST(list_transform(embedding,
+               (x, i) -> struct_pack(d := i - 1, x := CAST(x AS DOUBLE)))) AS e
+             FROM embeddings)),
+         st AS (
+           SELECT dim, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS s2
+           FROM flat GROUP BY dim)
+         SELECT f.vec_id, CAST(f.dim AS BIGINT) AS dim,
+           ROUND(CASE WHEN s2 / n - (s1 / n) * (s1 / n) <= 0 THEN 0.0
+                 ELSE (f.x - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))
+                 END, 9) AS z
+         FROM flat f JOIN st USING (dim)""",
+    // Gram twin: the upper-triangle pair sums from the same per-value
+    // double products, summed in the same decimal type.
+    "q93_gram_matrix" ->
+      """WITH flat AS (
+           SELECT vec_id, e.d AS dim, e.x AS x FROM (
+             SELECT vec_id, UNNEST(list_transform(embedding,
+               (x, i) -> struct_pack(d := i - 1, x := CAST(x AS DOUBLE)))) AS e
+             FROM embeddings))
+         SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+           ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,15))) AS DOUBLE), 9) AS g
+         FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+         GROUP BY 1, 2"""
   )
 }
