@@ -58,7 +58,24 @@ object SoakGen {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"SOAKGEN wrote 10x documents+events from $src to $out")
+    // embeddings: copy c shifts vec_id by c·10⁶ and rotates each
+    // vector's coordinates by c positions (same norm/statistics
+    // family, but copies are NOT near-identical vectors — a plain
+    // duplicate would make every ANN/semantic query's neighbor
+    // structure degenerate 10-cliques, like the document filler
+    // lesson above)
+    val em = t.embeddings
+    (0 until 10).map { c =>
+      if (c == 0) em
+      else em.select(
+        (col("vec_id") + c * 1000000L).as("vec_id"),
+        concat(slice(col("embedding"), c + 1, graft.Tables.EmbeddingDim - c),
+          slice(col("embedding"), 1, c)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"SOAKGEN wrote 10x documents+events+embeddings from $src to $out")
     spark.stop()
   }
 }

@@ -20,7 +20,7 @@ object SoakRound10 {
     spark.sparkContext.setLogLevel("WARN")
     val targets = Seq("q85_prefix_jaccard", "q86_salted_distinct",
       "q87_window_dedup", "q88_hash_sample", "q89_partition_prune",
-      "q91_dpp")
+      "q91_dpp", "q92_dim_standardize", "q93_gram_matrix")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
