@@ -1508,7 +1508,7 @@ object LlmQueries {
                (x, i) -> struct_pack(d := i - 1, x := CAST(x AS DOUBLE)))) AS e
              FROM embeddings))
          SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
-           ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,15))) AS DOUBLE), 9) AS g
+           ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,12))) AS DOUBLE), 9) AS g
          FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
          GROUP BY 1, 2"""
   )

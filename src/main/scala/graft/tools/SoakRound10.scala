@@ -27,9 +27,13 @@ object SoakRound10 {
       val lines = plan.split("\n")
       val broadcasts = lines.count(_.contains("BroadcastExchange"))
       val shuffles = lines.count(_.contains("Exchange")) - broadcasts
+      // noop write (Bench's materialization): count() would let
+      // Catalyst prune aggregate VALUE expressions — q93's decimal
+      // sums measured 2.5 s under count() vs 7 s fully materialized
       val t0 = System.nanoTime()
-      val rows = fn(spark, dir).count()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val rows = fn(spark, dir).count()
       println(f"SOAK $name rows=$rows sec=$sec%.2f shuffles=$shuffles broadcasts=$broadcasts")
     }
     spark.stop()
