@@ -841,6 +841,23 @@ object LlmQueries {
       Embeddings.gramExact(t.embeddings, Tables.EmbeddingDim)
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           round(col("g"), 9).as("g"))
+    }),
+
+    // Corpus n-gram frequency table — the language-model-training prep
+    // (KenLM-style count collection): every 3-gram OCCURRENCE (not the
+    // per-doc distinct sets dedup uses) counted corpus-wide, kept at
+    // count ≥ 5 (the pruning threshold LM toolchains apply before
+    // smoothing). One keyed aggregate with map-side combine; the
+    // explode multiplies rows, not bytes. At 100 TB this is the
+    // canonical trillion-gram MapReduce — the shuffle carries one
+    // (gram, partial-count) row per gram per partition.
+    "q94_ngram_counts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(explode(TextOps.wordShingles(col("text"), 3)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
     })
   )
 
@@ -1510,6 +1527,18 @@ object LlmQueries {
          SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
            ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,12))) AS DOUBLE), 9) AS g
          FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+    // N-gram count twin: same tokenizer, same 3-gram construction
+    // WITHOUT per-doc dedup (occurrences, not sets), same ≥ 5 cut.
+    "q94_ngram_counts" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          grams AS (
+            SELECT UNNEST(CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(0, len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+              END) AS gram
+            FROM tok)
+         SELECT gram, COUNT(*) AS n FROM grams
+         GROUP BY gram HAVING COUNT(*) >= 5"""
   )
 }
