@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
-  * query on SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * query on SPARK_GRAFT_SF_DIR. Detail lines (name map, raw run
+  * triples, per-task memory peaks) print first; the FINAL stdout line
+  * is one compact JSON summary (total + per-query medians) sized to
+  * survive the driver's ~2.2 KB stdout-tail retention.
   *
   * Materialization: `write.format("noop")` — consumes every row of
   * every column of the final plan, so projections/scalar pipelines are
@@ -87,8 +90,19 @@ object Bench {
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       name -> raw(i).sorted.apply(1)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ARTIFACT CONTRACT (round-11 fix): the driver retains only a
+    // ~2.2 KB stdout TAIL, and rounds 1-10 printed one ~11 KB JSON
+    // line — so every BENCH_r*.json parsed as null and the 2× bench
+    // gate was never checkable from its artifact. Now the detail
+    // payloads (raw triples, per-task memory peaks, short→full name
+    // map) print as separate EARLIER lines, and the FINAL stdout line
+    // is a compact parseable summary: total + per-query medians (3
+    // decimals) keyed by the qNN prefix — ~1.3 KB for 94 queries,
+    // safely inside the tail window with headroom for growth.
+    def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val namesJson = named.map { case (k, _) =>
+      "\"" + k.split("_")(0) + "\":\"" + k + "\""
+    }.mkString("{", ",", "}")
     val runsJson = named.zipWithIndex.map { case ((k, _), i) =>
       "\"" + k + "\":" + raw(i).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -98,8 +112,13 @@ object Bench {
     val peakJson = named.zipWithIndex.map { case ((k, _), i) =>
       "\"" + k + "\":" + (peaks(i) / 1048576.0)
     }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + j3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"peak_mb":$peakJson,"sf":"$sfDir"}""")
+    println(s"""{"bench_names":$namesJson}""")
+    println(s"""{"bench_runs":$runsJson}""")
+    println(s"""{"bench_peak_mb":$peakJson}""")
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * Design: the heavy per-row media work runs as batched per-partition
   * functions (`mapPartitions` over the Dataset — the Scala analog of a
   * pandas `mapInPandas` UDF): schema in/out is explicit, batches are
-  * partition-local, nothing touches the driver. Real codec libraries
-  * are NOT in this container, so the codec boundary is a `MediaDecoder`
-  * trait with a clearly-marked STUB for real decoding and a
-  * deterministic fake used to exercise the pipeline end-to-end; the
-  * Spark plumbing (schemas, partitioning, batch shape, join-back) is
-  * real and tested.
+  * partition-local, nothing touches the driver. The codec boundary is
+  * a `MediaDecoder` trait with two implementations: `RealDecoder`
+  * decodes images (javax.imageio) and PCM audio (javax.sound) with the
+  * JDK's own codecs — only video (and compressed audio) genuinely lack
+  * a codec in this container and throw with that context — and
+  * `FakeDecoder` is the deterministic payload-hash twin the
+  * cross-engine oracle uses for mixed-modality fixtures.
   *
   * Scale: payloads never shuffle unless the caller asks for it — all
   * derived ops project metadata/features alongside the binary in place;
@@ -56,13 +57,129 @@ object Multimodal {
     def decode(modality: String, data: Array[Byte]): (Int, Int, Int, Array[Float])
   }
 
-  /** REAL decoder — requires image/audio codec libraries that are not
-    * available in this environment. Wire e.g. javax.imageio / ffmpeg
-    * bindings here; the pipeline around it is already complete.
+  /** REAL decoder over the codecs the JDK itself ships:
+    *
+    *   - `image`: `javax.imageio` (PNG/JPEG/BMP/GIF/TIFF readers are
+    *     registered in this JRE, headless) → (width, height, 1,
+    *     feature), where the feature is the deterministic GRID×GRID
+    *     block-mean luminance raster (BT.601 weights, [0,1] floats) —
+    *     the aHash/pHash preimage, so feature-key dedup over it is a
+    *     real perceptual near-dup primitive, not a payload hash.
+    *   - `audio`: `javax.sound.sampled` (WAV/AIFF/AU PCM only — the
+    *     JDK has no MP3/AAC codec) → (sampleRate, channels,
+    *     frameCount, feature), feature = GRID²-bin mean-|amplitude|
+    *     envelope of the first channel in [0,1].
+    *   - `video`: genuinely NOT decodable in this container — no
+    *     ffmpeg/JavaCV binding is installed and the JDK has no video
+    *     codec; wire one here at deployment. (Compressed audio falls
+    *     in the same bucket: `AudioSystem` throws
+    *     `UnsupportedAudioFileException` and we rethrow with that
+    *     context rather than guessing.)
+    *
+    * Decoding is deterministic: `ImageIO.read` / PCM extraction are
+    * pure functions of the payload bytes, block boundaries are integer
+    * arithmetic, and block means accumulate in a fixed row-major pixel
+    * order — same payload, same feature, on any executor.
     */
-  final class RealDecoder extends MediaDecoder {
+  final class RealDecoder(grid: Int = 8) extends MediaDecoder {
+    require(grid > 0, s"grid must be positive, got $grid")
+
     def decode(modality: String, data: Array[Byte]): (Int, Int, Int, Array[Float]) =
-      ??? // STUB: real codec unavailable in this container (by design)
+      modality match {
+        case "image" => decodeImage(data)
+        case "audio" => decodeAudio(data)
+        case "video" =>
+          // Honest stub: no video codec exists in this container (the
+          // JDK ships none and ffmpeg is not installed). The image and
+          // audio paths above are REAL decoders.
+          throw new UnsupportedOperationException(
+            "RealDecoder: no video codec available (JDK has none; ffmpeg not installed) " +
+              "— wire an ffmpeg/JavaCV binding here at deployment")
+        case other =>
+          throw new IllegalArgumentException(s"unknown modality '$other'")
+      }
+
+    private def decodeImage(data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      require(img != null, "javax.imageio found no registered reader for this payload")
+      val w = img.getWidth; val h = img.getHeight
+      val feat = new Array[Float](grid * grid)
+      var cy = 0
+      while (cy < grid) {
+        // integer block edges: cell c covers pixel rows [c*h/g, (c+1)*h/g),
+        // widened to at least one pixel (clamped in-range) when h < grid
+        val y0r = (cy.toLong * h / grid).toInt
+        val y0 = math.min(y0r, h - 1)
+        val y1 = math.max(((cy + 1).toLong * h / grid).toInt, y0 + 1)
+        var cx = 0
+        while (cx < grid) {
+          val x0r = (cx.toLong * w / grid).toInt
+          val x0 = math.min(x0r, w - 1)
+          val x1 = math.max(((cx + 1).toLong * w / grid).toInt, x0 + 1)
+          var sum = 0.0; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sum += 0.299 * r + 0.587 * g + 0.114 * b
+              x += 1
+            }
+            y += 1
+          }
+          feat(cy * grid + cx) = (sum / ((y1 - y0).toLong * (x1 - x0) * 255.0)).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      (w, h, 1, feat)
+    }
+
+    private def decodeAudio(data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val in = try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(data))
+      } catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new UnsupportedOperationException(
+            "RealDecoder: payload is not a PCM container the JDK decodes " +
+              "(WAV/AIFF/AU); compressed audio needs an external codec", e)
+      }
+      try {
+        val fmt = in.getFormat
+        val nFrames = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize
+        val n = if (frameSize > 0) bytes.length / frameSize else 0
+        val bins = grid * grid
+        val feat = new Array[Float](bins)
+        if (n > 0) {
+          val counts = new Array[Int](bins)
+          val bigEndian = fmt.isBigEndian
+          val bits = fmt.getSampleSizeInBits
+          var i = 0
+          while (i < n) {
+            // first channel of frame i, normalized to [-1, 1]
+            val off = i * frameSize
+            val amp = bits match {
+              case 8 => ((bytes(off) & 0xff) - 128) / 128.0
+              case 16 =>
+                val (lo, hi) = if (bigEndian) (bytes(off + 1), bytes(off)) else (bytes(off), bytes(off + 1))
+                ((hi << 8) | (lo & 0xff)) / 32768.0
+              case b => throw new UnsupportedOperationException(
+                s"RealDecoder: $b-bit PCM not supported (8/16 only)")
+            }
+            val bin = (i.toLong * bins / n).toInt
+            feat(bin) += math.abs(amp).toFloat
+            counts(bin) += 1
+            i += 1
+          }
+          var b = 0
+          while (b < bins) { if (counts(b) > 0) feat(b) /= counts(b); b += 1 }
+        }
+        (math.round(fmt.getSampleRate), fmt.getChannels, math.max(nFrames, n), feat)
+      } finally in.close()
+    }
   }
 
   /** Deterministic fake decoder: dimensions are read from the first

@@ -448,10 +448,13 @@ object LlmQueries {
     // Multimodal pipeline over a persisted parquet fixture (seeded,
     // deterministic, ~10% planted exact-duplicate payloads): typed-meta
     // projection feeds nothing here — the measured path is video
-    // frame-sampling → batched decode/feature-extract (FakeDecoder:
-    // real codecs are not in this container; the plumbing — schema,
-    // partitioning, batch shape — is the real pipeline) → exact dedup
-    // by feature key. The checked output is the dedup GROUP STRUCTURE
+    // frame-sampling → batched decode/feature-extract → exact dedup
+    // by feature key. FakeDecoder here because the fixture mixes
+    // image/audio/VIDEO rows and only images + PCM audio decode with
+    // the JDK's codecs (Multimodal.RealDecoder — real javax.imageio /
+    // javax.sound paths, spec-pinned on generated PNG/JPEG/WAV; its
+    // q32-shape dedup run on an image-only fixture is in
+    // MultimodalSpec). The checked output is the dedup GROUP STRUCTURE
     // (keep_id, n_copies, modality) — fully determined by the planted-
     // dup recipe (Multimodal.syntheticFixtureDistributed: row i copies
     // row i-9 when i % 10 == 9) independent of the decoder, so the

@@ -86,6 +86,128 @@ class MultimodalSpec extends SparkSpec {
     assert(dupGroups.map(_.getAs[Long]("keep")).sorted.toSeq === Seq(0L, 10L, 20L, 30L))
   }
 
+  // --- RealDecoder: the JDK's own codecs, real bytes in ---
+
+  /** Deterministic w×h RGB image: 4×4 pixel blocks in seeded random
+    * colors (distinct seeds → distinct rasters with overwhelming
+    * probability), encoded with the given ImageIO format.
+    */
+  private def encodedImage(w: Int, h: Int, seed: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rng = new scala.util.Random(seed)
+    val colors = Array.fill((w / 4 + 1) * (h / 4 + 1))(rng.nextInt(0xffffff))
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, colors((y / 4) * (w / 4 + 1) + (x / 4)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Half-black / half-white w×h image with analytically known block
+    * means: left-half cells decode to 0.0, right-half cells to 1.0.
+    */
+  private def halfWhite(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  test("RealDecoder: PNG decode — exact dims and block-mean luminance feature") {
+    val dec = new Multimodal.RealDecoder(grid = 8)
+    val (w, h, frames, feat) = dec.decode("image", halfWhite(32, 16, "png"))
+    assert((w, h, frames) === (32, 16, 1))
+    assert(feat.length === 64)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val expected = if (cx < 4) 0.0f else 1.0f
+      assert(math.abs(feat(cy * 8 + cx) - expected) < 1e-6,
+        s"cell ($cx,$cy): ${feat(cy * 8 + cx)} != $expected")
+    }
+  }
+
+  test("RealDecoder: JPEG decode — exact dims, feature within codec loss of PNG's") {
+    val dec = new Multimodal.RealDecoder(grid = 8)
+    val (w, h, _, feat) = dec.decode("image", halfWhite(32, 16, "jpg"))
+    assert((w, h) === (32, 16))
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val expected = if (cx < 4) 0.0f else 1.0f
+      assert(math.abs(feat(cy * 8 + cx) - expected) < 0.06,
+        s"cell ($cx,$cy): ${feat(cy * 8 + cx)} vs $expected beyond JPEG loss")
+    }
+  }
+
+  test("RealDecoder: image decode is deterministic and handles sub-grid images") {
+    val dec = new Multimodal.RealDecoder(grid = 8)
+    val payload = encodedImage(40, 24, seed = 7, "png")
+    val a = dec.decode("image", payload)
+    val b = dec.decode("image", payload)
+    assert(a._4.toSeq === b._4.toSeq)
+    // 3×2 image (smaller than the 8×8 grid): every cell still covers
+    // ≥ 1 pixel, no crash, dims exact
+    val tiny = dec.decode("image", encodedImage(3, 2, seed = 1, "png"))
+    assert((tiny._1, tiny._2) === (3, 2))
+    assert(tiny._4.length === 64 && tiny._4.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("RealDecoder: WAV PCM decode — rate/channels/frames + amplitude envelope") {
+    // 8 kHz mono 16-bit PCM, constant amplitude 0.5 for the first half
+    // of the clip then silence: bins 0..31 ≈ 0.5, bins 32..63 ≈ 0
+    val n = 8000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val v = 16384 // 0.5 in 16-bit
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (rate, ch, frames, feat) = new Multimodal.RealDecoder(grid = 8)
+      .decode("audio", out.toByteArray)
+    assert((rate, ch, frames) === (8000, 1, 8000))
+    assert(feat.length === 64)
+    (0 until 32).foreach(b => assert(math.abs(feat(b) - 0.5f) < 1e-3, s"bin $b: ${feat(b)}"))
+    (32 until 64).foreach(b => assert(feat(b) === 0.0f, s"bin $b: ${feat(b)}"))
+  }
+
+  test("RealDecoder: video and compressed audio fail loudly with truthful context") {
+    val dec = new Multimodal.RealDecoder()
+    val e1 = intercept[UnsupportedOperationException](dec.decode("video", Array[Byte](1, 2, 3)))
+    assert(e1.getMessage.contains("no video codec"))
+    val e2 = intercept[UnsupportedOperationException](dec.decode("audio", Array[Byte](1, 2, 3)))
+    assert(e2.getMessage.contains("not a PCM container"))
+  }
+
+  test("q32 pipeline with RealDecoder: image-only fixture, perceptual feature-key dedup") {
+    // the q32 dup recipe (row i copies row i-9 when i % 10 == 9) over
+    // REAL PNG payloads: the dedup key is the decoded block-luminance
+    // raster, i.e. an actual perceptual fingerprint of the pixels
+    val rows = (0 until 40).map { i =>
+      val src = if (i % 10 == 9) i - 9 else i
+      org.apache.spark.sql.Row(i.toLong, "image", encodedImage(32, 24, seed = 100L + src, "png"),
+        Map("width" -> "32", "height" -> "24", "codec" -> "png"))
+    }
+    val fix = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), Multimodal.schema)
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.frameSample(fix, stride = 2), new Multimodal.RealDecoder(8))
+    val groups = decoded
+      .select(col("id"), md5(concat_ws(",", col("feature").cast("array<string>"))).as("fk"))
+      .groupBy("fk").agg(count(lit(1)).as("n"), min("id").as("keep"))
+      .collect()
+    assert(groups.map(_.getAs[Long]("n")).sum === 40L)
+    val dupGroups = groups.filter(_.getAs[Long]("n") > 1L)
+    assert(dupGroups.length === 4, s"expected 4 dup groups, got ${dupGroups.length}")
+    assert(dupGroups.map(_.getAs[Long]("keep")).sorted.toSeq === Seq(0L, 10L, 20L, 30L))
+    // decoded dims come from the real payload, not metadata
+    assert(decoded.select("width", "height").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((32, 24)))
+  }
+
   test("frameSample: keeps every stride-th 16-byte frame of video payloads") {
     val df = Multimodal.syntheticFixture(spark, 12)
     val before = df.select(col("id"), col("modality"), length(col("data")).as("len"))
