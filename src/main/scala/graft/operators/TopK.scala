@@ -61,4 +61,58 @@ object TopK {
       }
     }
   }
+
+  /** Partition-local top-k PER KEY — the exactness-preserving pre-trim
+    * for "k rows per group by a total order" (deterministic hash
+    * sampling, per-group leaderboards): within each INPUT partition
+    * keep only the k smallest rows of every key by `orderCols`
+    * (lexicographic, nulls first — Spark's ascending convention), so
+    * the downstream key-partitioned window shuffles at most
+    * k × partitions rows per key instead of the full input. Exact by
+    * a superset argument: each global top-k row of a key is among the
+    * k smallest of that key within its own partition slice, so the
+    * union of partition-local top-k sets contains every global winner.
+    *
+    * One `mapPartitions` pass, NO shuffle; per-task memory is a
+    * bounded heap per observed key — O(keys-per-partition × k) rows,
+    * the classic combiner bound. Project to the key + order + carried
+    * columns BEFORE calling (the heap holds whole rows).
+    */
+  def perPartitionSmallestByKey(df: DataFrame, keyCols: Seq[String],
+                                orderCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val schema = df.schema
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    val ordIdx = orderCols.map(schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    // lexicographic on the order columns, null-first like asc sorts
+    val byOrder: Ordering[org.apache.spark.sql.Row] = (a, b) => {
+      var i = 0; var c = 0
+      while (c == 0 && i < ordIdx.length) {
+        val x = a.get(ordIdx(i)); val y = b.get(ordIdx(i))
+        c = (x, y) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (xc: Comparable[Any] @unchecked, yc) => xc.compareTo(yc)
+        }
+        i += 1
+      }
+      c
+    }
+    df.mapPartitions { rows =>
+      // max-heap per key: head = largest kept row, evicted when a
+      // smaller one arrives — size never exceeds k
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], scala.collection.mutable.PriorityQueue[org.apache.spark.sql.Row]]
+      rows.foreach { r =>
+        val key = keyIdx.map(r.get)
+        val h = heaps.getOrElseUpdate(key,
+          scala.collection.mutable.PriorityQueue.empty(byOrder))
+        if (h.size < k) h.enqueue(r)
+        else if (byOrder.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(enc)
+  }
 }

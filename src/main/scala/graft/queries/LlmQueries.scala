@@ -795,13 +795,21 @@ object LlmQueries {
     // by the md5(text) order (doc_id tie-break): the "pin the training
     // subset" op every data pipeline needs (rerun on the same corpus →
     // the same sample, on any cluster size — unlike rand()-based
-    // sampling, which is partitioning-dependent). One keyed window
-    // shuffle; both engines recompute the same hex order.
+    // sampling, which is partitioning-dependent). The lang-keyed
+    // window is fed through TopK.perPartitionSmallestByKey — a
+    // partition-local bounded-heap pre-trim (exact by the superset
+    // argument: every global winner is partition-local top-k), so the
+    // window shuffle carries ≤ k × partitions rows per language, not
+    // the full corpus — the round-10 watch-list item. Both engines
+    // recompute the same hex order.
     "q88_hash_sample" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text")), col("doc_id"))
-      t.documents
+      val hashed = t.documents
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"))
+      val trimmed = graft.operators.TopK.perPartitionSmallestByKey(
+        hashed, Seq("lang"), Seq("__h", "doc_id"), k = 20)
+      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
+      trimmed
         .select(col("doc_id"), col("lang"), row_number().over(w).as("__rn"))
         .filter(col("__rn") <= 20)
         .select(col("doc_id"), col("lang"), col("__rn").cast("long").as("sample_rank"))

@@ -39,6 +39,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"plan-shape drift:\n${bad.mkString("\n")}")
   }
 
+  test("q88 pre-trims before the lang-keyed window shuffle") {
+    // the partition-local bounded-heap trim (TopK.perPartitionSmallestByKey)
+    // must sit BELOW the window's exchange — i.e. the shuffle input is
+    // the trimmed set, not the full corpus (round-10 watch-list item)
+    val lines = SparkEntry.queries("q88_hash_sample")(spark, dir)
+      .queryExecution.executedPlan.toString.split("\n")
+    val exchange = lines.indexWhere(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    val trim = lines.indexWhere(_.contains("MapPartitions"))
+    assert(exchange >= 0 && trim >= 0, s"missing node:\n${lines.mkString("\n")}")
+    // plans print root-first, so upstream (scan-side) nodes appear later
+    assert(exchange < trim,
+      s"trim is not upstream of the window exchange:\n${lines.mkString("\n")}")
+  }
+
   test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
     for (q <- Seq("q84_unpivot", "q82_grouping_sets")) {
       val plan = SparkEntry.queries(q)(spark, dir)

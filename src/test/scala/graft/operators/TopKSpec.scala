@@ -47,6 +47,47 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("perPartitionSmallestByKey: union of partition-local top-k covers every global winner") {
+    val rng = new scala.util.Random(41)
+    (1 to 5).foreach { _ =>
+      val n = 200 + rng.nextInt(2000)
+      val seed = rng.nextLong()
+      val data = spark.range(0, n)
+        .select(col("id"), (col("id") % 7).as("key"),
+          md5(concat(lit(seed), col("id"))).as("h"))
+        .repartition(9) // many partitions: the trim runs per slice
+      val trimmed = TopK.perPartitionSmallestByKey(data, Seq("key"), Seq("h", "id"), 10)
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(0)))
+      // global winners from the untrimmed data
+      val want = data.collect().map(r => (r.getLong(1), r.getString(2), r.getLong(0)))
+        .groupBy(_._1).values.flatMap(_.sortBy(t => (t._2, t._3)).take(10)).toSet
+      // the trim output must be a SUPERSET of the winners and at most
+      // k per (partition, key) — i.e. a superset that the downstream
+      // window reduces to exactly `want`
+      assert(want.subsetOf(trimmed.toSet), s"pre-trim dropped a global winner, seed=$seed")
+      val reduced = trimmed.groupBy(_._1).values
+        .flatMap(_.sortBy(t => (t._2, t._3)).take(10)).toSet
+      assert(reduced === want, s"trim+retrim != global top-k, seed=$seed")
+    }
+  }
+
+  test("perPartitionSmallestByKey: output bounded by k per key per partition") {
+    val data = spark.range(0, 5000)
+      .select(col("id"), (col("id") % 3).as("key"), col("id").as("v"))
+      .repartition(8)
+    val out = TopK.perPartitionSmallestByKey(data, Seq("key"), Seq("v"), 5)
+    // ≤ 8 partitions × 3 keys × 5 rows
+    assert(out.count() <= 8L * 3 * 5)
+    // and nulls order first, like an ascending sort
+    val withNulls = spark.range(0, 100)
+      .select(col("id"), lit(0L).as("key"),
+        when(col("id") < 3, lit(null)).otherwise(col("id")).as("v"))
+      .coalesce(1)
+    val kept = TopK.perPartitionSmallestByKey(withNulls, Seq("key"), Seq("v", "id"), 5)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("tie-break makes duplicate ranks deterministic on both paths") {
     val ties = spark.range(0, 1000)
       .select(col("id"), (col("id") % 10).as("r")).cache()
