@@ -25,6 +25,12 @@ object Embeddings {
 
   private val D = DecimalType(30, 15)
 
+  /** gramExact's unit-scale magnitude bound: |x| ≤ 10³ keeps every
+    * pairwise product within the DECIMAL(18,12) cast's 10⁶ integral
+    * headroom, so an overflow-to-null can never slip into the sums.
+    */
+  val GramMaxAbs: Double = 1e3
+
   /** Per-dimension exact moments over `array<float>` vectors: one
     * keyed aggregate (map-side combinable) → `(dim, n, s1, s2, mean,
     * std)` — d rows, driver-collectable by contract (d is the model
@@ -69,9 +75,29 @@ object Embeddings {
     * SQL-recomputable. Pair expansion is per-ROW (posexplode + a
     * suffix transform carrying no join), so the only shuffle is the
     * (i, j)-keyed aggregate of d(d+1)/2 groups with map-side combine.
+    *
+    * DATA CONTRACT, enforced per row (violations raise instead of
+    * silently degrading — in non-ANSI mode an overflowing
+    * DECIMAL(18,12) cast yields null and a short vector makes
+    * element_at null, and sum() would SKIP those nulls, returning a
+    * plausible but wrong gram): every vector must have exactly `dim`
+    * elements with |x| ≤ 10³ (unit-scale embeddings — keeps every
+    * product |x_i·x_j| ≤ 10⁶, inside the decimal cast's headroom).
     */
   def gramExact(emb: DataFrame, dim: Int, vecCol: String = "embedding"): DataFrame =
-    emb.select(col(vecCol).cast("array<double>").as("__v"))
+    emb.select(col(vecCol).cast("array<double>").as("__raw"))
+      // the guard sits in the VALUE path (not a prunable side column):
+      // rows only flow through the `when` branch that passed it
+      .select(when(
+          size(col("__raw")) === dim &&
+            forall(col("__raw"), x => abs(x) <= lit(GramMaxAbs) && !isnull(x)),
+          col("__raw"))
+        .otherwise(raise_error(concat(
+          lit(s"gramExact contract violation: need exactly $dim elements with |x| <= " +
+            s"$GramMaxAbs and no nulls, got length "),
+          size(col("__raw")).cast("string"), lit(": "),
+          to_json(struct(col("__raw"))))))
+        .as("__v"))
       // the d(d+1)/2-fold generator blowup inherits the INPUT's
       // partitioning — a corpus small enough to sit in one parquet
       // split would expand and partial-aggregate on ONE core (measured

@@ -240,30 +240,66 @@ object NearDup {
                          threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // distinct shingle set per doc — feeds the df count, the prefix
-    // build, and the verify join; materialize once.
-    val sh = df.select(col(idCol).as("__sid"),
+    val sh = prefixShingleSets(df, idCol, textCol, shingleN)
+    val ex = prefixShingleExplode(sh)
+    val prefix = prefixRows(ex, prefixDocFreq(ex), threshold)
+    prefixVerify(prefixCandidates(prefix, threshold), sh, threshold)
+  }
+
+  // The five stages below are package-private so tools.ProbeQ85 times
+  // the REAL operator stage-by-stage instead of a drifting copy
+  // (ADVICE round-10); `prefixJaccardPairs` is their composition.
+
+  /** Stage 1: distinct shingle set per doc — feeds the df count, the
+    * prefix build, and the verify join; materialized once.
+    */
+  private[graft] def prefixShingleSets(df: DataFrame, idCol: String, textCol: String,
+                                       shingleN: Int): DataFrame =
+    df.select(col(idCol).as("__sid"),
         array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .localCheckpoint()
-    val ex = sh.select(col("__sid"), size(col("__sh")).as("__n"),
+
+  /** Stage 2: one (doc, set-size, shingle) row per set member. */
+  private[graft] def prefixShingleExplode(sh: DataFrame): DataFrame =
+    sh.select(col("__sid"), size(col("__sh")).as("__n"),
       explode(col("__sh")).as("__g"))
-    // global rarest-first total order key: (document frequency, shingle)
-    val dfreq = ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+
+  /** Stage 2b: global rarest-first total order key — (document
+    * frequency, shingle).
+    */
+  private[graft] def prefixDocFreq(ex: DataFrame): DataFrame =
+    ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+
+  /** Stage 3: prefix rows carrying the 1-based position in the doc's
+    * rarest-first sorted shingle list (= position within the prefix,
+    * since the prefix IS the list's head) — the positional filter's
+    * input.
+    */
+  private[graft] def prefixRows(ex: DataFrame, dfreq: DataFrame,
+                                threshold: Double): DataFrame = {
     val pLen = (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
-    // prefix rows carry the 1-based position in the doc's rarest-first
-    // sorted shingle list (= position within the prefix, since the
-    // prefix IS the list's head) — the positional filter's input.
-    val prefix = ex.join(dfreq, Seq("__g"))
+    ex.join(dfreq, Seq("__g"))
       .groupBy(col("__sid"), col("__n"))
       .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
       .select(col("__sid"), col("__n"),
         posexplode(slice(transform(col("__ord"), s => s.getField("__g")),
           lit(1), pLen)))
       .select(col("__sid"), col("__n"), (col("pos") + 1).as("__p"), col("col").as("__g"))
+  }
+
+  /** Stage 4: the prefix self-join with the length-ratio filter and
+    * PPJoin's positional filter, deduped to (id_a, id_b) and
+    * materialized: the static planner cannot size this subtree and
+    * mis-picks the verify joins' strategies from its estimates
+    * (measured 70 s vs 31 s at the 10× soak — it broadcast
+    * multi-million-row sides); with real stats the verify plans from
+    * actual candidate counts.
+    */
+  private[graft] def prefixCandidates(prefix: DataFrame, threshold: Double): DataFrame = {
     val minOverlap = ceil(
       lit(threshold / (1.0 + threshold)) * (col("l.__n") + col("r.__n")) - lit(1e-9))
-    val cand = prefix.as("l")
+    prefix.as("l")
       .join(prefix.as("r"),
         col("l.__g") === col("r.__g") && col("l.__sid") < col("r.__sid")
           && least(col("l.__n"), col("r.__n")).cast("double") >=
@@ -272,19 +308,20 @@ object NearDup {
              >= minOverlap)
       .select(col("l.__sid").as("id_a"), col("r.__sid").as("id_b"))
       .distinct()
-      // materialize the (skinny, long-typed) candidate pairs: the
-      // static planner cannot size this subtree and mis-picks the
-      // verify joins' strategies from its estimates (measured 70 s vs
-      // 31 s at the 10× soak — it broadcast multi-million-row sides);
-      // with real stats the verify plans from actual candidate counts
       .localCheckpoint()
-    // Exact verify WITHOUT shipping shingle arrays per candidate
-    // (measured 3× slower at 259 k candidates × ~50-string arrays):
-    // count the intersection as plain (doc, shingle) row joins — the
-    // second join's build side is the corpus's distinct (doc, shingle)
-    // rows, everything after it is long-typed aggregation. A candidate
-    // always shares ≥ 1 shingle, so the inner joins lose no pair; and
-    // |A∩B| ≥ 1 makes the union denominator positive by construction.
+  }
+
+  /** Stage 5: exact verify WITHOUT shipping shingle arrays per
+    * candidate (measured 3× slower at 259 k candidates × ~50-string
+    * arrays): count the intersection as plain (doc, shingle) row
+    * joins — the second join's build side is the corpus's distinct
+    * (doc, shingle) rows, everything after it is long-typed
+    * aggregation. A candidate always shares ≥ 1 shingle, so the inner
+    * joins lose no pair; and |A∩B| ≥ 1 makes the union denominator
+    * positive by construction.
+    */
+  private[graft] def prefixVerify(cand: DataFrame, sh: DataFrame,
+                                  threshold: Double): DataFrame = {
     val exk = sh.select(col("__sid"), explode(col("__sh")).as("__g"))
     val nMap = sh.select(col("__sid"), size(col("__sh")).as("__nn"))
     cand

@@ -66,11 +66,20 @@ object Cdc {
     require(keys.nonEmpty, "diff needs at least one key column")
     require(old.columns.sorted.sameElements(newSnap.columns.sorted),
       s"schema mismatch: ${old.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    // a misspelled key would otherwise land in valueCols and surface
+    // later as an opaque unresolved-column Catalyst error from the join
+    val missing = keys.filterNot(old.columns.contains)
+    require(missing.isEmpty,
+      s"key column(s) not in the snapshots: ${missing.mkString(",")} " +
+        s"(have: ${old.columns.sorted.mkString(",")})")
     val valueCols = old.columns.filterNot(keys.contains).toSeq
-    val o = old.select(keys.map(col) :+
-      struct(valueCols.map(col): _*).as("__ov"): _*)
-    val n = newSnap.select(keys.map(col) :+
-      struct(valueCols.map(col): _*).as("__nv"): _*)
+    // keys-only snapshots are legal (membership diff): the comparison
+    // payload degenerates to a constant, so "U" can never fire and the
+    // output is pure I/D — struct() of zero columns would compare
+    // vacuously equal too, but a literal keeps the plan trivial
+    def payload = if (valueCols.isEmpty) lit(0) else struct(valueCols.map(col): _*)
+    val o = old.select(keys.map(col) :+ payload.as("__ov"): _*)
+    val n = newSnap.select(keys.map(col) :+ payload.as("__nv"): _*)
     o.join(n, keys, "full_outer")
       .withColumn("op",
         when(col("__ov").isNull, "I")

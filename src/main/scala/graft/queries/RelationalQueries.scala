@@ -59,9 +59,16 @@ object RelationalQueries {
     * the query amortizes (bench warm-up materializes it; measured runs
     * read it).
     */
+  // TrieMap.getOrElseUpdate may evaluate the builder TWICE under
+  // concurrent first use (e.g. two suites touching the same fixture in
+  // parallel), racing two overwrite parquet writes to one path — all
+  // layout-fixture builds serialize on this lock instead (they run
+  // once per process; contention is nil). ADVICE round-10.
+  private val fixtureBuildLock = new Object
+
   private val zEventsPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensureZOrderedEvents(s: SparkSession, dir: String): String =
-    zEventsPaths.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+    fixtureBuildLock.synchronized { zEventsPaths.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
@@ -69,7 +76,7 @@ object RelationalQueries {
       graft.operators.ZOrder.write(Tables(s, dir).events,
         Seq("user_id", "value"), path, numFiles = 8)
       path
-    })
+    }) }
 
   /** One time-clustered events copy + its file manifest per
     * (process, sf) — the append-only log layout (range-partitioned and
@@ -81,7 +88,7 @@ object RelationalQueries {
   private val manifestEvents =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
   private def ensureManifestEvents(s: SparkSession, dir: String): (String, DataFrame) =
-    manifestEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+    fixtureBuildLock.synchronized { manifestEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
@@ -91,7 +98,7 @@ object RelationalQueries {
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(path)
       (path, graft.operators.Manifest.collectStats(s, path, Seq("ts")).localCheckpoint())
-    })
+    }) }
 
   /** One Hive-style DAY-PARTITIONED copy of `events` per (process,
     * sf) — `.../event_date=YYYY-MM-DD/part-*.parquet`, THE canonical
@@ -104,7 +111,7 @@ object RelationalQueries {
     */
   private val partitionedEvents = scala.collection.concurrent.TrieMap.empty[String, String]
   private def ensurePartitionedEvents(s: SparkSession, dir: String): String =
-    partitionedEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+    fixtureBuildLock.synchronized { partitionedEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
@@ -118,7 +125,7 @@ object RelationalQueries {
         .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(path)
       path
-    })
+    }) }
 
   /** One persisted per-day quantile-sketch table over `events.value`
     * per (process, sf) — q59's deployment shape for percentiles: the
@@ -132,7 +139,7 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, Double, Double)]
   private val SketchBins = 256
   private def ensureDailyValueSketch(s: SparkSession, dir: String): (String, Double, Double) =
-    dailyValueSketch.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+    fixtureBuildLock.synchronized { dailyValueSketch.getOrElseUpdate(Tables.fixtureKey(s, dir), {
       val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
         .replace(".", "_")
       val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
@@ -145,7 +152,7 @@ object RelationalQueries {
           Seq("event_type"), to_date(col("ts")), "day", lo, hi, SketchBins)
         .write.mode("overwrite").parquet(path)
       (path, lo, hi)
-    })
+    }) }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed CO-LOCATED join — the layout lever that decides whether

@@ -114,11 +114,18 @@ object EventStream {
 
   /** Streaming windowed THROTTLE — q87's batch rule run incrementally:
     * at most one event per (user, type, `bucketSeconds` bucket)
-    * passes; later arrivals for an already-seen bucket drop. On an
-    * in-order stream (event time = arrival order) the kept rows are
-    * exactly q87's (ts, event_id)-minimal set — EventStreamSpec pins
-    * the equality on real catalog rows; under disorder the kept row is
-    * the first ARRIVAL, the semantics alert/metering dedup wants.
+    * passes; later arrivals for an already-seen bucket drop. The
+    * semantics are PER-ARRIVAL-ORDER: the kept row is the first to
+    * reach the dedup state (what alert/metering dedup wants), which
+    * matches q87's (ts, event_id)-minimal set only when arrival order
+    * tracks event order all the way into the operator — ACROSS
+    * micro-batches that means an in-order source, and WITHIN one
+    * micro-batch it additionally needs a single input partition,
+    * because dropDuplicatesWithinWatermark keeps the first row per key
+    * in post-shuffle partition order (true for the single-partition
+    * MemoryStream EventStreamSpec replays q87's catalog rows through;
+    * not guaranteed for a multi-partition source). Under disorder the
+    * kept row is simply the first arrival.
     *
     * State: one entry per ACTIVE (user, type, bucket) — buckets older
     * than the watermark evict, so memory tracks delay × event rate,

@@ -64,6 +64,26 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("gramExact: contract violations raise instead of silently degrading") {
+    // a short vector would make element_at null and sum() would skip
+    // it; an over-scale product would overflow the DECIMAL(18,12) cast
+    // to null in non-ANSI mode — both must FAIL, not return a
+    // plausible wrong gram (ADVICE round-10)
+    val short = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Embeddings.gramExact(short, dim = 3).collect()
+    }
+    assert(e1.getMessage.contains("gramExact contract violation"), e1.getMessage)
+    val big = Seq((1L, Array(1.0f, 2e3f, 3.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Embeddings.gramExact(big, dim = 3).collect()
+    }
+    assert(e2.getMessage.contains("gramExact contract violation"), e2.getMessage)
+    // in-contract rows still pass through the guard untouched
+    assert(Embeddings.gramExact(fixture, dim = 3).count() === 6L)
+  }
+
   test("pca: planted anisotropy recovered; components orthonormal, eigenvalues descending") {
     // planted: variance concentrated along (1,1,0,...)/sqrt(2)
     val rng = new scala.util.Random(11)

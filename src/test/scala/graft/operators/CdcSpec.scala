@@ -77,4 +77,19 @@ class CdcSpec extends SparkSpec {
       Cdc.diff(base, base.drop("v"), Seq("k"))
     }
   }
+
+  test("diff rejects a misspelled key up front, not as an opaque join error") {
+    val e = intercept[IllegalArgumentException] {
+      Cdc.diff(base, base, Seq("key_typo"))
+    }
+    assert(e.getMessage.contains("key_typo"))
+  }
+
+  test("diff on keys-only snapshots: membership diff, pure I/D") {
+    val oldK = Seq(1L, 2L, 3L).toDF("k")
+    val newK = Seq(2L, 3L, 4L).toDF("k")
+    val got = Cdc.diff(oldK, newK, Seq("k"))
+      .select("k", "op").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "D"), (4L, "I")))
+  }
 }
