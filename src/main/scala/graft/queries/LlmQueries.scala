@@ -869,6 +869,47 @@ object LlmQueries {
         .groupBy(col("gram"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 5)
+    }),
+
+    // PCA PROJECTION as a query surface — the last Embeddings entry
+    // point under the driver's eye: fit PCA on the corpus (exact
+    // decimal gram + driver-side d×d eigendecomposition, q93's
+    // contract; components sign-pinned at largest-|loading|-positive),
+    // WRITE the fitted (pc, dim, w, mean) table to a shared parquet
+    // fixture (q83's device: the oracle reads the SAME fitted
+    // components, so the cross-engine check covers the projection
+    // math, which IS SQL-expressible, while the eigendecomposition
+    // stays spec-pinned in EmbeddingsSpec), then project every vector
+    // onto the top 4 components in LONG form with order-independent
+    // decimal term sums (q92's pattern — bit-stable on any
+    // partitioning, exactly DuckDB-recomputable). Scale shape: the
+    // fitted table is k×d rows (model-sized, broadcast); the
+    // projection is one keyed aggregate over posexploded terms — at
+    // 100 TB the production twin is `Embeddings.project` (zero-shuffle
+    // map with the components as literals, spec-pinned equal).
+    "q97_pca_project" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      val d = Tables.EmbeddingDim
+      val k = 4
+      val p = Embeddings.pca(emb, d)
+      val means = Embeddings.dimStats(emb).orderBy("dim").collect()
+        .map(_.getAs[Double]("mean"))
+      val comps = (0 until k).flatMap { c =>
+        (0 until d).map(i => (c.toLong, i, p.components(c)(i), means(i)))
+      }
+      val compDf = s.createDataFrame(comps).toDF("pc", "dim", "w", "mean")
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/pca_$sfName"
+      compDf.coalesce(1).write.mode("overwrite").parquet(fixture)
+      emb.select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "__x")))
+        .join(broadcast(s.read.parquet(fixture)), Seq("dim"))
+        .groupBy(col("vec_id"), col("pc"))
+        .agg(round(
+          sum(((col("__x") - col("mean")) * col("w"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 15))).cast("double"),
+          9).as("pc_value"))
     })
   )
 
@@ -1550,6 +1591,24 @@ object LlmQueries {
               END) AS gram
             FROM tok)
          SELECT gram, COUNT(*) AS n FROM grams
-         GROUP BY gram HAVING COUNT(*) >= 5"""
+         GROUP BY gram HAVING COUNT(*) >= 5""",
+    // PCA projection twin: reads the SAME fitted components the q97
+    // run wrote (q83's shared-fixture pattern — the driver verifies at
+    // sf0.01, which fixes the path), recomputes the mean-centered dot
+    // products with the same decimal term sums.
+    "q97_pca_project" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/pca_sf0.01/*.parquet"
+      s"""WITH flat AS (
+           SELECT vec_id, e.d AS dim, e.x AS x FROM (
+             SELECT vec_id, UNNEST(list_transform(embedding,
+               (x, i) -> struct_pack(d := i - 1, x := CAST(x AS DOUBLE)))) AS e
+             FROM embeddings)),
+         comps AS (SELECT * FROM read_parquet('$fixture'))
+         SELECT f.vec_id, c.pc,
+           ROUND(CAST(SUM(CAST((f.x - c.mean) * c.w AS DECIMAL(30,15))) AS DOUBLE), 9)
+             AS pc_value
+         FROM flat f JOIN comps c ON c.dim = f.dim
+         GROUP BY 1, 2"""
+    }
   )
 }

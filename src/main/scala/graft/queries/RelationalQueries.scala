@@ -1124,6 +1124,75 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(date_format(col("event_date"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // q71's count-min sketch with an MD5-DERIVED cell hash — the
+    // oracle-green pinned twin of the heavy-hitters family (q78's
+    // move, applied to CMS): cells are plain integer sums of
+    // deterministic bucket hits, bucket(r, item) = first-8-hex of
+    // md5("r:item") mod width — recomputable by any engine — so the
+    // per-day sketch table, the cross-day merge (elementwise sums:
+    // merging per-day cells ≡ sketching the concatenated stream), and
+    // every probe estimate (min over the depth rows) are exactly
+    // SQL-defined. Same plan family as q71: one keyed agg builds the
+    // daily cells, one (type,r,bucket)-keyed sum merges KB-sized
+    // sketch rows, probes join only the ≤ depth×width merged cells.
+    // q71 keeps the production engine-format blobs; this row is the
+    // value-defined query path.
+    "q95_cms_md5" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val depth = 4; val width = 512
+      def bucket(r: org.apache.spark.sql.Column,
+                 item: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        conv(substring(md5(concat_ws(":", r, item)), 1, 8), 16, 10)
+          .cast("long") % width
+      val daily = t.events
+        .select(col("event_type"), to_date(col("ts")).as("__day"), col("user_id"),
+          explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+        .groupBy(col("event_type"), col("__day"), col("__r"),
+          bucket(col("__r"), col("user_id")).as("__bucket"))
+        .agg(count(lit(1)).as("__cnt"))
+      val merged = daily
+        .groupBy(col("event_type"), col("__r"), col("__bucket"))
+        .agg(sum(col("__cnt")).as("__cnt"))
+      val nDays = daily.select(col("event_type"), col("__day")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val probes = merged.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("user_id")))
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(lit(0), lit(depth - 1))).as("__r"))
+        .select(col("event_type"), col("user_id"), col("__r"),
+          bucket(col("__r"), col("user_id")).as("__bucket"))
+      probes
+        .join(merged, Seq("event_type", "__r", "__bucket"), "left")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(coalesce(col("__cnt"), lit(0L))).as("est_events"))
+        .join(broadcast(nDays), Seq("event_type"))
+        .select(col("event_type"), col("user_id"), col("n_days"), col("est_events"))
+    }),
+
+    // q59's approx-distinct with an EXACT SPARSE MODE — the
+    // oracle-green pinned twin of the HLL family: per-day
+    // `hll_sparse_agg` sketches (functions.HllSparse — sorted hash
+    // SETS below tau=4096 distinct, classic 2^12-register HLL above)
+    // merge per event type via `hll_sparse_merge`; in the sparse
+    // regime merge = set union, so the estimate is VALUE-DEFINED (=
+    // exact distinct count) and the DuckDB twin is COUNT(DISTINCT
+    // user_id). The fixture's per-type cardinality sits far below tau
+    // at any driver SF, so this row stays sparse-exact; past tau the
+    // SAME query silently becomes the register-estimate production
+    // shape (HllSparseSpec pins the transition + merge≡direct). q59
+    // keeps the engine-format production sketches.
+    "q96_hll_sparse" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg(graft.functions.HllSparseAgg(col("user_id")).as("__sk"))
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.HllSparseEstimate(
+            graft.functions.HllSparseMergeAgg(col("__sk"))).as("distinct_users"),
+          count(lit(1)).as("n_days"))
     })
   )
 
@@ -1663,6 +1732,43 @@ object RelationalQueries {
          WHERE CAST(ts AS DATE) IN (
            SELECT d FROM (SELECT DISTINCT CAST(ts AS DATE) AS d
                           FROM events ORDER BY d LIMIT 3))
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // md5-CMS twin: same bucket hash (first 8 md5 hex chars of
+    // "r:item", base-16, mod 512), same depth-4 min-of-cells probe —
+    // cells are deterministic integer counts, so summing per-day cells
+    // in the Spark plan ≡ counting directly here.
+    "q95_cms_md5" ->
+      """WITH cells AS (
+           SELECT event_type, r.r,
+                  ('0x' || substr(md5(r.r || ':' || user_id), 1, 8))::BIGINT % 512 AS bucket,
+                  COUNT(*) AS cnt
+           FROM events, range(4) r(r)
+           GROUP BY 1, 2, 3),
+         probes AS (
+           SELECT et.event_type, u.user_id, r.r,
+                  ('0x' || substr(md5(r.r || ':' || u.user_id), 1, 8))::BIGINT % 512 AS bucket
+           FROM (SELECT DISTINCT event_type FROM events) et,
+                range(10) u(user_id), range(4) r(r)),
+         est AS (
+           SELECT p.event_type, p.user_id,
+                  MIN(COALESCE(c.cnt, 0)) AS est_events
+           FROM probes p
+           LEFT JOIN cells c ON c.event_type = p.event_type
+                            AND c.r = p.r AND c.bucket = p.bucket
+           GROUP BY 1, 2),
+         nd AS (SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+                FROM events GROUP BY 1)
+         SELECT e.event_type, e.user_id, nd.n_days, e.est_events
+         FROM est e JOIN nd USING (event_type)""",
+
+    // sparse-HLL twin: in the sparse regime the merged sketch is the
+    // exact distinct hash set, so the estimate is plain COUNT(DISTINCT)
+    // and day-sketch counting is distinct-day counting.
+    "q96_hll_sparse" ->
+      """SELECT event_type,
+                COUNT(DISTINCT user_id) AS distinct_users,
+                COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+         FROM events GROUP BY event_type"""
   )
 }
