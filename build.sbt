@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Diagnostic mains (Probe*/Soak*/Parity/PlanAudit) live outside the
+// library source set: they compile with the TEST configuration — kept
+// healthy by every `sbt test` cycle, runnable via
+// `sbt "Test/runMain graft.tools.ProbeAnalyze"` — but never ship in
+// the library jar and never count as product code.
+Test / unmanagedSourceDirectories += baseDirectory.value / "probes"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
