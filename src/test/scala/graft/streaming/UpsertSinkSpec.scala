@@ -3,9 +3,14 @@ package graft.streaming
 import graft.SparkSpec
 import graft.operators.Cdc
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 object UpsertSinkSpec {
   final case class Chg(k: Long, s: String, v: Double, op: String, seq: Long)
+  /** q75's change-feed row shape: the orders schema + op/seq. */
+  final case class OrdChg(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                          o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+                          o_orderpriority: String, op: String, seq: Long)
 }
 
 /** The streaming MERGE loop: a change feed drained through
@@ -46,6 +51,55 @@ class UpsertSinkSpec extends SparkSpec {
     assert(snapOf(state.current) === snapOf(want))
     assert(snapOf(state.current) ===
       Set((1L, "a", 10.0), (2L, "B", 22.0), (4L, "D2", 44.0)))
+  }
+
+  test("q75 twin: sink-streamed change feed reproduces the batch CDC apply on catalog rows") {
+    // q75's EXACT change feed (same recipe over the same sf0.001
+    // orders), replayed through the micro-batch sink in three
+    // per-key-seq-ordered batches; the final materialized snapshot
+    // must equal the oracle-checked q75 batch query row-for-row — the
+    // batch ≡ stream closure on the CDC family (EventStreamSpec's
+    // device, applied to the MERGE loop). Batch boundaries are chosen
+    // so conflicting ops arrive in seq order (the sink's ordered-feed
+    // contract); within a batch keys are disjoint or tie-free.
+    import UpsertSinkSpec.OrdChg
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables(spark, dir).orders
+    def chg(df: org.apache.spark.sql.DataFrame): Seq[OrdChg] =
+      df.as[OrdChg].collect().toSeq
+    val upd1 = chg(base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 999.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+    val upd2 = chg(base.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L)))
+    val dels = chg(base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L)))
+    val ins = chg(base.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L)))
+
+    val state = new UpsertSink(base, Seq("o_orderkey"))
+    val src = MemoryStream[OrdChg]
+    val q = src.toDF().writeStream.foreachBatch(state.sink)
+      .outputMode("append").start()
+    // seq-1 updates, then the key-disjoint deletes+inserts, then the
+    // seq-2 updates (which also re-upsert the keys the deletes hit —
+    // exactly what one-shot compaction resolves to: latest seq wins)
+    for (batch <- Seq(upd1, dels ++ ins, upd2)) {
+      src.addData(batch: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val want = graft.SparkEntry.queries("q75_cdc_apply")(spark, dir)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus")).as[(Long, Long, Double, String)].collect().toSet
+    assert(state.current.count() === want.count())
+    assert(keyed(state.current) === keyed(want),
+      "streamed sink snapshot diverged from the batch q75 apply")
   }
 
   test("lineage stays capped: N micro-batches do not accrete N joins") {
