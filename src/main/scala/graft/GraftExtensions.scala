@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{ArgmaxDot, BloomMightContain, CmsEstimate,
-  CmsMergeAgg, HyperplaneBuckets, InterleaveBits, MinHashSig, RankBucket,
+  CmsMergeAgg, HllSparseAgg, HllSparseEstimate, HllSparseMergeAgg,
+  HyperplaneBuckets, InterleaveBits, MinHashSig, RankBucket,
   SimHash64, SimHashMd5, VecDot, WinnowHash, WinnowMd5, WordHits,
   WordShingles}
 
@@ -129,6 +130,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"cms_estimate takes 2 arguments (sketch, item), got ${exprs.length}")
         CmsEstimate(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sparse_agg"),
+      new ExpressionInfo(classOf[HllSparseAgg].getName, "hll_sparse_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1 || exprs.length == 3,
+          s"hll_sparse_agg takes (value) or (value, tau, p), got ${exprs.length}")
+        if (exprs.length == 1) HllSparseAgg(exprs(0))
+        else HllSparseAgg(exprs(0), GraftExtensions.intLit(exprs(1), "tau"),
+          GraftExtensions.intLit(exprs(2), "p"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sparse_merge"),
+      new ExpressionInfo(classOf[HllSparseMergeAgg].getName, "hll_sparse_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"hll_sparse_merge takes 1 argument, got ${exprs.length}")
+        HllSparseMergeAgg(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sparse_estimate"),
+      new ExpressionInfo(classOf[HllSparseEstimate].getName, "hll_sparse_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"hll_sparse_estimate takes 1 argument, got ${exprs.length}")
+        HllSparseEstimate(exprs(0))
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_buckets"),

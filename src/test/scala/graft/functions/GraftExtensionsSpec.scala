@@ -29,7 +29,10 @@ class GraftExtensionsSpec extends SparkSpec {
     "rank_bucket",        // RankBucket
     "interleave_bits",    // InterleaveBits
     "cms_merge",          // CmsMergeAgg
-    "cms_estimate")       // CmsEstimate
+    "cms_estimate",       // CmsEstimate
+    "hll_sparse_agg",     // HllSparseAgg
+    "hll_sparse_merge",   // HllSparseMergeAgg
+    "hll_sparse_estimate") // HllSparseEstimate
 
   private def registry = {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
