@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
     "q84_unpivot" -> 1,         // unpivot-as-Expand, same single aggregate
     "q86_salted_distinct" -> 3, // (type,salt[,user]) expansion + 2-stage fold
     "q87_window_dedup" -> 1,    // one user-keyed window shuffle
-    "q88_hash_sample" -> 1      // one lang-keyed window shuffle
+    "q88_hash_sample" -> 1,     // one lang-keyed window shuffle
+    "q98_token_budget_mix" -> 1 // one lang-keyed window shuffle (cum sum)
   )
 
   test("pinned no-join queries keep their exact shuffle counts") {
