@@ -972,6 +972,64 @@ object LlmQueries {
           col("clabel").cast("long").as("nearest_label"),
           col("__cos").as("nearest_cos"),
           (col("clabel") =!= col("label")).as("is_mismatch"))
+    }),
+
+    // SOURCE-DRIFT audit — χ² of each source's token distribution
+    // against the corpus (the distribution-shift monitor a mixed
+    // crawl pipeline runs per ingest batch). Chi-square, NOT KL: the
+    // statistic is pure RATIONAL arithmetic over exact integer counts
+    // (expected e = n_s·n_t/N, term (c−e)²/e — one IEEE divide/square
+    // per term from identical exact inputs), so unlike any
+    // log-based divergence it is exactly cross-engine-recomputable
+    // (the q58 no-transcendental discipline). Absent tokens are
+    // folded in CLOSED FORM — Σ_{absent} e = n_s·(N − Σ_present n_t)/N
+    // — so the plan never builds the vocab × source cross join. Terms
+    // sum in decimal (order-independent), the per-source top drift
+    // token comes from a (round-9 desc, token asc) total order.
+    // Shuffles: token explode → (source,tok) and (tok) counts, one
+    // token-keyed join (vocab-scale, NOT broadcast — vocabularies
+    // outgrow driver memory at 100 TB), source-keyed fold; the
+    // source dim broadcasts.
+    "q101_source_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val D30 = org.apache.spark.sql.types.DecimalType(30, 15)
+      val tok = t.documents.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      // ONE corpus tokenize pass builds the finest-grained count table
+      // (source × token — vocab-scale, not corpus-scale), checkpointed
+      // (the q58 shared-subtree lesson); every other statistic — global
+      // token counts, per-source totals, N — derives from it by
+      // re-aggregation, so the corpus is scanned exactly once.
+      val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      val tt = st.groupBy(col("tok")).agg(sum(col("__c")).as("__nt"))
+      val ss = st.groupBy(col("source")).agg(sum(col("__c")).as("__ns"))
+      val bigN = ss.agg(sum(col("__ns"))).head().getLong(0)
+      val e = col("__ns").cast("double") * col("__nt") / lit(bigN.toDouble)
+      val term = (col("__c") - e) * (col("__c") - e) / e
+      // scored feeds BOTH the top-token window and the χ² fold —
+      // checkpoint so the join subtree is not planned twice
+      val scored = st
+        .join(tt, Seq("tok"))
+        .join(broadcast(ss), Seq("source"))
+        .withColumn("__term", term)
+        .localCheckpoint()
+      val w = Window.partitionBy(col("source"))
+        .orderBy(round(col("__term"), 9).desc, col("tok").asc)
+      val top = scored
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("source"), col("tok").as("top_token"),
+          round(col("__term"), 9).as("top_term"))
+      scored
+        .groupBy(col("source"))
+        .agg(sum(col("__term").cast(D30)).cast("double").as("__present"),
+          sum(col("__nt")).as("__pnt"), first(col("__ns")).as("__ns"))
+        .select(col("source"), col("__ns").as("n_tokens"),
+          round(col("__present") +
+            col("__ns").cast("double") * (lit(bigN) - col("__pnt")) / lit(bigN.toDouble),
+            9).as("chi2"))
+        .join(broadcast(top), Seq("source"))
     })
   )
 
@@ -1751,6 +1809,39 @@ object LlmQueries {
                 CAST(clabel AS BIGINT) AS nearest_label,
                 cos AS nearest_cos,
                 clabel <> label AS is_mismatch
-         FROM scored WHERE rk = 1"""
+         FROM scored WHERE rk = 1""",
+    // Source-drift twin: same rational χ² terms from the same integer
+    // counts (expression shapes mirrored so each IEEE op sees
+    // identical operands), same closed-form absent-token fold, same
+    // decimal term sums, same (round-9 desc, token asc) top pick.
+    "q101_source_drift" ->
+      s"""WITH tok AS (
+           SELECT source, UNNEST($sqlToks) AS tok FROM documents),
+         st AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         tt AS (SELECT tok, COUNT(*) AS nt FROM tok GROUP BY 1),
+         ss AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY 1),
+         nn AS (SELECT COUNT(*) AS n FROM tok),
+         scored AS (
+           SELECT st.source, st.tok, tt.nt, ss.ns, nn.n,
+                  ((st.c - (CAST(ss.ns AS DOUBLE) * tt.nt) / CAST(nn.n AS DOUBLE))
+                   * (st.c - (CAST(ss.ns AS DOUBLE) * tt.nt) / CAST(nn.n AS DOUBLE)))
+                  / ((CAST(ss.ns AS DOUBLE) * tt.nt) / CAST(nn.n AS DOUBLE)) AS term
+           FROM st JOIN tt USING (tok) JOIN ss USING (source) CROSS JOIN nn),
+         agg AS (
+           SELECT source, ANY_VALUE(ns) AS ns, ANY_VALUE(n) AS n,
+                  CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE) AS present,
+                  SUM(nt) AS pnt
+           FROM scored GROUP BY source),
+         top AS (
+           SELECT source, tok AS top_token, ROUND(term, 9) AS top_term,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY ROUND(term, 9) DESC, tok ASC) AS rk
+           FROM scored)
+         SELECT a.source, a.ns AS n_tokens,
+                ROUND(a.present +
+                  (CAST(a.ns AS DOUBLE) * (a.n - a.pnt)) / CAST(a.n AS DOUBLE),
+                  9) AS chi2,
+                t.top_token, t.top_term
+         FROM agg a JOIN top t ON t.source = a.source AND t.rk = 1"""
   )
 }

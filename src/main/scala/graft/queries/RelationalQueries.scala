@@ -1193,6 +1193,24 @@ object RelationalQueries {
           graft.functions.HllSparseEstimate(
             graft.functions.HllSparseMergeAgg(col("__sk"))).as("distinct_users"),
           count(lit(1)).as("n_days"))
+    }),
+
+    // EXACT per-group percentiles by distributed SELECTION
+    // (operators.ExactQuantile) — the third member of the percentile
+    // family: q49 is the one-pass bounded-error sketch, q64 the
+    // persisted mergeable pre-aggregate, and this is the exact answer
+    // WITHOUT sorting the world: histogram-locate the target bin
+    // (KB-sized exchange), then rank within the ~n/bins survivors —
+    // three pruned scans + a candidate-sized shuffle, vs orderBy's
+    // full-data range exchange. Rank semantics are percentile_disc
+    // (value at row ⌈q·n⌉ of the ascending order; both engines
+    // compute the identical IEEE ⌈q·n⌉), so the raw stored double
+    // comes back bit-identical — no rounding anywhere.
+    "q100_exact_percentile" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.ExactQuantile.perGroup(
+        t.events, Seq("event_type"), "value",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
     })
   )
 
@@ -1769,6 +1787,20 @@ object RelationalQueries {
       """SELECT event_type,
                 COUNT(DISTINCT user_id) AS distinct_users,
                 COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+
+    // exact-percentile twin: the same ⌈q·n⌉ rank over the same
+    // ascending value order (the selection algorithm is physical only)
+    "q100_exact_percentile" ->
+      """WITH ranked AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90
+         FROM ranked GROUP BY event_type"""
   )
 }
