@@ -1211,6 +1211,42 @@ object RelationalQueries {
       graft.operators.ExactQuantile.perGroup(
         t.events, Seq("event_type"), "value",
         Seq("p50" -> 0.5, "p90" -> 0.9))
+    }),
+
+    // OHLC DOWNSAMPLE — the TSDB/monitoring compaction shape: per
+    // (event_type, day), the first/last value under the (ts,
+    // event_id) total order plus high/low/sum/count. Open/close are
+    // ORDER-based aggregates (what makes downsampling harder than
+    // min/max): both come from rank-1 rows of the same keyed window —
+    // ONE (type, day) shuffle serves the ascending and descending
+    // ranks and the final aggregate, and every engine picks the same
+    // row because the order is total. At 100 TB this is the
+    // continuous roll-up that turns an event log into a dashboard
+    // table; day cells aggregate independently, no global sort.
+    "q102_ohlc_downsample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val day = to_date(col("ts")).as("__day")
+      val base = t.events.select(col("event_type"), day, col("value"),
+        col("ts"), col("event_id"))
+      val wAsc = Window.partitionBy(col("event_type"), col("__day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy(col("event_type"), col("__day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("__ra", row_number().over(wAsc))
+        .withColumn("__rd", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("__day"))
+        .agg(
+          max(when(col("__ra") === 1, col("value"))).as("open"),
+          max(when(col("__rd") === 1, col("value"))).as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          date_format(col("__day"), "yyyy-MM-dd").as("day"),
+          col("open"), col("close"), col("high"), col("low"),
+          col("sum_value"), col("n_events"))
     })
   )
 
@@ -1801,6 +1837,24 @@ object RelationalQueries {
          SELECT event_type,
                 MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
                 MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90
-         FROM ranked GROUP BY event_type"""
+         FROM ranked GROUP BY event_type""",
+
+    // OHLC twin: the same (ts, event_id) total order picks the same
+    // open/close rows; decimal sum matches dsum.
+    "q102_ohlc_downsample" ->
+      """WITH ranked AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY ts ASC, event_id ASC) AS ra,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                MAX(value) AS high, MIN(value) AS low,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                COUNT(*) AS n_events
+         FROM ranked GROUP BY 1, 2"""
   )
 }
