@@ -27,6 +27,12 @@ object Bench {
       // managed tables (q42's bucketed layout) land in a per-process tmp
       // dir (cleaned on exit), so a prior run's warehouse can never
       // collide with this one
+      // cached layouts must keep advertising their partitioning (the
+      // PageRankFixed edge layout plans zero-exchange src-joins against
+      // its cache); AQE-inside-InMemoryRelation would hide it behind an
+      // unknown-partitioning adaptive root
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.warehouse.dir",
         TempWarehouse.dir("graft-warehouse-bench"))
       .getOrCreate()

@@ -149,6 +149,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // managed tables (bucketing) land in a per-process tmp dir, never
       // the repo cwd — and never a path a previous JVM already used
+      // cached layouts must keep advertising their partitioning (the
+      // PageRankFixed edge layout plans zero-exchange src-joins against
+      // its cache); AQE-inside-InMemoryRelation would hide it behind an
+      // unknown-partitioning adaptive root
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.sql.warehouse.dir", TempWarehouse.dir("graft-warehouse"))
       .getOrCreate()
 }

@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point PageRank over a string-keyed edge list.
+  *
+  * Training-data pipelines use PageRank-family centrality as a
+  * document/domain quality prior (the Common Crawl curation pattern:
+  * rank the link graph, weight or gate sources by centrality). The
+  * float version of that job is only approximately reproducible — sum
+  * order and damping multiplies drift across partitionings and engines.
+  * This variant runs the whole recurrence in SCALED-INTEGER arithmetic
+  * (ranks are mass × 10^18, every divide is an integer floor divide,
+  * every sum is exact), so a fixed iteration count yields bit-identical
+  * ranks on any partitioning, any cluster size, and any engine — the
+  * q58/q101 no-transcendental discipline pushed one step further to a
+  * no-rounding discipline. Floor losses only ever DROP mass (≤ 1 unit
+  * of 10^-18 per divide), so totals stay bounded by SCALE and the
+  * result is a deterministic lower envelope of the real-valued ranks
+  * with per-node error ≤ iters × (1 + 17/20 × indegree) × 10^-18.
+  *
+  * Scale shape (the textbook distributed PageRank layout): the edge
+  * list is hash-partitioned by `src` ONCE — with the 1/outdeg weight
+  * attached in the same pass by a src-keyed window, so iterations need
+  * no separate weight join — and cached. The layout deliberately uses
+  * `persist`, not `localCheckpoint`: under AQE a checkpoint's
+  * LogicalRDD forgets its partitioning (the adaptive root's
+  * pre-execution partitioning is unknown until executed), while a
+  * MATERIALIZED InMemoryRelation carries it, so each iteration's
+  * src-join plans zero edge-side exchanges (PlanShapeSpec pins this;
+  * it depends on canChangeCachedPlanOutputPartitioning=false in the
+  * session). Per iteration only the node-sized rank table moves: one
+  * exchange (or a broadcast, when the optimizer sees it is small) to
+  * co-locate it with the edges, one map-side-combined exchange of
+  * per-dst partial sums. Nothing edge-sized ever shuffles after
+  * layout; the driver holds exactly one scalar (the node count).
+  * Intermediate iterations are snapped with `localCheckpoint` (rank
+  * partitioning is NOT worth preserving — ranks move by design), so
+  * lineage stays flat for any iteration count; the final iteration is
+  * returned as a live plan, so `explain`/PlanAudit see one true
+  * iteration's shape.
+  *
+  * Contract: `edges(src STRING, dst STRING)` distinct, and every node
+  * appears as a src at least once (no dangling mass — callers with
+  * sink nodes symmetrize or self-loop first). Dangling srcs are safe;
+  * dangling dsts are rejected because their mass would silently leak.
+  */
+object PageRankFixed {
+
+  /** Rank unit: 1.0 of probability mass == 10^18 (fits in a BIGINT). */
+  val Scale: Long = 1000000000000000000L
+
+  /** `iters` damped iterations (d = 17/20 = 0.85 exactly) from the
+    * uniform start; returns `(node STRING, rank_scaled BIGINT)`.
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "PageRankFixed.run: iters must be >= 1")
+    // Edge layout: partition by src, attach the scaled 1/outdeg weight
+    // via a window over that same partitioning (zero extra exchanges,
+    // and no per-iteration weight join), cache. CacheManager keys on
+    // the canonicalized plan, so repeated runs over the same input
+    // reuse one entry rather than leaking.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .withColumn("__outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .withColumn("__w", expr(s"${Scale}L div __outdeg"))
+      .drop("__outdeg")
+      .persist()
+    // Node list from the raw input (NOT from e: keeps the cached plans
+    // independent, so the final plan does not reprint the edge layout
+    // under the nodes scan); node-keyed for the per-iteration left join.
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    // The one driver scalar — counting it also materializes both
+    // caches BEFORE the iteration plans are built, which is what makes
+    // the cached partitioning visible to EnsureRequirements.
+    val n = nodes.count()
+    require(n > 0, "PageRankFixed.run: empty graph")
+    e.count()
+    // Guard the no-dangling-dst contract: a dst that never appears as
+    // src would swallow mass silently.
+    val dangling = e.join(nodes.withColumnRenamed("node", "dst"),
+      Seq("dst"), "left_anti").limit(1).count()
+    require(dangling == 0L,
+      "PageRankFixed.run: found dst nodes with no out-edges (dangling); " +
+        "symmetrize or self-loop them first")
+    // (1 − d)/n = 3·SCALE div (20n), exact in a driver Long (3e18 < 2^63).
+    val base = 3L * Scale / (20L * n)
+    var r = nodes.select(col("node"), lit(Scale / n).as("rank_scaled"))
+    for (i <- 1 to iters) {
+      // Per-edge contribution r(src)·w(src) needs 10^36 headroom →
+      // one DECIMAL(38,0) product, floored back to a BIGINT unit
+      // before the exact per-dst sum.
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr(
+          s"(CAST(rank_scaled AS DECIMAL(38,0)) * __w) div ${Scale}L"
+        ).as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__msum"))
+      // r' = (1−d)/n + d·Σ, with d·Σ = 17·Σ div 20 (17e18 needs the
+      // decimal detour too). Left join keeps zero-indegree nodes alive.
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), expr(
+          s"${base}L + (CAST(17 AS DECIMAL(38,0)) * COALESCE(__msum, 0L)) div 20"
+        ).as("rank_scaled"))
+      // Snap every NON-final iteration flat; return the last one live.
+      r = if (i < iters) next.localCheckpoint() else next
+    }
+    r
+  }
+}

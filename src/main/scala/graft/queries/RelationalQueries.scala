@@ -1247,6 +1247,60 @@ object RelationalQueries {
           date_format(col("__day"), "yyyy-MM-dd").as("day"),
           col("open"), col("close"), col("high"), col("low"),
           col("sum_value"), col("n_events"))
+    }),
+
+    // GAPS-AND-ISLANDS — per-user longest run of consecutive active
+    // days (the engagement-streak / uptime-run shape). The classic
+    // anchor trick: within a user, consecutive days share the constant
+    // day − row_number(), so islands fall out of one groupBy — no
+    // self-join, no iteration. Shuffle discipline: distinct FIRST so
+    // the (user, day) exchange carries map-side-combined day cells,
+    // never raw events; after the user-keyed window exchange, the
+    // island groupBy (user, anchor) and the rank-1 pick both cluster
+    // on a superset of user_id, so they re-use that partitioning —
+    // 2 day-cell-sized exchanges total, nothing event-sized moves.
+    "q103_activity_streaks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.events
+        .select(col("user_id"), to_date(col("ts")).as("__day"))
+        .distinct()
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("__day"))
+      val islands = days
+        .withColumn("__rn", row_number().over(wUser))
+        .withColumn("__anchor", date_sub(col("__day"), col("__rn")))
+        .groupBy(col("user_id"), col("__anchor"))
+        .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("__len").desc, col("__start").asc)
+      islands
+        .withColumn("__r", row_number().over(wBest))
+        .withColumn("n_streaks",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("__r") === 1)
+        .select(col("user_id"), col("__len").as("longest_streak"),
+          date_format(col("__start"), "yyyy-MM-dd").as("streak_start"),
+          col("n_streaks"))
+    }),
+
+    // FIXED-POINT PAGERANK (graph.PageRankFixed) — centrality as a
+    // data-quality prior, the Common Crawl curation pattern, over the
+    // supplier↔part co-occurrence graph distilled from lineitem
+    // (symmetrized, so no dangling mass by construction). Three damped
+    // iterations entirely in scaled-integer arithmetic: every divide
+    // is a floor divide, every sum exact — bit-identical ranks on any
+    // partitioning or engine, which is what lets a rank-derived
+    // quality gate be rerun-stable across reingests. Edges are laid
+    // out by src once and never move; per iteration only the
+    // node-sized rank table exchanges (see PageRankFixed scaladoc).
+    "q104_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.lineitem
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.PageRankFixed.run(edges, iters = 3)
     })
   )
 
@@ -1855,6 +1909,74 @@ object RelationalQueries {
                 MAX(value) AS high, MIN(value) AS low,
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
                 COUNT(*) AS n_events
-         FROM ranked GROUP BY 1, 2"""
+         FROM ranked GROUP BY 1, 2""",
+
+    // Streaks twin: identical anchor construction (date − rn is exact
+    // date arithmetic in both engines), identical (len desc, start
+    // asc) total order for the rank-1 pick.
+    "q103_activity_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         rn AS (
+           SELECT user_id, day,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+           FROM days),
+         islands AS (
+           SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+                  COUNT(*) AS len, MIN(day) AS start
+           FROM rn GROUP BY 1, 2),
+         best AS (
+           SELECT user_id, len, start,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY len DESC, start ASC) AS r,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+           FROM islands)
+         SELECT user_id, len AS longest_streak,
+                strftime(start, '%Y-%m-%d') AS streak_start, n_streaks
+         FROM best WHERE r = 1""",
+
+    // PageRank twin: the scaled-integer recurrence unrolled (3
+    // iterations), HUGEINT where Spark takes the DECIMAL(38,0) detour
+    // — both are exact integer arithmetic, so ranks match bit-for-bit.
+    "q104_pagerank" ->
+      """WITH p AS (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                           'p' || CAST(l_partkey AS VARCHAR) AS dst
+           FROM lineitem),
+         edges AS (
+           SELECT src, dst FROM p
+           UNION ALL
+           SELECT dst AS src, src AS dst FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         nn AS (SELECT COUNT(*) AS n FROM nodes),
+         w AS (SELECT src, 1000000000000000000 // COUNT(*) AS w
+               FROM edges GROUP BY src),
+         r0 AS (SELECT node, 1000000000000000000 // (SELECT n FROM nn) AS r
+                FROM nodes),
+         c1 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN r0 r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r1 AS (SELECT nd.node,
+                       CAST(3000000000000000000 // (20 * (SELECT n FROM nn))
+                            + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM nodes nd LEFT JOIN c1 c ON nd.node = c.node),
+         c2 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN r1 r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r2 AS (SELECT nd.node,
+                       CAST(3000000000000000000 // (20 * (SELECT n FROM nn))
+                            + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM nodes nd LEFT JOIN c2 c ON nd.node = c.node),
+         c3 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN r2 r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r3 AS (SELECT nd.node,
+                       CAST(3000000000000000000 // (20 * (SELECT n FROM nn))
+                            + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node)
+         SELECT node, r AS rank_scaled FROM r3"""
   )
 }

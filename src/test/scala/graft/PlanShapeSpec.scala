@@ -54,6 +54,42 @@ class PlanShapeSpec extends SparkSpec {
       s"trim is not upstream of the window exchange:\n${lines.mkString("\n")}")
   }
 
+  test("pagerank iteration layout: checkpointed src-partitioned edges plan zero edge-side exchanges") {
+    import org.apache.spark.sql.functions._
+    // The shape PageRankFixed.run builds per iteration: edges are
+    // repartition(src) + persist, and the cache is MATERIALIZED before
+    // the iteration plans are built (run()'s nodes.count() does this),
+    // at which point the cached AdaptiveSparkPlan is final and its
+    // hash partitioning is visible to EnsureRequirements — so a forced
+    // shuffle join on src adds an exchange ONLY under the rank side,
+    // plus the dst aggregate. Two ENSURE_REQUIREMENTS exchanges total;
+    // the edge-sized relation never moves (its only exchange is the
+    // one-time REPARTITION_BY_COL layout inside the cache). Depends on
+    // canChangeCachedPlanOutputPartitioning=false in GraftSession — if
+    // AQE were allowed to re-coalesce the cached shuffle, the layout
+    // guarantee (and this pin) would silently break.
+    val e = spark.range(1000)
+      .selectExpr("concat('s', id % 50) AS src", "concat('p', id % 97) AS dst")
+      .repartition(col("src")).persist()
+    try {
+      e.count() // materialize the cache BEFORE planning the consumer
+      val r = spark.range(50)
+        .selectExpr("concat('s', id) AS src", "id * 1000 AS rank_scaled")
+      val it = e.hint("merge").join(r, Seq("src"))
+        .groupBy("dst").agg(sum("rank_scaled").as("m"))
+      val lines = it.queryExecution.executedPlan.toString.split("\n")
+      val got = lines.count(_.contains("ENSURE_REQUIREMENTS"))
+      assert(got == 2,
+        s"expected 2 ENSURE_REQUIREMENTS exchanges (rank side + dst agg), " +
+          s"got $got:\n${lines.mkString("\n")}")
+      val edgeSide = lines.indexWhere(_.contains("InMemoryTableScan"))
+      val aboveEdge = lines.take(edgeSide).lastIndexWhere(_.contains("SortMergeJoin"))
+      assert(aboveEdge >= 0 && !lines.slice(aboveEdge, edgeSide).exists(
+        _.contains("ENSURE_REQUIREMENTS")),
+        s"edge side re-exchanged:\n${lines.mkString("\n")}")
+    } finally e.unpersist()
+  }
+
   test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
     for (q <- Seq("q84_unpivot", "q82_grouping_sets")) {
       val plan = SparkEntry.queries(q)(spark, dir)

@@ -1,0 +1,89 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fixed-point recurrence must reproduce closed-form ranks on
+  * symmetric graphs, conserve mass up to floor losses, be exactly
+  * partitioning-independent, and enforce its no-dangling-dst contract.
+  */
+class PageRankFixedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = PageRankFixed.Scale
+
+  private def ranks(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    PageRankFixed.run(edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("ring graph: symmetry keeps every rank at the uniform value") {
+    // 5-cycle, symmetrized: every node has outdeg 2 and indeg 2, so
+    // the uniform distribution is the exact fixed point — each
+    // iteration reproduces base + 17/20 of the (floor-lossy) mass.
+    val fwd = (0 until 5).map(i => (s"n$i", s"n${(i + 1) % 5}"))
+    val edges = fwd ++ fwd.map(_.swap)
+    val got = ranks(edges, iters = 3)
+    assert(got.size === 5)
+    assert(got.values.toSet.size === 1, s"ranks diverged: $got")
+    // within floor losses of S/5: each of 3 iterations loses < 3 units
+    assert(math.abs(got("n0") - S / 5) < 100L)
+  }
+
+  test("star graph: hub outranks leaves and ranks match the hand recurrence") {
+    // hub h ↔ leaves l0..l3 (symmetrized). Hand-run the same integer
+    // recurrence in BigInt and demand bit equality.
+    val leaves = (0 until 4).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq(("h", l), (l, "h")))
+    val n = 5L
+    val base = BigInt(3L) * S / (BigInt(20) * n)
+    val wHub = BigInt(S) / 4 // hub outdeg 4
+    val wLeaf = BigInt(S) // leaf outdeg 1
+    var rh = BigInt(S / n); var rl = BigInt(S / n)
+    for (_ <- 1 to 3) {
+      val mh = (rl * wLeaf / S) * 4 // hub receives all 4 leaves
+      val ml = rh * wHub / S // each leaf receives 1/4 of hub
+      rh = base + BigInt(17) * mh / 20
+      rl = base + BigInt(17) * ml / 20
+    }
+    val got = ranks(edges, iters = 3)
+    assert(got("h") === rh.toLong)
+    leaves.foreach(l => assert(got(l) === rl.toLong, l))
+    assert(got("h") > got("l0"))
+  }
+
+  test("mass is conserved up to floor losses and never exceeds SCALE") {
+    val rng = new scala.util.Random(11)
+    val fwd = (0 until 200).map { _ =>
+      (s"a${rng.nextInt(30)}", s"b${rng.nextInt(30)}")
+    }.distinct
+    val edges = fwd ++ fwd.map(_.swap)
+    val got = ranks(edges, iters = 3)
+    val total = got.values.map(BigInt(_)).sum
+    assert(total <= BigInt(S))
+    // each iteration drops < 1 unit per divide: n floor-divides for the
+    // uniform start, then per-edge + per-node floors — generous bound
+    assert(total > BigInt(S) - BigInt(10L * (edges.size + got.size + 1)))
+  }
+
+  test("bit-identical across partitionings") {
+    val rng = new scala.util.Random(23)
+    val fwd = (0 until 300).map { _ =>
+      (s"x${rng.nextInt(40)}", s"y${rng.nextInt(40)}")
+    }.distinct
+    val edges = fwd ++ fwd.map(_.swap)
+    val a = ranks(edges, iters = 3, parts = 1)
+    val b = ranks(edges, iters = 3, parts = 13)
+    assert(a === b)
+  }
+
+  test("dangling dst is rejected, empty graph is rejected") {
+    intercept[IllegalArgumentException] {
+      ranks(Seq(("a", "b")), iters = 1) // b never a src → mass leak
+    }
+    intercept[IllegalArgumentException] {
+      PageRankFixed.run(Seq.empty[(String, String)].toDF("src", "dst"), 1)
+        .collect()
+    }
+  }
+}
