@@ -56,6 +56,37 @@ object EventStream {
         col("n_events"), col("sum_value"), col("approx_users"))
   }
 
+  /** Per-day OHLC downsample — the streaming twin of q102. Open/close
+    * are the ORDER-based aggregates (first/last value under the
+    * (ts, event_id) total order); on a stream a rank window is
+    * unavailable, but `min_by`/`max_by` keyed on the struct(ts,
+    * event_id) total order compute the identical rows incrementally —
+    * tie-safe because the order is total, and commutative across
+    * micro-batches, so arrival order never matters (unlike first()/
+    * last(), which are batch-order-dependent and wrong here). State
+    * per (day, type) group is one fixed-size OHLC cell, closed by the
+    * watermark; in batch the watermark is a no-op and the result
+    * equals q102 row-for-row (EventStreamSpec pins both).
+    */
+  def ohlc(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val D = DecimalType(18, 4)
+    val orderKey = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(
+        min_by(col("value"), orderKey).as("open"),
+        max_by(col("value"), orderKey).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("win.start"), "yyyy-MM-dd").as("day"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("sum_value"), col("n_events"))
+  }
+
   /** Per-window HLL sketch table — the streaming PRODUCER of q59's
     * pre-aggregate: each watermark-closed window emits (window_start,
     * event_type, user_sketch) where the sketch is the mergeable HLL

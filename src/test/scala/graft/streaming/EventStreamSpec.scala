@@ -143,6 +143,78 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.size < rows.length) // throttling actually dropped rows
   }
 
+  test("ohlc on a stream equals the same plan run in batch") {
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = ohlc(source.toDF()).writeStream
+      .format("memory").queryName("ohlc_small").outputMode("append").start()
+    source.addData(fixture: _*)
+    q.processAllAvailable()
+    source.addData(Event(99, 999, "sentinel", 0.0, ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val cols = Seq("event_type", "day", "open", "close", "high", "low",
+      "sum_value", "n_events")
+    val streamed = spark.table("ohlc_small")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("event_type", "day").select(cols.head, cols.tail: _*).collect()
+    val batch = ohlc(fixture.toDF())
+      .orderBy("event_type", "day").select(cols.head, cols.tail: _*).collect()
+    assert(streamed === batch)
+    assert(batch.length === 2) // day-0 click and view cells
+  }
+
+  test("ohlc: OUT-OF-ORDER stream over real catalog rows equals the q102 batch rule") {
+    implicit val sq = spark.sqlContext
+    // min_by/max_by over the (ts, event_id) total order are commutative
+    // across micro-batches, so a shuffled replay in three chunks must
+    // still reproduce q102's rank-window open/close exactly.
+    val base = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .orderBy("ts", "event_id").limit(3000).as[Event].collect()
+    val shuffled = base.sortBy(r => (r.event_id * 2654435761L) % 100003)
+    val src = MemoryStream[Event]
+    val q = ohlc(src.toDF()).writeStream
+      .format("memory").queryName("ohlc_cat").outputMode("append").start()
+    shuffled.grouped(1000).foreach { chunk =>
+      src.addData(chunk.toSeq: _*); q.processAllAvailable()
+    }
+    src.addData(Event(999999, 999, "sentinel", 0.0,
+      new Timestamp(base.map(_.ts.getTime).max + 30L * 86400000L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_cat")
+      .filter(col("event_type") =!= "sentinel")
+      .select("event_type", "day", "open", "close", "high", "low",
+        "sum_value", "n_events")
+      .collect().map(_.toSeq).toSet
+    // q102's batch rule on the same rows (rank-window open/close)
+    import org.apache.spark.sql.expressions.Window
+    val dayCol = to_date(col("ts")).as("__day")
+    val wAsc = Window.partitionBy(col("event_type"), col("__day"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("__day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val D = org.apache.spark.sql.types.DecimalType(18, 4)
+    val batch = base.toSeq.toDF()
+      .select(col("event_type"), dayCol, col("value"), col("ts"), col("event_id"))
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("__day"))
+      .agg(
+        max(when(col("__ra") === 1, col("value"))).as("open"),
+        max(when(col("__rd") === 1, col("value"))).as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("sum_value"), col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.size > 10) // several (type, day) cells actually exercised
+  }
+
   test("enrich: stream-static join decorates events, unmatched keys keep nulls") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
