@@ -75,7 +75,25 @@ object SoakGen {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"SOAKGEN wrote 10x documents+events+embeddings from $src to $out")
+    // lineitem: copy c shifts all three keys, so the derived
+    // supplier↔part graph (q104) grows to 10 DISJOINT copies — 10×
+    // nodes and 10× edges, the "more domains" horizontal shape (a
+    // same-key copy would only densify toward the complete bipartite
+    // graph and saturate the distinct edge set).
+    val li = t.lineitem
+    (0 until 10).map { c =>
+      if (c == 0) li
+      else li.select(
+        (col("l_orderkey") + c * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + c * 1000000L).as("l_partkey"),
+        (col("l_suppkey") + c * 100000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"SOAKGEN wrote 10x documents+events+embeddings+lineitem from $src to $out")
     spark.stop()
   }
 }
