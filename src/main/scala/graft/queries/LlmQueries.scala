@@ -1030,6 +1030,39 @@ object LlmQueries {
             col("__ns").cast("double") * (lit(bigN) - col("__pnt")) / lit(bigN.toDouble),
             9).as("chi2"))
         .join(broadcast(top), Seq("source"))
+    }),
+
+    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the unit of assignment is
+    // the exact-dup GROUP (md5(text)), not the document: identical
+    // docs can never straddle the train/test boundary, the
+    // contamination a per-doc random split silently creates. Exact
+    // 80/10/10 proportions per language via integer rank cuts
+    // (rn·10 ≤ n·8 / n·9 — no float boundary), rank order = the
+    // group's own content hash, so the split is rerun-stable on any
+    // cluster and any partitioning. Shuffle shape: one map-side-
+    // combined groupBy to group cells, one group-cell window, and the
+    // corpus-sized join-back keyed on grp. The zero-join alternative
+    // (assign by hash RANGE of grp, a pure per-row function) trades
+    // exact proportions for no shuffle — this is the exact-proportion
+    // variant; q88/q98 hold the pure-hash end of the family.
+    "q105_grouped_split" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("grp"))
+      val groups = docs.groupBy(col("grp"))
+        .agg(min(col("lang")).as("rep_lang"))
+      val assigned = groups
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("rep_lang")).orderBy(col("grp"))))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("rep_lang"))))
+        .select(col("grp"), col("rep_lang"),
+          when(col("__rn") * 10 <= col("__n") * 8, lit("train"))
+            .when(col("__rn") * 10 <= col("__n") * 9, lit("val"))
+            .otherwise(lit("test")).as("split"))
+      docs.join(assigned, Seq("grp"))
+        .select(col("doc_id"), col("lang"), col("grp"),
+          col("rep_lang"), col("split"))
     })
   )
 
@@ -1842,6 +1875,28 @@ object LlmQueries {
                   (CAST(a.ns AS DOUBLE) * (a.n - a.pnt)) / CAST(a.n AS DOUBLE),
                   9) AS chi2,
                 t.top_token, t.top_term
-         FROM agg a JOIN top t ON t.source = a.source AND t.rk = 1"""
+         FROM agg a JOIN top t ON t.source = a.source AND t.rk = 1""",
+
+    // Grouped-split twin: identical md5 group keys, identical integer
+    // rank cuts — both engines assign every group (hence every doc)
+    // to the same side of every boundary.
+    "q105_grouped_split" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, md5(text) AS grp FROM documents),
+         groups AS (
+           SELECT grp, MIN(lang) AS rep_lang FROM docs GROUP BY 1),
+         ranked AS (
+           SELECT grp, rep_lang,
+                  ROW_NUMBER() OVER (PARTITION BY rep_lang ORDER BY grp) AS rn,
+                  COUNT(*) OVER (PARTITION BY rep_lang) AS n
+           FROM groups),
+         assigned AS (
+           SELECT grp, rep_lang,
+                  CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                       WHEN rn * 10 <= n * 9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM ranked)
+         SELECT d.doc_id, d.lang, d.grp, a.rep_lang, a.split
+         FROM docs d JOIN assigned a USING (grp)"""
   )
 }

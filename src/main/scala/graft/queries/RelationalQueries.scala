@@ -127,6 +127,25 @@ object RelationalQueries {
       path
     }) }
 
+  /** One ORC copy of `events` per (process, sf) — the format-breadth
+    * fixture: warehouses routinely hold ORC alongside parquet, and the
+    * engine must read it with the same pushdown/pruning guarantees.
+    * q106 queries it with a selective predicate; the scan must show
+    * the filter pushed into the ORC reader and a pruned ReadSchema
+    * (PlanAudit), and the DuckDB twin reads the PARQUET original — a
+    * match proves the cross-format round-trip bit-exactly.
+    */
+  private val orcEvents = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ensureOrcEvents(s: SparkSession, dir: String): String =
+    fixtureBuildLock.synchronized { orcEvents.getOrElseUpdate(Tables.fixtureKey(s, dir), {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+        .replace(".", "_")
+      val path = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/graft_orc_events_${sfName}_${Tables.corpusFingerprintHex(dir)}"
+      Tables(s, dir).events.write.mode("overwrite").orc(path)
+      path
+    }) }
+
   /** One persisted per-day quantile-sketch table over `events.value`
     * per (process, sf) — q59's deployment shape for percentiles: the
     * per-day pre-aggregate a latency dashboard maintains (new days
@@ -1301,6 +1320,23 @@ object RelationalQueries {
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.PageRankFixed.run(edges, iters = 3)
+    }),
+
+    // ORC SCAN — format breadth with the same scan discipline as
+    // parquet: the selective predicate must push into the ORC reader
+    // (PushedFilters) and the projection must prune the ReadSchema to
+    // the three live columns (PlanAudit row). The oracle reads the
+    // PARQUET original, so a hash match proves the parquet→ORC→query
+    // round-trip is value-exact, types included.
+    "q106_orc_scan" -> ((s, dir) => {
+      val path = ensureOrcEvents(s, dir)
+      s.read.orc(path)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .groupBy(to_date(col("ts")).as("__day"))
+        .agg(dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events"))
+        .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+          col("sum_value"), col("n_events"))
     })
   )
 
@@ -1977,6 +2013,16 @@ object RelationalQueries {
                        CAST(3000000000000000000 // (20 * (SELECT n FROM nn))
                             + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
                 FROM nodes nd LEFT JOIN c3 c ON nd.node = c.node)
-         SELECT node, r AS rank_scaled FROM r3"""
+         SELECT node, r AS rank_scaled FROM r3""",
+
+    // ORC twin reads the parquet ORIGINAL — matching hashes prove the
+    // cross-format copy is value-exact.
+    "q106_orc_scan" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+                COUNT(*) AS n_events
+         FROM events
+         WHERE event_type = 'purchase' AND value > 100.0
+         GROUP BY 1"""
   )
 }

@@ -90,6 +90,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("q106 pushes its predicate into the ORC scan and prunes the schema") {
+    val plan = SparkEntry.queries("q106_orc_scan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value)") ||
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"q106 predicate not pushed into the ORC reader:\n$plan")
+    // projection must reach the reader: only the three live columns
+    assert(!plan.contains("user_id") && !plan.contains("props"),
+      s"q106 ORC ReadSchema not pruned:\n$plan")
+  }
+
   test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
     for (q <- Seq("q84_unpivot", "q82_grouping_sets")) {
       val plan = SparkEntry.queries(q)(spark, dir)
