@@ -1337,6 +1337,51 @@ object RelationalQueries {
           count(lit(1)).as("n_events"))
         .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
           col("sum_value"), col("n_events"))
+    }),
+
+    // INTERVAL-OVERLAP JOIN (operators.IntervalJoin) — the missing
+    // sibling of q51's point-in-interval join: which user sessions
+    // overlapped an error-incident window (the ops blast-radius
+    // question). Both interval sets derive from events: sessions by
+    // the q35 gap rule under the (second, event_id) total order with
+    // an explicit ROWS frame (RANGE would merge tied-second peers —
+    // engine-divergent), incidents as islands of consecutive high-
+    // error hours (the q103 anchor trick; the island window is global
+    // but hour-cell-sized — bounded metadata, like q91's calendar).
+    // The join itself: intervals replicate to hour bins, candidates
+    // equi-join on the bin, and each true pair reports ONLY from the
+    // bin of max(starts) — exactly-once with no dedup pass, never a
+    // cartesian product (IntervalJoinSpec proves ≡ brute force).
+    "q107_interval_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("__s").asc, col("event_id").asc)
+      val cum = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = t.events
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("__s"))
+        .withColumn("__brk",
+          when(lag(col("__s"), 1).over(wU).isNull ||
+            col("__s") - lag(col("__s"), 1).over(wU) > 1800, 1).otherwise(0))
+        .withColumn("__sid", sum(col("__brk")).over(cum))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(col("__s")).as("s_start"), max(col("__s")).as("s_end"))
+        .drop("__sid")
+      val inc = t.events.filter(col("event_type") === "error")
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("__h"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 5)
+        .withColumn("__anch",
+          col("__h") - row_number().over(Window.orderBy(col("__h"))))
+        .groupBy(col("__anch"))
+        .agg((min(col("__h")) * 3600).as("i_start"),
+          (max(col("__h")) * 3600 + 3599).as("i_end"))
+        .drop("__anch")
+      graft.operators.IntervalJoin.overlap(sess, inc,
+          "s_start", "s_end", "i_start", "i_end", binSize = 3600L)
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("i_start"), col("i_end"),
+          (least(col("s_end"), col("i_end")) -
+            greatest(col("s_start"), col("i_start"))).as("overlap_secs"))
     })
   )
 
@@ -2023,6 +2068,42 @@ object RelationalQueries {
                 COUNT(*) AS n_events
          FROM events
          WHERE event_type = 'purchase' AND value > 100.0
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // Interval-join twin: identical session/incident construction
+    // (floor(epoch) seconds, ROWS frame, same total order), then a
+    // plain overlap-predicate join — the oracle needs no bins.
+    "q107_interval_join" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, s,
+                  CASE WHEN lag(s) OVER w IS NULL
+                         OR s - lag(s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+         sid AS (
+           SELECT user_id, s,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g),
+         sess AS (
+           SELECT user_id, MIN(s) AS s_start, MAX(s) AS s_end
+           FROM sid GROUP BY user_id, sid),
+         hr AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, COUNT(*) AS c
+           FROM events WHERE event_type = 'error'
+           GROUP BY 1 HAVING COUNT(*) >= 5),
+         isl AS (
+           SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS anch FROM hr),
+         inc AS (
+           SELECT MIN(h) * 3600 AS i_start, MAX(h) * 3600 + 3599 AS i_end
+           FROM isl GROUP BY anch)
+         SELECT s.user_id, s.s_start, s.s_end, i.i_start, i.i_end,
+                LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start)
+                  AS overlap_secs
+         FROM sess s JOIN inc i
+           ON s.s_start <= i.i_end AND i.i_start <= s.s_end"""
   )
 }
