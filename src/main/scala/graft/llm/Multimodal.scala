@@ -244,6 +244,29 @@ object Multimodal {
   private def concatBinary(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(arr, lit(Array.empty[Byte]), (acc, x) => concat(acc, x))
 
+  /** Ingest a directory of media files through Spark's `binaryFile`
+    * source into the canonical multimodal schema — how real bytes
+    * ENTER the pipeline at 100 TB: the source lists files into tasks
+    * (no driver-side reads), prunes by `pathGlobFilter` before any
+    * byte moves, and an incremental loader adds `modifiedAfter` on
+    * top. id = xxhash64(path) (content-independent, rerun-stable on
+    * any cluster); meta carries the path/bytes/mtime provenance in
+    * the schema's stringly-typed map contract.
+    */
+  def ingestBinaryDir(spark: SparkSession, dir: String, modality: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        xxhash64(col("path")).as("id"),
+        lit(modality).as("modality"),
+        col("content").as("data"),
+        map(
+          lit("path"), col("path"),
+          lit("bytes"), col("length").cast("string"),
+          lit("mtime"), unix_timestamp(col("modificationTime")).cast("string")
+        ).as("meta"))
+
   /** Typed metadata projection: parse width/height from `meta` with
     * explicit casts (the metadata contract: stringly-typed map at the
     * storage boundary, typed columns in the pipeline).

@@ -208,6 +208,38 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((32, 24)))
   }
 
+  test("ingestBinaryDir: real PNG files enter through the binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
+    try {
+      for (i <- 0 until 3)
+        java.nio.file.Files.write(new java.io.File(dir, s"img$i.png").toPath,
+          encodedImage(16 + i * 8, 12, seed = i.toLong, "png"))
+      java.nio.file.Files.write(new java.io.File(dir, "decoy.txt").toPath,
+        "not an image".getBytes)
+      val df = Multimodal.ingestBinaryDir(spark, dir.getAbsolutePath,
+        "image", glob = "*.png")
+      // glob pruned the decoy; schema is the canonical contract
+      assert(df.count() === 3)
+      assert(df.schema.map(f => (f.name, f.dataType)) ===
+        Multimodal.schema.map(f => (f.name, f.dataType)))
+      // ids are path-derived and rerun-stable
+      val ids1 = df.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      val ids2 = Multimodal.ingestBinaryDir(spark, dir.getAbsolutePath,
+          "image", glob = "*.png")
+        .select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted
+      assert(ids1 === ids2 && ids1.distinct.length === 3)
+      // and the ingested bytes decode for real, exact dims recovered
+      val dims = Multimodal.decodeFeatures(df, new Multimodal.RealDecoder())
+        .select("width", "height").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted
+      assert(dims === Array((16, 12), (24, 12), (32, 12)))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("frameSample: keeps every stride-th 16-byte frame of video payloads") {
     val df = Multimodal.syntheticFixture(spark, 12)
     val before = df.select(col("id"), col("modality"), length(col("data")).as("len"))
