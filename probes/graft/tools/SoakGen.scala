@@ -93,7 +93,12 @@ object SoakGen {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    println(s"SOAKGEN wrote 10x documents+events+embeddings+lineitem from $src to $out")
+    // supplier: copied verbatim (dim tables don't grow 10× with the
+    // fact; q108's seed set stays the copy-0 suppliers, so PPR mass
+    // localizes in the original component — the seeded semantics)
+    t.supplier.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    println(s"SOAKGEN wrote 10x documents+events+embeddings+lineitem (+supplier dim) from $src to $out")
     spark.stop()
   }
 }

@@ -55,7 +55,20 @@ object PageRankFixed {
   /** `iters` damped iterations (d = 17/20 = 0.85 exactly) from the
     * uniform start; returns `(node STRING, rank_scaled BIGINT)`.
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    personalized(edges, iters, None)
+
+  /** Personalized PageRank: the teleport vector is uniform over the
+    * seed set instead of all nodes — the seed-and-expand curation
+    * pattern (rank everything by proximity to a trusted seed list,
+    * admit the high-PPR tail). `seeds` is a single `node` column and
+    * must be a subset of the graph's nodes (teleporting to a non-node
+    * would silently vanish mass — rejected loudly). Same scaled-
+    * integer discipline as `run`: seeds get base (1−d)/|S| and start
+    * at 1/|S|, non-seeds at 0 — bit-identical on any partitioning.
+    */
+  def personalized(edges: DataFrame, iters: Int,
+                   seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, "PageRankFixed.run: iters must be >= 1")
     // Edge layout: partition by src, attach the scaled 1/outdeg weight
     // via a window over that same partitioning (zero extra exchanges,
@@ -86,9 +99,32 @@ object PageRankFixed {
     require(dangling == 0L,
       "PageRankFixed.run: found dst nodes with no out-edges (dangling); " +
         "symmetrize or self-loop them first")
-    // (1 − d)/n = 3·SCALE div (20n), exact in a driver Long (3e18 < 2^63).
-    val base = 3L * Scale / (20L * n)
-    var r = nodes.select(col("node"), lit(Scale / n).as("rank_scaled"))
+    // Teleport profile per node: (__base, __r0) — uniform over all
+    // nodes (classic) or over the seed set (personalized). Both use
+    // (1 − d)/k = 3·SCALE div (20k), exact in a driver Long (3e18 < 2^63).
+    val profiled = seeds match {
+      case None =>
+        nodes.withColumn("__base", lit(3L * Scale / (20L * n)))
+          .withColumn("__r0", lit(Scale / n))
+      case Some(sd) =>
+        val s = sd.select(col("node")).distinct().persist()
+        val k = s.count()
+        require(k > 0, "PageRankFixed.personalized: empty seed set")
+        val offGraph = s.join(nodes, Seq("node"), "left_anti").limit(1).count()
+        require(offGraph == 0L,
+          "PageRankFixed.personalized: seed nodes missing from the graph " +
+            "(teleport mass would vanish silently)")
+        nodes.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+          .withColumn("__base",
+            when(col("__seed") === 1, lit(3L * Scale / (20L * k)))
+              .otherwise(lit(0L)))
+          .withColumn("__r0",
+            when(col("__seed") === 1, lit(Scale / k)).otherwise(lit(0L)))
+          .drop("__seed")
+    }
+    val prof = profiled.persist()
+    prof.count() // materialize node-keyed before the iteration plans
+    var r = prof.select(col("node"), col("__r0").as("rank_scaled"))
     for (i <- 1 to iters) {
       // Per-edge contribution r(src)·w(src) needs 10^36 headroom →
       // one DECIMAL(38,0) product, floored back to a BIGINT unit
@@ -100,12 +136,12 @@ object PageRankFixed {
         ).as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__msum"))
-      // r' = (1−d)/n + d·Σ, with d·Σ = 17·Σ div 20 (17e18 needs the
+      // r' = __base + d·Σ, with d·Σ = 17·Σ div 20 (17e18 needs the
       // decimal detour too). Left join keeps zero-indegree nodes alive.
-      val next = nodes
+      val next = prof
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), expr(
-          s"${base}L + (CAST(17 AS DECIMAL(38,0)) * COALESCE(__msum, 0L)) div 20"
+          "__base + (CAST(17 AS DECIMAL(38,0)) * COALESCE(__msum, 0L)) div 20"
         ).as("rank_scaled"))
       // Snap every NON-final iteration flat; return the last one live.
       r = if (i < iters) next.localCheckpoint() else next

@@ -1382,6 +1382,62 @@ object RelationalQueries {
           col("i_start"), col("i_end"),
           (least(col("s_end"), col("i_end")) -
             greatest(col("s_start"), col("i_start"))).as("overlap_secs"))
+    }),
+
+    // PERSONALIZED PAGERANK — q104's recurrence with the teleport
+    // vector restricted to a SEED set (one nation's suppliers): the
+    // seed-and-expand curation pattern, ranking the whole graph by
+    // proximity to a trusted list instead of global centrality. Same
+    // scaled-integer no-rounding discipline, so the DuckDB twin
+    // recomputes the seeded recurrence bit-for-bit.
+    "q108_ppr" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.lineitem
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t.supplier.filter(col("s_nationkey") === 9)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        .join(edges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_semi")
+      graft.graph.PageRankFixed.personalized(edges, iters = 3, Some(seeds))
+    }),
+
+    // AUDIENCE OVERLAP from mergeable sketches — SET ALGEBRA on the
+    // sketch store: |A∩B| = |A| + |B| − |A∪B|, where the union comes
+    // from merging the two types' persisted user sketches, never from
+    // re-scanning events. This is why mergeable sketches beat exact
+    // distinct tables at 100 TB: any of the T·(T−1)/2 pairwise
+    // overlaps is a KB-sized merge of two blobs. Below tau the sparse
+    // sketches are exact sets, so inclusion-exclusion is EXACT (the
+    // oracle regime, q96's device); past tau the SAME query returns
+    // register estimates, where small overlaps can even go negative —
+    // the documented price of sketch-space set algebra.
+    "q109_audience_overlap" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      import graft.functions.{HllSparseAgg, HllSparseMergeAgg, HllSparseEstimate}
+      // one event scan, T sketch blobs; checkpointed — the "store"
+      val sk = t.events.groupBy(col("event_type").as("t"))
+        .agg(HllSparseAgg(col("user_id")).as("sk"))
+        .localCheckpoint()
+      val pairs = sk
+        .join(sk.select(col("t").as("t2"), col("sk").as("sk2")),
+          col("t") < col("t2"))
+      val unions = pairs
+        .select(col("t"), col("t2"),
+          explode(array(col("sk"), col("sk2"))).as("s"))
+        .groupBy(col("t"), col("t2"))
+        .agg(HllSparseEstimate(HllSparseMergeAgg(col("s"))).as("__u"))
+      unions
+        .join(sk.select(col("t"), HllSparseEstimate(col("sk")).as("users_a")),
+          Seq("t"))
+        .join(sk.select(col("t").as("t2"),
+          HllSparseEstimate(col("sk")).as("users_b")), Seq("t2"))
+        .select(col("t").as("type_a"), col("t2").as("type_b"),
+          col("users_a"), col("users_b"),
+          (col("users_a") + col("users_b") - col("__u")).as("overlap_users"))
     })
   )
 
@@ -2104,6 +2160,73 @@ object RelationalQueries {
                 LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start)
                   AS overlap_secs
          FROM sess s JOIN inc i
-           ON s.s_start <= i.i_end AND i.i_start <= s.s_end"""
+           ON s.s_start <= i.i_end AND i.i_start <= s.s_end""",
+
+    // PPR twin: q104's unrolled HUGEINT recurrence with the teleport
+    // profile (base, r0) carried per node — zero off the seed set.
+    "q108_ppr" ->
+      """WITH p AS (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                           'p' || CAST(l_partkey AS VARCHAR) AS dst
+           FROM lineitem),
+         edges AS (
+           SELECT src, dst FROM p
+           UNION ALL
+           SELECT dst AS src, src AS dst FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         sg AS (
+           SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+           FROM supplier WHERE s_nationkey = 9
+           INTERSECT SELECT node FROM nodes),
+         kk AS (SELECT COUNT(*) AS k FROM sg),
+         w AS (SELECT src, 1000000000000000000 // COUNT(*) AS w
+               FROM edges GROUP BY src),
+         prof AS (
+           SELECT n.node,
+                  CASE WHEN s.node IS NULL THEN 0
+                       ELSE 3000000000000000000 // (20 * (SELECT k FROM kk))
+                  END AS base,
+                  CASE WHEN s.node IS NULL THEN 0
+                       ELSE 1000000000000000000 // (SELECT k FROM kk)
+                  END AS r0
+           FROM nodes n LEFT JOIN sg s USING (node)),
+         c1 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r0 AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN prof r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r1 AS (SELECT pr.node,
+                       CAST(pr.base + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM prof pr LEFT JOIN c1 c ON pr.node = c.node),
+         c2 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN r1 r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r2 AS (SELECT pr.node,
+                       CAST(pr.base + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM prof pr LEFT JOIN c2 c ON pr.node = c.node),
+         c3 AS (SELECT e.dst AS node,
+                       SUM(CAST(r.r AS HUGEINT) * w.w // 1000000000000000000) AS m
+                FROM edges e JOIN r2 r ON e.src = r.node JOIN w ON e.src = w.src
+                GROUP BY 1),
+         r3 AS (SELECT pr.node,
+                       CAST(pr.base + 17 * COALESCE(c.m, 0) // 20 AS BIGINT) AS r
+                FROM prof pr LEFT JOIN c3 c ON pr.node = c.node)
+         SELECT node, r AS rank_scaled FROM r3""",
+
+    // Overlap twin: direct exact distinct intersections — equals the
+    // sketch-algebra answer exactly while the sketches stay sparse.
+    "q109_audience_overlap" ->
+      """WITH d AS (
+           SELECT DISTINCT event_type AS t, user_id FROM events),
+         c AS (SELECT t, COUNT(*) AS n FROM d GROUP BY 1),
+         o AS (
+           SELECT a.t AS t1, b.t AS t2, COUNT(*) AS ov
+           FROM d a JOIN d b ON a.user_id = b.user_id AND a.t < b.t
+           GROUP BY 1, 2)
+         SELECT c1.t AS type_a, c2.t AS type_b,
+                c1.n AS users_a, c2.n AS users_b,
+                COALESCE(o.ov, 0) AS overlap_users
+         FROM c c1 JOIN c c2 ON c1.t < c2.t
+         LEFT JOIN o ON o.t1 = c1.t AND o.t2 = c2.t"""
   )
 }

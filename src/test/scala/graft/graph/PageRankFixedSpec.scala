@@ -77,6 +77,42 @@ class PageRankFixedSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("personalized: hub-seeded star matches the hand recurrence; seeds concentrate mass") {
+    val leaves = (0 until 4).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq(("h", l), (l, "h")))
+    // seed = {h}: base and r0 live on the hub only (k = 1)
+    val seedDf = Seq("h").toDF("node")
+    val got = PageRankFixed.personalized(
+      edges.toDF("src", "dst").repartition(3), 3, Some(seedDf))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseH = BigInt(3L) * S / 20 // 3·S div (20·1)
+    val wHub = BigInt(S) / 4; val wLeaf = BigInt(S)
+    var rh = BigInt(S); var rl = BigInt(0)
+    for (_ <- 1 to 3) {
+      val mh = (rl * wLeaf / S) * 4
+      val ml = rh * wHub / S
+      rh = baseH + BigInt(17) * mh / 20
+      rl = BigInt(0) + BigInt(17) * ml / 20
+    }
+    assert(got("h") === rh.toLong)
+    leaves.foreach(l => assert(got(l) === rl.toLong, l))
+    // all mass still bounded by SCALE (the star oscillates between hub
+    // and leaves per iteration — bipartite — so no per-node dominance
+    // assert; the bit-equality above IS the correctness check)
+    assert(got.values.map(BigInt(_)).sum <= BigInt(S))
+  }
+
+  test("personalized: off-graph seed and empty seed set are rejected") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRankFixed.personalized(edges, 1, Some(Seq("zzz").toDF("node")))
+    }
+    intercept[IllegalArgumentException] {
+      PageRankFixed.personalized(edges, 1,
+        Some(Seq.empty[String].toDF("node")))
+    }
+  }
+
   test("dangling dst is rejected, empty graph is rejected") {
     intercept[IllegalArgumentException] {
       ranks(Seq(("a", "b")), iters = 1) // b never a src → mass leak
