@@ -1438,6 +1438,34 @@ object RelationalQueries {
         .select(col("t").as("type_a"), col("t2").as("type_b"),
           col("users_a"), col("users_b"),
           (col("users_a") + col("users_b") - col("__u")).as("overlap_users"))
+    }),
+
+    // ROBUST OUTLIERS (median/MAD) — the monitoring flag that mean/
+    // stddev z-scores get wrong on skewed data (outliers inflate the
+    // very stddev meant to detect them; the median and MAD are
+    // 50%-breakdown robust). Two EXACT medians via ExactQuantile's
+    // distributed selection (operator reuse: three pruned scans + a
+    // candidate shuffle each, never a global sort), per-type (med,
+    // mad) broadcast back, flag |value − med| > 5·MAD. All boundary
+    // arithmetic is identical IEEE double in both engines, so the
+    // flagged row SET is exact — no probabilistic threshold.
+    "q110_mad_outliers" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_id"), col("event_type"), col("value"))
+      val med = graft.operators.ExactQuantile.perGroup(
+        ev, Seq("event_type"), "value", Seq("med" -> 0.5))
+      // dev feeds the MAD selection's three scans AND the final flag
+      // join — checkpoint it once (the q58 shared-subtree lesson), so
+      // the med join is computed once, not five times
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("__ad", abs(col("value") - col("med")))
+        .localCheckpoint()
+      val mad = graft.operators.ExactQuantile.perGroup(
+        dev, Seq("event_type"), "__ad", Seq("mad" -> 0.5))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("__ad") > lit(5.0) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"))
     })
   )
 
@@ -2227,6 +2255,38 @@ object RelationalQueries {
                 c1.n AS users_a, c2.n AS users_b,
                 COALESCE(o.ov, 0) AS overlap_users
          FROM c c1 JOIN c c2 ON c1.t < c2.t
-         LEFT JOIN o ON o.t1 = c1.t AND o.t2 = c2.t"""
+         LEFT JOIN o ON o.t1 = c1.t AND o.t2 = c2.t""",
+
+    // MAD twin: the q100 ranked-median construction applied twice —
+    // identical ⌈q·n⌉ ranks, identical IEEE deviation/threshold math.
+    "q110_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+         r1 AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) rn,
+                  COUNT(*) OVER (PARTITION BY event_type) n
+           FROM e),
+         med AS (
+           SELECT event_type,
+                  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN value END) AS med
+           FROM r1 GROUP BY 1),
+         d AS (
+           SELECT e.event_id, e.event_type, e.value, m.med,
+                  ABS(e.value - m.med) AS ad
+           FROM e JOIN med m USING (event_type)),
+         r2 AS (
+           SELECT event_type, ad,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) rn,
+                  COUNT(*) OVER (PARTITION BY event_type) n
+           FROM d),
+         mad AS (
+           SELECT event_type,
+                  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN ad END) AS mad
+           FROM r2 GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.value, d.med, ma.mad
+         FROM d JOIN mad ma USING (event_type)
+         WHERE d.ad > 5.0 * ma.mad"""
   )
 }
