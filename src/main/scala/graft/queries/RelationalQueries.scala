@@ -1466,6 +1466,48 @@ object RelationalQueries {
         .filter(col("__ad") > lit(5.0) * col("mad"))
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"))
+    }),
+
+    // A/B TEST READOUT — the experimentation query: deterministic
+    // hash assignment (user_id parity — rerun-stable, no RNG), the
+    // per-user conversion metric (≥1 purchase), and the pooled
+    // two-proportion z² statistic. The statistic chain is the q101
+    // discipline: every input is an EXACT integer count (one user-
+    // keyed aggregate, map-side combined), the handful of divisions
+    // run in identical IEEE double on those exact inputs, and the
+    // output rounds at 9 — engine-exact, no sampling noise in the
+    // pipeline itself. z² ~ χ²(1): the caller compares to 3.84 for
+    // p<0.05; we report the statistic, not the verdict.
+    "q111_ab_test" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // conversion = a HIGH-VALUE purchase (any-purchase saturates at
+      // 100% on this corpus — a degenerate metric with no variance)
+      val users = t.events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 100.0,
+          1).otherwise(0)).as("__conv"))
+        .withColumn("__arm", pmod(col("user_id"), lit(2)))
+      val agg = users.agg(
+        sum(when(col("__arm") === 0, 1).otherwise(0)).as("n_control"),
+        sum(when(col("__arm") === 0, col("__conv")).otherwise(0)).as("x_control"),
+        sum(when(col("__arm") === 1, 1).otherwise(0)).as("n_treat"),
+        sum(when(col("__arm") === 1, col("__conv")).otherwise(0)).as("x_treat"))
+      val p0 = col("x_control").cast("double") / col("n_control")
+      val p1 = col("x_treat").cast("double") / col("n_treat")
+      val pp = (col("x_control") + col("x_treat")).cast("double") /
+        (col("n_control") + col("n_treat"))
+      agg.select(
+        col("n_control"), col("x_control"), col("n_treat"), col("x_treat"),
+        round(p0, 9).as("p_control"), round(p1, 9).as("p_treat"),
+        // pooled-variance guard: all-convert / none-convert corpora
+        // have zero variance — z² is undefined there, not infinite
+        when(col("x_control") + col("x_treat") > 0 &&
+            col("x_control") + col("x_treat") <
+              col("n_control") + col("n_treat"),
+          round((p1 - p0) * (p1 - p0) /
+            (pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat"))), 9))
+          .as("z2"))
     })
   )
 
@@ -2287,6 +2329,39 @@ object RelationalQueries {
            FROM r2 GROUP BY 1)
          SELECT d.event_id, d.event_type, d.value, d.med, ma.mad
          FROM d JOIN mad ma USING (event_type)
-         WHERE d.ad > 5.0 * ma.mad"""
+         WHERE d.ad > 5.0 * ma.mad""",
+
+    // A/B twin: identical exact counts, identical IEEE division order.
+    "q111_ab_test" ->
+      """WITH u AS (
+           SELECT user_id, user_id % 2 AS arm,
+                  MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                      THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         a AS (
+           SELECT
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+             SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS x_control,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+             SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS x_treat
+           FROM u)
+         SELECT CAST(n_control AS BIGINT) AS n_control,
+                CAST(x_control AS BIGINT) AS x_control,
+                CAST(n_treat AS BIGINT) AS n_treat,
+                CAST(x_treat AS BIGINT) AS x_treat,
+                ROUND(CAST(x_control AS DOUBLE) / n_control, 9) AS p_control,
+                ROUND(CAST(x_treat AS DOUBLE) / n_treat, 9) AS p_treat,
+                CASE WHEN x_control + x_treat > 0
+                      AND x_control + x_treat < n_control + n_treat
+                 THEN ROUND(
+                  (CAST(x_treat AS DOUBLE) / n_treat
+                     - CAST(x_control AS DOUBLE) / n_control)
+                  * (CAST(x_treat AS DOUBLE) / n_treat
+                     - CAST(x_control AS DOUBLE) / n_control)
+                  / ((CAST(x_control + x_treat AS DOUBLE) / (n_control + n_treat))
+                     * (1.0 - CAST(x_control + x_treat AS DOUBLE) / (n_control + n_treat))
+                     * (1.0 / n_control + 1.0 / n_treat)), 9)
+                 END AS z2
+         FROM a"""
   )
 }
