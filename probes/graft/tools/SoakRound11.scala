@@ -18,7 +18,8 @@ object SoakRound11 {
     val targets = Seq("q100_exact_percentile", "q101_source_drift",
       "q102_ohlc_downsample", "q103_activity_streaks", "q104_pagerank",
       "q105_grouped_split", "q106_orc_scan", "q107_interval_join", "q108_ppr",
-      "q109_audience_overlap", "q110_mad_outliers", "q111_ab_test")
+      "q109_audience_overlap", "q110_mad_outliers", "q111_ab_test",
+      "q112_trend_slope", "q113_edit_distance_join")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

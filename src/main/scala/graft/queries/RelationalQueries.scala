@@ -1508,6 +1508,53 @@ object RelationalQueries {
             (pp * (lit(1.0) - pp) *
               (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat"))), 9))
           .as("z2"))
+    }),
+
+    // TREND SLOPE — per-type OLS fit of daily event volume vs time
+    // (the metric-drift alert: "is this event type growing?"). All
+    // four moments (Σx, Σy, Σxy, Σx²) are exact INTEGER sums over
+    // (epoch-day, daily count) — order-independent on any
+    // partitioning, exactly recomputable by any engine — and the
+    // closed-form slope/intercept are two IEEE divisions on those
+    // exact integers (q101's discipline; the builtin regr_slope
+    // streams float co-moments and is neither). Day cells aggregate
+    // map-side; the moment fold moves T rows.
+    "q112_trend_slope" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val daily = t.events
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("__x"))
+        .agg(count(lit(1)).as("__y"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"))
+        .select(col("event_type"), col("n_days"), col("__sy").as("n_events"),
+          round((col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double"), 9).as("slope_per_day"))
+    }),
+
+    // EDIT-DISTANCE JOIN (operators.EditDistanceJoin) — typo-level
+    // near-dup titles: all doc pairs whose 36-char normalized title
+    // prefixes are within levenshtein 2, by pigeonhole segment
+    // blocking (PassJoin): k+1 segments, ≥1 survives k edits, its
+    // position shifts ≤ k — candidates are an equi-join on (segment,
+    // index), never the |R|² pair space, and completeness is a
+    // theorem (EditDistanceJoinSpec ≡ brute force). The character-
+    // granular member of the dedup family: q19 exact, q27/q78
+    // shingle-set, q85 exact Jaccard, q34/q60 embedding — this one
+    // catches single-typo variants those set-based keys can miss.
+    "q113_edit_distance_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val titles = t.documents.select(col("doc_id"),
+        rpad(substring(lower(col("text")), 1, 36), 36, " ").as("__title"))
+      graft.operators.EditDistanceJoin.selfJoin(
+        titles, "doc_id", "__title", k = 2, len = 36)
     })
   )
 
@@ -2362,6 +2409,38 @@ object RelationalQueries {
                      * (1.0 - CAST(x_control + x_treat AS DOUBLE) / (n_control + n_treat))
                      * (1.0 / n_control + 1.0 / n_treat)), 9)
                  END AS z2
-         FROM a"""
+         FROM a""",
+
+    // Trend twin: identical integer moments, identical IEEE division.
+    "q112_trend_slope" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                  COUNT(*) AS y
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, COUNT(*) AS n_days,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days, sy AS n_events,
+                ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                      CAST(n_days * sxx - sx * sx AS DOUBLE), 9)
+                  AS slope_per_day
+         FROM m""",
+
+    // Edit-distance twin: the oracle brute-forces the pair space —
+    // levenshtein is the same classic unit-cost recurrence in both
+    // engines, so the blocked join must reproduce it exactly.
+    "q113_edit_distance_join" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  rpad(substring(lower(text), 1, 36), 36, ' ') AS title
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.title, b.title) AS INTEGER) AS distance
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 2"""
   )
 }
