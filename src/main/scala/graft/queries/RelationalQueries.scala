@@ -1385,11 +1385,12 @@ object RelationalQueries {
     }),
 
     // PERSONALIZED PAGERANK — q104's recurrence with the teleport
-    // vector restricted to a SEED set (one nation's suppliers): the
-    // seed-and-expand curation pattern, ranking the whole graph by
-    // proximity to a trusted list instead of global centrality. Same
-    // scaled-integer no-rounding discipline, so the DuckDB twin
-    // recomputes the seeded recurrence bit-for-bit.
+    // vector restricted to a SEED set (the 5 lowest-keyed suppliers
+    // in the graph — a deterministic "trusted list" that is nonempty
+    // at every SF): the seed-and-expand curation pattern, ranking the
+    // whole graph by proximity to a trusted list instead of global
+    // centrality. Same scaled-integer no-rounding discipline, so the
+    // DuckDB twin recomputes the seeded recurrence bit-for-bit.
     "q108_ppr" -> ((s, dir) => {
       val t = Tables(s, dir)
       val pairs = t.lineitem
@@ -1398,10 +1399,10 @@ object RelationalQueries {
         .distinct()
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = t.supplier.filter(col("s_nationkey") === 9)
-        .select(concat(lit("s"), col("s_suppkey")).as("node"))
-        .join(edges.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_semi")
+      // seeds ⊆ graph nodes by construction (suppkeys FROM lineitem)
+      val seeds = t.lineitem.select(col("l_suppkey")).distinct()
+        .orderBy(col("l_suppkey")).limit(5)
+        .select(concat(lit("s"), col("l_suppkey")).as("node"))
       graft.graph.PageRankFixed.personalized(edges, iters = 3, Some(seeds))
     }),
 
@@ -2292,9 +2293,9 @@ object RelationalQueries {
            SELECT dst AS src, src AS dst FROM p),
          nodes AS (SELECT DISTINCT src AS node FROM edges),
          sg AS (
-           SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
-           FROM supplier WHERE s_nationkey = 9
-           INTERSECT SELECT node FROM nodes),
+           SELECT 's' || CAST(l_suppkey AS VARCHAR) AS node
+           FROM (SELECT DISTINCT l_suppkey FROM lineitem
+                 ORDER BY l_suppkey LIMIT 5)),
          kk AS (SELECT COUNT(*) AS k FROM sg),
          w AS (SELECT src, 1000000000000000000 // COUNT(*) AS w
                FROM edges GROUP BY src),
