@@ -1063,6 +1063,37 @@ object LlmQueries {
       docs.join(assigned, Seq("grp"))
         .select(col("doc_id"), col("lang"), col("grp"),
           col("rep_lang"), col("split"))
+    }),
+
+    // BIGRAM LM STATISTICS — the count table a statistical language
+    // model trains on: c(w1,w2) and the conditional MLE P(w2|w1) =
+    // c(w1,w2)/c(w1), over the whole corpus. Bigrams are formed
+    // INSIDE the scan projection (array transform over the token
+    // array — no per-doc window, no doc-keyed exchange); one
+    // map-side-combined (w1,w2) aggregate is the only corpus-sized
+    // shuffle (the q94 n-gram discipline), the w1 marginals re-agg
+    // from it, and the probability is one IEEE division on exact
+    // counts, round-9 (q101 discipline). The c ≥ 5 floor is the
+    // standard count-threshold prune, applied AFTER marginals so
+    // P(w2|w1) stays a true conditional.
+    "q114_bigram_lm" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val bg = t.documents
+        .select(toks.as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__b"))
+        .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds marginals AND the join (q58 lesson)
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("__c1"))
+      c2.join(c1, Seq("w1"))
+        .filter(col("c") >= 5)
+        .select(col("w1"), col("w2"), col("c"),
+          round(col("c").cast("double") / col("__c1"), 9).as("p"))
     })
   )
 
@@ -1897,6 +1928,22 @@ object LlmQueries {
                        ELSE 'test' END AS split
            FROM ranked)
          SELECT d.doc_id, d.lang, d.grp, a.rep_lang, a.split
-         FROM docs d JOIN assigned a USING (grp)"""
+         FROM docs d JOIN assigned a USING (grp)""",
+
+    // Bigram twin: same tokenizer fragment, 1-indexed arrays in both
+    // engines, exact counts, one IEEE division, round-9.
+    "q114_bigram_lm" ->
+      s"""WITH t AS (
+           SELECT $sqlToks AS toks FROM documents),
+         b AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                 FROM t WHERE len(toks) >= 2)),
+         c2 AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(c) AS c1 FROM c2 GROUP BY 1)
+         SELECT c2.w1, c2.w2, c2.c,
+                ROUND(CAST(c2.c AS DOUBLE) / c1.c1, 9) AS p
+         FROM c2 JOIN c1 USING (w1)
+         WHERE c2.c >= 5"""
   )
 }

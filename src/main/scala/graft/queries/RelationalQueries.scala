@@ -1556,6 +1556,32 @@ object RelationalQueries {
         rpad(substring(lower(col("text")), 1, 36), 36, " ").as("__title"))
       graft.operators.EditDistanceJoin.selfJoin(
         titles, "doc_id", "__title", k = 2, len = 36)
+    }),
+
+    // MARKOV TRANSITION MATRIX — user-journey analytics: for each
+    // consecutive event pair within a user's (ts, event_id)-ordered
+    // stream, the transition count and row-conditional MLE
+    // P(to|from). One user-keyed window exchange builds the pairs
+    // (lead over the total order — engine-identical successor), one
+    // map-side-combined (from,to) aggregate, marginals re-agg from
+    // it, one IEEE division round-9. T² output rows regardless of
+    // corpus size.
+    "q115_markov_transitions" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = t.events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(wU))
+        .filter(col("to_type").isNotNull)
+      val c2 = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val c1 = c2.groupBy(col("from_type")).agg(sum(col("c")).as("__c1"))
+      c2.join(c1, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("c"),
+          round(col("c").cast("double") / col("__c1"), 9).as("p"))
     })
   )
 
@@ -2442,6 +2468,22 @@ object RelationalQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(levenshtein(a.title, b.title) AS INTEGER) AS distance
          FROM t a JOIN t b ON a.doc_id < b.doc_id
-         WHERE levenshtein(a.title, b.title) <= 2"""
+         WHERE levenshtein(a.title, b.title) <= 2""",
+
+    // Markov twin: identical total order, identical successor, exact
+    // counts, one IEEE division, round-9.
+    "q115_markov_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c2 AS (
+           SELECT from_type, to_type, COUNT(*) AS c
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         c1 AS (SELECT from_type, SUM(c) AS c1 FROM c2 GROUP BY 1)
+         SELECT c2.from_type, c2.to_type, c2.c,
+                ROUND(CAST(c2.c AS DOUBLE) / c1.c1, 9) AS p
+         FROM c2 JOIN c1 USING (from_type)"""
   )
 }
