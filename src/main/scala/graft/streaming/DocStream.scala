@@ -78,6 +78,29 @@ object DocStream {
     * window, so a doc re-sent across windows re-flags (idempotent for
     * the quarantine consumer).
     */
+  /** Windowed (source, token) count table — the incremental PRODUCER
+    * of q101's drift-monitor pre-aggregate: each watermark-closed
+    * window emits exact token counts per (window, source, token), and
+    * any ingest range's χ² drift statistic is then a batch re-agg of
+    * the stored cells (integer sums merge exactly — the q59/q64
+    * mergeable-pre-aggregate pattern applied to drift). The document
+    * stream is tokenized once, ever; state per group is one counter,
+    * bounded by watermark × vocabulary, and text never enters state.
+    * DocStreamSpec pins batch-χ²-over-stream-cells ≡ q101's one-shot
+    * statistic on the same corpus.
+    */
+  def driftCells(docs: DataFrame, windowMinutes: Int = 60,
+                 watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("win"),
+        col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("window_start"), col("source"),
+        col("tok"), col("c"))
+
   def nearDupFlags(docs: DataFrame, corpusBands: DataFrame,
                    corpusShingles: DataFrame, threshold: Double = 0.8,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,

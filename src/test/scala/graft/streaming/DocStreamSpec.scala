@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 object DocStreamSpec {
   // top-level: Spark's product encoder cannot reach suite-inner classes
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  final case class SDoc(doc_id: Long, text: String, source: String, ts: Timestamp)
 }
 
 /** Streaming corpus intake: fingerprint dedup drops re-crawls within
@@ -16,7 +17,7 @@ object DocStreamSpec {
   * the quality gate + PII scrub match their batch expressions.
   */
 class DocStreamSpec extends SparkSpec {
-  import DocStreamSpec.Doc
+  import DocStreamSpec.{Doc, SDoc}
   import spark.implicits._
 
   private def ts(minute: Int): Timestamp = new Timestamp(60000L * minute)
@@ -201,5 +202,50 @@ class DocStreamSpec extends SparkSpec {
       "stream intake must keep exactly the batch pipeline's id set")
     assert(got === want,
       "redacted text, quality and token count must match the batch expressions")
+  }
+
+  test("driftCells: stream cells over the real corpus re-aggregate to the exact batch count table") {
+    // The mergeable-pre-aggregate property that makes the drift
+    // monitor incremental: per-window (source, token) cells, summed
+    // over windows, must equal the one-shot batch tokenize counts —
+    // exactly, on the real corpus, under out-of-order multi-batch
+    // arrival spread across several windows.
+    implicit val sq = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val timed = docs.select(col("doc_id"), col("text"), col("source"),
+      // spread deterministically over 3 hourly windows, decorrelated
+      // from doc_id order so arrival is genuinely out-of-window-order
+      timestamp_millis(pmod(col("doc_id") * 2654435761L, lit(3)) * 3600000L
+        + 1000000000L).as("ts"))
+    val rows = timed.as[SDoc].collect().toIndexedSeq
+    val source = MemoryStream[SDoc]
+    // delay must cover the 2-hour fixture spread: interleaved arrival
+    // means early-window rows land after the watermark has advanced
+    // past them under a shorter delay (they would be DROPPED as late —
+    // the correct streaming semantics, but not this test's subject)
+    val q = DocStream.driftCells(source.toDF(), windowMinutes = 60,
+        watermarkDelay = "4 hours")
+      .writeStream.format("memory").queryName("drift_cells")
+      .outputMode("append").start()
+    rows.grouped(200).foreach { chunk =>
+      source.addData(chunk); q.processAllAvailable()
+    }
+    source.addData(SDoc(-1L, "watermark mover sentinel", "s", ts(100000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("drift_cells").filter(col("source") =!= "s")
+      .groupBy(col("source"), col("tok")).agg(sum(col("c")).as("c"))
+      .as[(String, String, Long)].collect().toSet
+    val want = docs
+      .select(col("source"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === want)
+    assert(spark.table("drift_cells").filter(col("source") =!= "s")
+      .select(col("window_start")).distinct().count() === 3,
+      "fixture must actually exercise several windows")
   }
 }
