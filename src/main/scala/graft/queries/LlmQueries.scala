@@ -1094,6 +1094,36 @@ object LlmQueries {
         .filter(col("c") >= 5)
         .select(col("w1"), col("w2"), col("c"),
           round(col("c").cast("double") / col("__c1"), 9).as("p"))
+    }),
+
+    // SKIP-GRAM PAIRS — the word2vec/embedding training-pair table:
+    // (center, context) counts for context offsets ±1, ±2. Pairs form
+    // entirely INSIDE the scan projection (explode positions, explode
+    // the in-bounds offsets — no window, no self-join; q114's device
+    // widened to a window); ONE map-side-combined (center, context)
+    // aggregate is the only corpus-sized shuffle. The c ≥ 5 floor is
+    // the standard subsample prune. At 100 TB this is the job that
+    // feeds every embedding trainer: 4 skinny rows per token in, a
+    // vocabulary²-bounded table out.
+    "q116_skipgram_pairs" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      t.documents
+        .select(toks.as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col("__t"),
+          explode(sequence(lit(1), size(col("__t")))).as("__i"))
+        .select(element_at(col("__t"), col("__i")).as("center"),
+          explode(filter(
+            transform(array(lit(-2), lit(-1), lit(1), lit(2)),
+              d => col("__i") + d),
+            j => j >= 1 && j <= size(col("__t")))).as("__j"),
+          col("__t"))
+        .select(col("center"),
+          element_at(col("__t"), col("__j")).as("context"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
     })
   )
 
@@ -1944,6 +1974,21 @@ object LlmQueries {
          SELECT c2.w1, c2.w2, c2.c,
                 ROUND(CAST(c2.c AS DOUBLE) / c1.c1, 9) AS p
          FROM c2 JOIN c1 USING (w1)
-         WHERE c2.c >= 5"""
+         WHERE c2.c >= 5""",
+
+    // Skip-gram twin: same tokenizer, same ±2 in-bounds offsets.
+    "q116_skipgram_pairs" ->
+      s"""WITH t AS (
+           SELECT $sqlToks AS toks FROM documents),
+         pos AS (
+           SELECT toks, unnest(range(1, len(toks) + 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+         pairs AS (
+           SELECT toks[i] AS center, toks[i + o.d] AS context
+           FROM pos, (VALUES (-2), (-1), (1), (2)) o(d)
+           WHERE i + o.d BETWEEN 1 AND len(toks))
+         SELECT center, context, COUNT(*) AS c
+         FROM pairs GROUP BY 1, 2
+         HAVING COUNT(*) >= 5"""
   )
 }
