@@ -315,11 +315,40 @@ object EventStream {
              broadcastDim: Boolean = true): DataFrame =
     events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
 
+  /** Declarative sessionization twin — Spark's built-in
+    * `session_window` (merging windows keyed by (user, session)):
+    * the same inactivity-gap rule as `sessionize` below, expressed as
+    * a windowed aggregate instead of custom state. Boundary semantics
+    * MATCH: session_window merges sessions whose extents touch, so an
+    * event exactly `gap` after its predecessor stays in the same
+    * session — identical to `sessionize`'s split-on-`> gap` rule
+    * (EventStreamSpec pins the equality, boundary included — measured,
+    * not assumed: the half-open-window reading would predict a split
+    * there, and is wrong). Prefer this form when the
+    * per-session output is aggregates (state is managed by the
+    * engine, plans stay declarative); drop to `sessionize`'s
+    * flatMapGroupsWithState only for custom per-session logic.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int,
+                     watermarkDelay: String = "1 hour"): DataFrame = {
+    val D = DecimalType(18, 4)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("__w"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+      .select(col("user_id"), col("start"), col("end"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Per-user sessionization with an inactivity gap — custom streaming
     * state via `flatMapGroupsWithState` (event-time timeout): a session
     * closes, and is emitted exactly once, when the watermark passes
-    * `last event + gap`. The classic stateful op Spark has no built-in
-    * operator for.
+    * `last event + gap`. The built-in `session_window` (above) covers
+    * the aggregate-output case; this custom-state form exists for
+    * per-session logic a windowed aggregate cannot express.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     val spark = events.sparkSession

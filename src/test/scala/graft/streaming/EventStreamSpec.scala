@@ -215,6 +215,57 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.size > 10) // several (type, day) cells actually exercised
   }
 
+  test("sessionWindows ≡ sessionize off the gap boundary; documented divergence ON it") {
+    implicit val sq = spark.sqlContext
+    // off-boundary fixture: gaps strictly under / well over 30 min
+    // start at ts(1): an epoch-0 event ties the INITIAL watermark and
+    // is filtered as late before any operator sees it
+    val rows = Seq(
+      Event(1, 100, "click", 1.0, ts(1)),
+      Event(2, 100, "click", 2.0, ts(21)),   // 20 min — same session
+      Event(3, 100, "click", 4.0, ts(61)),   // 40 min — new session
+      Event(4, 200, "view", 8.0, ts(5)))
+    def runDecl(data: Seq[Event]): Set[(Long, Long, Long, Int, Double)] = {
+      val src = MemoryStream[Event]
+      val q = sessionWindows(src.toDF(), gapMinutes = 30).writeStream
+        .format("memory").queryName("sw").outputMode("append").start()
+      src.addData(data: _*)
+      q.processAllAvailable()
+      src.addData(Event(99, 999, "sentinel", 0.0, ts(10000)))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("sw").filter(col("user_id") =!= 999)
+        .as[(Long, Timestamp, Timestamp, Int, Double)].collect()
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4, r._5)).toSet
+      spark.sql("DROP TABLE IF EXISTS sw")
+      out
+    }
+    def runCustom(data: Seq[Event]): Set[(Long, Long, Long, Int, Double)] = {
+      val src = MemoryStream[Event]
+      val q = sessionize(src.toDS(), gapMinutes = 30).writeStream
+        .format("memory").queryName("szc").outputMode("append").start()
+      src.addData(data: _*)
+      q.processAllAvailable()
+      src.addData(Event(99, 999, "sentinel", 0.0, ts(10000)))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("szc").filter(col("user_id") =!= 999)
+        .as[Session].collect()
+        .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events,
+          s.total_value)).toSet
+      spark.sql("DROP TABLE IF EXISTS szc")
+      out
+    }
+    assert(runDecl(rows) === runCustom(rows))
+    // exactly-30-min gap: BOTH keep one session — session_window
+    // merges touching extents, matching sessionize's >gap split rule
+    // (measured; the half-open-window reading would predict 2 here)
+    val boundary = Seq(Event(1, 300, "click", 1.0, ts(1)),
+      Event(2, 300, "click", 2.0, ts(31)))
+    assert(runCustom(boundary) === runDecl(boundary))
+    assert(runCustom(boundary).size === 1)
+  }
+
   test("enrich: stream-static join decorates events, unmatched keys keep nulls") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
