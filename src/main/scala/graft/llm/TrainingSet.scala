@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-set assembly — the ONE CALL a pipeline user
+  * actually wants, composing the audited stage operators in their
+  * canonical order:
+  *
+  *   1. near-dup clean      (`CorpusDedup.clean`: exact → LSH bands →
+  *                           connected components — q40's pipeline)
+  *   2. decontaminate       (13-gram overlap vs a held-out benchmark,
+  *                           q41's rule — overlapping docs DROP)
+  *   3. quality gate        (`TextOps.qualityScore` ≥ minQuality, q22)
+  *   4. leakage-safe split  (exact-dup-group integer rank cuts per
+  *                           language — q105's 80/10/10 rule)
+  *   5. token-budget admit  (train split only: per-language cumulative
+  *                           token cut in md5 order — q98's rule;
+  *                           boundary doc admitted)
+  *
+  * Every stage is deterministic on any partitioning (hash orders,
+  * exact integer cuts, exact counts), so the assembled set is
+  * rerun-stable across cluster sizes — TrainingSetSpec pins output
+  * equality under different input partitionings, plus each stage's
+  * postcondition on the real corpus.
+  *
+  * Scale: the composition inherits its stages' audited shapes — no
+  * stage added here introduces a shuffle beyond what the stage
+  * operators already carry; the budget window moves (id, lang, hash,
+  * token-count) rows only, never text.
+  */
+object TrainingSet {
+
+  /** Returns `(idCol, langCol, split, n_tokens, admitted)` — one row
+    * per surviving document. `admitted` is true for every val/test row
+    * and for train rows inside their language's token budget.
+    */
+  def build(docs: DataFrame, heldout: DataFrame,
+            idCol: String, textCol: String, langCol: String,
+            minQuality: Double,
+            budgets: Map[String, Long], defaultBudget: Long,
+            threshold: Double = 0.8): DataFrame = {
+    require(defaultBudget > 0 && budgets.values.forall(_ > 0),
+      "TrainingSet.build: token budgets must be positive")
+    // 1. near-dup clean
+    val cleaned = CorpusDedup.clean(docs, idCol, textCol, threshold)
+    // 2. decontaminate: any 13-gram shared with the benchmark drops the doc
+    val contaminated = CorpusDedup
+      .decontaminate(cleaned, heldout, idCol, textCol)
+      .select(col(idCol))
+    val decont = cleaned.join(contaminated, Seq(idCol), "left_anti")
+    // 3. quality gate
+    val gated = decont.filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    // 4. leakage-safe split (group = exact content; post-clean these are
+    // singletons, but the rule stays group-keyed so a caller skipping
+    // stage 1 still cannot leak identical docs across the boundary)
+    val grouped = gated.withColumn("__grp", md5(col(textCol)))
+    val assigned = grouped
+      .groupBy(col("__grp")).agg(min(col(langCol)).as("__rl"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__rl")).orderBy(col("__grp"))))
+      .withColumn("__nn", count(lit(1)).over(
+        Window.partitionBy(col("__rl"))))
+      .select(col("__grp"),
+        when(col("__rn") * 10 <= col("__nn") * 8, "train")
+          .when(col("__rn") * 10 <= col("__nn") * 9, "val")
+          .otherwise("test").as("split"))
+    val split = grouped.join(assigned, Seq("__grp"))
+      .withColumn("__tok", TextOps.tokenCount(col(textCol)))
+    // 5. per-language token budget on the train split: admit while the
+    // tokens admitted BEFORE this doc stay under budget (q98 straddle
+    // semantics — the boundary doc is admitted)
+    val budgetCol: Column = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
+    }
+    val wLang = Window.partitionBy(col(langCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    split
+      .withColumn("admitted",
+        col("split") =!= "train" ||
+          coalesce(sum(when(col("split") === "train", col("__tok"))).over(wLang),
+            lit(0L)) < budgetCol)
+      .select(col(idCol), col(langCol), col("split"),
+        col("__tok").as("n_tokens"), col("admitted"))
+  }
+}
