@@ -1582,6 +1582,33 @@ object RelationalQueries {
       c2.join(c1, Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("c"),
           round(col("c").cast("double") / col("__c1"), 9).as("p"))
+    }),
+
+    // EQUAL-FREQUENCY BINNING — feature discretization for ML prep:
+    // per-type QUARTILE breakpoints by ExactQuantile's distributed
+    // selection (exact raw doubles — a quantile sketch here would make
+    // the bin EDGES approximate and the bucket assignment fuzzy at the
+    // boundaries), broadcast back, each event bucketed by comparison.
+    // All boundary math is comparisons on exactly-selected stored
+    // values, so the bucket assignment is engine-exact — ties sit on
+    // whichever side ⌈q·n⌉ puts them in BOTH engines. Output is the
+    // per-(type, bucket) profile (count + extent) a feature store
+    // persists.
+    "q117_equal_freq_bins" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_type"), col("value"))
+      val brk = graft.operators.ExactQuantile.perGroup(
+        ev, Seq("event_type"), "value",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      ev.join(broadcast(brk), Seq("event_type"))
+        .withColumn("bucket",
+          when(col("value") <= col("p25"), 1)
+            .when(col("value") <= col("p50"), 2)
+            .when(col("value") <= col("p75"), 3)
+            .otherwise(4))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
     })
   )
 
@@ -2484,6 +2511,32 @@ object RelationalQueries {
          c1 AS (SELECT from_type, SUM(c) AS c1 FROM c2 GROUP BY 1)
          SELECT c2.from_type, c2.to_type, c2.c,
                 ROUND(CAST(c2.c AS DOUBLE) / c1.c1, 9) AS p
-         FROM c2 JOIN c1 USING (from_type)"""
+         FROM c2 JOIN c1 USING (from_type)""",
+
+    // Binning twin: the q100 ranked-quantile construction for the
+    // breakpoints, identical comparison boundaries.
+    "q117_equal_freq_bins" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) rn,
+                  COUNT(*) OVER (PARTITION BY event_type) n
+           FROM events),
+         brk AS (
+           SELECT event_type,
+                  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN value END) AS p25,
+                  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN value END) AS p50,
+                  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN value END) AS p75
+           FROM r GROUP BY 1)
+         SELECT e.event_type,
+                CASE WHEN e.value <= b.p25 THEN 1
+                     WHEN e.value <= b.p50 THEN 2
+                     WHEN e.value <= b.p75 THEN 3
+                     ELSE 4 END AS bucket,
+                COUNT(*) AS n, MIN(e.value) AS lo, MAX(e.value) AS hi
+         FROM events e JOIN brk b USING (event_type)
+         GROUP BY 1, 2"""
   )
 }
