@@ -20,7 +20,7 @@ object SoakRound11 {
       "q105_grouped_split", "q106_orc_scan", "q107_interval_join", "q108_ppr",
       "q109_audience_overlap", "q110_mad_outliers", "q111_ab_test",
       "q112_trend_slope", "q113_edit_distance_join",
-      "q114_bigram_lm", "q115_markov_transitions", "q116_skipgram_pairs", "q117_equal_freq_bins")
+      "q114_bigram_lm", "q115_markov_transitions", "q116_skipgram_pairs", "q117_equal_freq_bins", "q118_k_anonymity")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -1609,6 +1609,24 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
+
+    // K-ANONYMITY AUDIT — the release-gate privacy check: any
+    // quasi-identifier combination (lang, source, length bucket)
+    // matched by fewer than k=5 documents re-identifies its members;
+    // the audit lists exactly those cells. One map-side-combined
+    // aggregate over the generalized identifiers (the length
+    // generalization is an integer floor — engine-exact); output is
+    // risk-cell-sized. The operational loop: generalize further or
+    // suppress the listed cells until this query returns zero rows.
+    "q118_k_anonymity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100 * 100").as("size_bucket"))
+        .groupBy(col("lang"), col("source"), col("size_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
     })
   )
 
@@ -2537,6 +2555,14 @@ object RelationalQueries {
                      ELSE 4 END AS bucket,
                 COUNT(*) AS n, MIN(e.value) AS lo, MAX(e.value) AS hi
          FROM events e JOIN brk b USING (event_type)
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // k-anonymity twin: identical integer generalization and floor.
+    "q118_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 * 100 AS size_bucket,
+                COUNT(*) AS n
+         FROM documents
+         GROUP BY 1, 2, 3
+         HAVING COUNT(*) < 5"""
   )
 }
