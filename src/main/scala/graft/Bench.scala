@@ -61,7 +61,8 @@ object Bench {
     // peers instead of paying a one-time layout write.
     Seq("q32_multimodal", "q42_bucketed_join", "q48_ivfpq_probe",
         "q54_zorder_scan", "q57_manifest_scan",
-        "q64_daily_quantile_sketch", "q89_partition_prune").foreach { q =>
+        "q64_daily_quantile_sketch", "q89_partition_prune",
+        "q97_pca_project").foreach { q =>
       SparkEntry.queries.get(q).foreach { fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }

@@ -58,8 +58,17 @@ object ExactQuantile {
     val g = groupCols.map(col)
     val v = col(valueCol).cast("double")
 
+    // Null contract: null values are EXCLUDED from the order (the
+    // percentile_disc convention — phase 1's count(v) already skips
+    // them, so phases 2/3 must see the same filtered row set or bin
+    // counts and in-bin ranks drift off the rank arithmetic). Null
+    // GROUP KEYS cannot ride the equi-joins of phases 2/3 (they drop
+    // rows silently, then the driver histogram lookup explodes) — fail
+    // loudly up front instead, from the already-collected extent.
+    val base = df.filter(v.isNotNull)
+
     // phase 1: per-group extent + count (G rows, driver-bounded)
-    val extent = df.groupBy(g: _*)
+    val extent = base.groupBy(g: _*)
       .agg(min(v).as("__lo"), max(v).as("__hi"), count(v).as("__n"))
       .filter(col("__n") > 0)
 
@@ -72,16 +81,24 @@ object ExactQuantile {
         .otherwise(least(floor((value - lo) / wid).cast("int"), lit(bins - 1)))
     }
 
+    val extRows = extent.collect()
+    val key = (r: org.apache.spark.sql.Row) => groupCols.map(r.getAs[Any]).toVector
+    extRows.foreach { er =>
+      val k = key(er)
+      require(!k.contains(null),
+        s"ExactQuantile.perGroup: null group key (${groupCols.mkString(", ")}) = " +
+          s"(${k.mkString(", ")}) — null keys cannot join the histogram phases; " +
+          "filter or fill them before calling")
+    }
+
     // phase 2: per-(group, bin) counts
     val ext = broadcast(extent)
-    val binCounts = df.join(ext, groupCols)
+    val binCounts = base.join(ext, groupCols)
       .groupBy(g :+ binOf(v, col("__lo"), col("__hi")).as("__bin"): _*)
       .agg(count(lit(1)).as("__c"))
       .collect()
-    val extRows = extent.collect()
 
     // driver: walk each group's cumulative histogram once per quantile
-    val key = (r: org.apache.spark.sql.Row) => groupCols.map(r.getAs[Any]).toVector
     val hist = binCounts.groupBy(key).map { case (k, rows) =>
       k -> rows.map(r => r.getAs[Int]("__bin") -> r.getAs[Long]("__c")).sortBy(_._1)
     }
@@ -120,7 +137,7 @@ object ExactQuantile {
     val tDf = spark.createDataFrame(
       spark.sparkContext.parallelize(tRows.toSeq, 1), tSchema)
     val w = Window.partitionBy((g :+ col("__q")): _*).orderBy(v.asc)
-    val picked = df.join(ext, groupCols)
+    val picked = base.join(ext, groupCols)
       .withColumn("__bin", binOf(v, col("__lo"), col("__hi")))
       .join(broadcast(tDf), groupCols :+ "__bin")
       .withColumn("__rn", row_number().over(w))

@@ -45,12 +45,17 @@ object IntervalJoin {
       s"IntervalJoin.overlap: column names must be disjoint, both sides have " +
         s"[${shared.mkString(", ")}]")
 
-    // integral `div`, not double division: exact at any magnitude
+    // integral `div`, not double division: exact at any magnitude.
+    // Null bounds are violations too: without the isnull arms they'd
+    // fall to otherwise(), then explode(sequence(null, …)) silently
+    // drops the row instead of honoring the fail-loudly contract.
     def binned(df: DataFrame, s: String, e: String, bin: String) = df
       .withColumn("__vstart",
-        when(col(s) < 0 || col(s) > col(e), raise_error(concat(
-          lit(s"IntervalJoin: invalid interval ($s, $e) = ("),
-          col(s), lit(", "), col(e), lit(")"))))
+        when(isnull(col(s)) || isnull(col(e)) || col(s) < 0 || col(s) > col(e),
+          raise_error(concat(
+            lit(s"IntervalJoin: invalid interval ($s, $e) = ("),
+            coalesce(col(s).cast("string"), lit("null")), lit(", "),
+            coalesce(col(e).cast("string"), lit("null")), lit(")"))))
           .otherwise(col(s)))
       .withColumn(bin, explode(sequence(
         expr(s"__vstart div ${binSize}L"), expr(s"$e div ${binSize}L"))))

@@ -28,12 +28,20 @@ object TopK {
   /** Rows with the k smallest values of `rankCol` (ties broken by
     * `tieBreak`, making selection total and deterministic).
     *
+    * Null semantics (pinned — both physical paths agree): rows with a
+    * null `rankCol` are NOT candidates and are never returned. Without
+    * the up-front filter the two paths would diverge: orderBy sorts
+    * nulls first (returned as "smallest") while the threshold path's
+    * `rank <= thr` comparison drops them — same input, k-dependent
+    * answers.
+    *
     * @param exactCutoff below this k, use plain orderBy+limit (exact,
     *   cheapest at small k); above it, threshold + distributed trim.
     */
-  def smallestBy(df: DataFrame, rankCol: String, tieBreak: Seq[String], k: Long,
+  def smallestBy(df0: DataFrame, rankCol: String, tieBreak: Seq[String], k: Long,
                  exactCutoff: Long = 1L << 20): DataFrame = {
     require(k >= 0)
+    val df = df0.filter(col(rankCol).isNotNull)
     val order: Seq[Column] = col(rankCol).asc +: tieBreak.map(col(_).asc)
     if (k == 0) df.limit(0)
     // limit() takes an Int — k above Int.MaxValue must route to the

@@ -56,6 +56,28 @@ class ExactQuantileSpec extends SparkSpec {
     assert(got.getDouble(1) === 99.0 && got.getDouble(2) === 100.0)
   }
 
+  test("null values are excluded from the order, matching percentile_disc") {
+    // nulls interleaved across bins: if any phase counted them the
+    // rank arithmetic (and potentially the picked value) would shift
+    val rows: Seq[(String, java.lang.Double)] =
+      (1 to 100).map(i => ("g", java.lang.Double.valueOf(i.toDouble))) ++
+        (0 until 40).map(_ => ("g", null: java.lang.Double)) ++
+        Seq(("allnull", null: java.lang.Double))
+    val df = rows.toDF("k", "v").repartition(5)
+    val got = ExactQuantile.perGroup(df, Seq("k"), "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9), bins = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got === Map("g" -> ((50.0, 90.0)))) // all-null group has no quantile rows
+  }
+
+  test("null group keys fail loudly instead of corrupting the histogram join") {
+    val rows: Seq[(String, Double)] = Seq(("g", 1.0), (null, 2.0))
+    val df = rows.toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      ExactQuantile.perGroup(df, Seq("k"), "v", Seq("p50" -> 0.5)))
+    assert(e.getMessage.contains("null group key"))
+  }
+
   test("invalid arguments rejected") {
     val df = Seq(("g", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException](

@@ -60,4 +60,17 @@ class IntervalJoinSpec extends SparkSpec {
       IntervalJoin.overlap(ok, ok, "ls", "le", "ls", "le", 10L)
     }
   }
+
+  test("null bounds fail loudly instead of silently dropping the row") {
+    val rs = Seq((2L, 0L, 5L)).toDF("rid", "rs", "re")
+    for (bad <- Seq((java.lang.Long.valueOf(1L), null: java.lang.Long, java.lang.Long.valueOf(10L)),
+                    (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0L), null: java.lang.Long))) {
+      val ls = Seq(bad).toDF("lid", "ls", "le")
+      val e = intercept[Exception] {
+        IntervalJoin.overlap(ls, rs, "ls", "le", "rs", "re", 10L).count()
+      }
+      assert(e.getMessage.contains("IntervalJoin") ||
+        Option(e.getCause).exists(_.getMessage.contains("IntervalJoin")))
+    }
+  }
 }

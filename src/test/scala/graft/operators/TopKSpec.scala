@@ -23,6 +23,17 @@ class TopKSpec extends SparkSpec {
     assert(scale === exact)
   }
 
+  test("null ranks are excluded identically on both paths") {
+    val withNulls = df.select(col("id"),
+      when(col("id") % 100 === 0, lit(null)).otherwise(col("r")).as("r"))
+    val k = 777L
+    val exact = TopK.smallestBy(withNulls, "r", Seq("id"), k, exactCutoff = Long.MaxValue)
+    val scale = TopK.smallestBy(withNulls, "r", Seq("id"), k, exactCutoff = 0L)
+    assert(exact.filter(col("r").isNull).count() === 0L)
+    assert(scale.select("id").as[Long].collect().toSet ===
+      exact.select("id").as[Long].collect().toSet)
+  }
+
   test("k >= n returns everything; k = 0 returns nothing") {
     assert(TopK.smallestBy(df, "r", Seq("id"), 60000L, exactCutoff = 0L).count() === 50000L)
     assert(TopK.smallestBy(df, "r", Seq("id"), 0L).count() === 0L)
