@@ -332,4 +332,75 @@ object Multimodal {
         .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Deterministic image-ONLY fixture of real PNG payloads with
+    * planted perceptual near-duplicates, persisted once per path —
+    * the q119 input. Per decade of ids: rows ≡ 0..7 (mod 10) are
+    * distinct seeded gray-noise images; row ≡ 8 is a ONE-PIXEL
+    * brightening of row ≡ 0's image (a genuine near-twin: identical
+    * to the eye, pHash a few bits off at most); row ≡ 9 is a
+    * byte-exact PNG copy of row ≡ 0 (Hamming 0 guaranteed). Encoding
+    * is `ImageIO.write(png)` on executors — real codec bytes, and the
+    * persisted parquet (not re-encoding) anchors determinism across
+    * runs.
+    */
+  def imageFixtureParquet(spark: SparkSession, path: String, n: Long,
+                          seed: Long = 42L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      spark.range(n).select(col("id")).mapPartitions { rows =>
+        rows.map { r =>
+          val i = r.getLong(0)
+          val cls = (i % 10).toInt
+          val base = cls match { case 8 => i - 8; case 9 => i - 9; case _ => i }
+          Row(i, "image", pngBytes(base, seed, perturb = cls == 8),
+            Map("width" -> "64", "height" -> "48", "codec" -> "png"))
+        }
+      }(enc).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private[graft] def pngBytes(base: Long, seed: Long, perturb: Boolean): Array[Byte] = {
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rng = new scala.util.Random(seed + base)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = rng.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) {
+      val v = math.min(255, (img.getRGB(0, 0) & 0xff) + 8)
+      img.setRGB(0, 0, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode `fixture` with `decoder` and persist (id, feature) once —
+    * the cross-engine anchor for perceptual dedup: the DuckDB oracle
+    * recomputes everything DOWNSTREAM of the codec (quantization,
+    * pHash bits, blocked pair join) from this parquet, while the
+    * codec itself is spec-pinned on generated PNG/WAV payloads
+    * (MultimodalSpec / PhashNearDupSpec).
+    */
+  def decodedRasterParquet(spark: SparkSession, path: String,
+                           fixture: => DataFrame, decoder: MediaDecoder): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      decodeFeatures(fixture, decoder).select(col("id"), col("feature"))
+        .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 }

@@ -421,6 +421,22 @@ object NearDup {
       df.select(col(idCol).as("__id"), simhashMd5(col(textCol)).as("__sig")),
       maxDist, sigBits = 60)
 
+  /** Exact Hamming ≤ `maxDist` pairs of ANY precomputed bit signature
+    * (the pigeonhole block join opened to external signatures — e.g.
+    * the image pHash, Phash.sig60): a pair within distance maxDist
+    * must agree on at least one of the maxDist + 1 equal-width blocks,
+    * so blocked equi-join candidates are provably complete and the
+    * exact bit_count filter only prunes.
+    */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+                     maxDist: Int, sigBits: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(sigBits > 0 && sigBits % (maxDist + 1) == 0,
+      s"sigBits=$sigBits must divide into maxDist+1=${maxDist + 1} equal blocks")
+    simhashPairsOf(
+      df.select(col(idCol).as("__id"), col(sigCol).as("__sig")), maxDist, sigBits)
+  }
+
   private def simhashPairsOf(sigDf: DataFrame, maxDist: Int,
                              sigBits: Int): DataFrame = {
     val nBlocks = maxDist + 1

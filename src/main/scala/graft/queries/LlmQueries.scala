@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.llm.{CorpusDedup, Embeddings, Multimodal, NearDup, Pq, Similarity, TextOps}
+import graft.llm.{CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -1124,6 +1124,32 @@ object LlmQueries {
         .groupBy(col("center"), col("context"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= 5)
+    }),
+
+    // PERCEPTUAL-HASH image near-dup — the multimodal × dedup
+    // intersection: real PNG payloads (ImageIO-encoded fixture with
+    // planted byte-exact copies and one-pixel-perturbed near-twins)
+    // decode through the REAL codec (Multimodal.RealDecoder,
+    // javax.imageio) into the 8×8 block-luminance raster, the raster
+    // persists as the cross-engine anchor parquet, and the pHash chain
+    // downstream of the codec — integer quantization, 64·qᵢ > Σq vote
+    // bits, 60-bit pack, q78's pigeonhole Hamming ≤ 3 block join — is
+    // exactly recomputable in SQL, so the DuckDB twin brute-forces the
+    // pair set from the SAME raster parquet (q32/q83's shared-fixture
+    // pattern; the codec itself is spec-pinned in PhashNearDupSpec).
+    // At 100 TB of images: decode is embarrassingly parallel and runs
+    // once (persisted), the pair join shuffles 4 skinny (block, value)
+    // rows per image — never all-pairs, never the payload bytes.
+    "q119_phash_image_neardup" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val n = math.max(60L, (20000 * sfOf(dir)).toLong)
+      val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+      val decoded = Multimodal.decodedRasterParquet(
+        s, s"$fixDir/images_decoded_$sfName",
+        Multimodal.imageFixtureParquet(s, s"$fixDir/images_$sfName", n),
+        new Multimodal.RealDecoder(8))
+      Phash.pairs(decoded, "id", "feature", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     })
   )
 
@@ -1759,6 +1785,32 @@ object LlmQueries {
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sig a, sig b
         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3""",
+
+    // pHash ground truth: rebuild every 60-bit signature from the SAME
+    // decoded-raster parquet the q119 run persisted (the q32/q83
+    // shared-fixture pattern — everything downstream of the codec is
+    // cross-checked; the codec is spec-pinned) and brute-force the
+    // exact Hamming ≤ 3 pair set the blocked join must reproduce.
+    // Quantization is identical by construction: float→double widening
+    // is exact, ×10⁶ + half-up round are IEEE-identical, and the vote
+    // 64·qᵢ > Σq is pure BIGINT arithmetic.
+    "q119_phash_image_neardup" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_sf0.01/*.parquet"
+      s"""WITH q AS (
+            SELECT id, list_transform(feature,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr
+            FROM read_parquet('$fixture')),
+          s AS (
+            SELECT id, qarr, CAST(list_sum(qarr) AS BIGINT) AS stot FROM q),
+          sig AS (
+            SELECT id, bit_or(CASE WHEN qarr[b + 1] * 64 > stot
+                                   THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sg
+            FROM s, range(60) r(b) GROUP BY id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        FROM sig a, sig b
+        WHERE a.id < b.id AND bit_count(xor(a.sg, b.sg)) <= 3"""
+    },
 
     // Reads the SAME JSONL files q83 ingested (written by the q83 run
     // before the oracle executes; the driver verifies at sf0.01, which
