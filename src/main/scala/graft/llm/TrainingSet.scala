@@ -40,14 +40,17 @@ object TrainingSet {
             idCol: String, textCol: String, langCol: String,
             minQuality: Double,
             budgets: Map[String, Long], defaultBudget: Long,
-            threshold: Double = 0.8): DataFrame = {
+            threshold: Double = 0.8,
+            shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+            decontaminateN: Int = 13): DataFrame = {
     require(defaultBudget > 0 && budgets.values.forall(_ > 0),
       "TrainingSet.build: token budgets must be positive")
     // 1. near-dup clean
-    val cleaned = CorpusDedup.clean(docs, idCol, textCol, threshold)
-    // 2. decontaminate: any 13-gram shared with the benchmark drops the doc
+    val cleaned = CorpusDedup.clean(docs, idCol, textCol, threshold,
+      shingleN, numHashes, bands)
+    // 2. decontaminate: any shared benchmark n-gram drops the doc
     val contaminated = CorpusDedup
-      .decontaminate(cleaned, heldout, idCol, textCol)
+      .decontaminate(cleaned, heldout, idCol, textCol, n = decontaminateN)
       .select(col(idCol))
     val decont = cleaned.join(contaminated, Seq(idCol), "left_anti")
     // 3. quality gate

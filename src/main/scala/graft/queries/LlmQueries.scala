@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.llm.{Bpe, CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, Similarity, TextOps}
+import graft.llm.{Bpe, CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, Similarity, TextOps, TrainingSet}
 
 /** LLM training-data pipeline operators as first-class, oracle-checked
   * queries over the `documents` / `embeddings` tables: exact dedup,
@@ -1178,6 +1178,38 @@ object LlmQueries {
         new Multimodal.RealDecoder(8))
       Phash.pairs(decoded, "id", "feature", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // THE COMPOSED PIPELINE under the driver's eye — TrainingSet.build
+    // (clean → decontaminate → quality-gate → leakage-safe split →
+    // token-budget admit) end-to-end on the q40 twin corpus with q41's
+    // held-out slice. Every stage reuses an operator whose solo query
+    // is already oracle-green (q40/q41/q22/q105/q98); this row pins
+    // the COMPOSITION — stage order, the anti-join plumbing between
+    // stages, and the cross-stage column contracts — against one
+    // DuckDB program that recomputes all five stages from raw text.
+    // Settings: threshold 0.6 with 48/16 MinHash banding (the q40
+    // recall-complete-on-this-corpus setting), 5-gram decontamination
+    // (q41: the corpus has no 13-gram overlap at all), quality ≥ 7,
+    // en 4000 / default 1500 token budgets (q98's binding values).
+    "q121_training_set" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val twins = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1),
+          greatest(length(col("text")) - 10, lit(1))).as("text"),
+        col("lang"))
+      val corpus = base.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(twins)
+      val heldout = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"), col("text"))
+      TrainingSet.build(corpus, heldout, "doc_id", "text", "lang",
+          minQuality = 7.0, budgets = Map("en" -> 4000L), defaultBudget = 1500L,
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16,
+          decontaminateN = 5)
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("n_tokens").cast("long").as("n_tokens"), col("admitted"))
     })
   )
 
@@ -1813,6 +1845,89 @@ object LlmQueries {
                CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         FROM sig a, sig b
         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3""",
+
+    // Composed-pipeline ground truth: one program recomputing all five
+    // TrainingSet.build stages from raw text — q40's exact clean (md5
+    // keep-first + recursive min-label CC over the exact pair set),
+    // q41's 5-gram decontamination, q22's integer quality score at the
+    // ≥ 7 bar, q105's grouped integer-rank split, q98's md5-order
+    // prior-tokens budget cut with the straddle rule.
+    "q121_training_set" ->
+      s"""WITH RECURSIVE corpus AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 != 0
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1)), lang
+            FROM documents WHERE doc_id % 20 != 0),
+          kept0 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+          kcorpus AS (
+            SELECT c.doc_id, c.text, c.lang FROM corpus c
+            JOIN kept0 k ON c.doc_id = k.doc_id),
+          ${sqlPairCtes("kcorpus")},
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id),
+          clean AS (
+            SELECT k.doc_id, k.text, k.lang FROM kcorpus k
+            LEFT JOIN comp c ON c.id = k.doc_id
+            WHERE c.id IS NULL OR c.keep = k.doc_id),
+          tokc AS (SELECT doc_id, text, lang, $sqlToks AS toks FROM clean),
+          sh5 AS (SELECT doc_id,
+              CASE WHEN len(toks) < 5 THEN []
+                   ELSE list_transform(range(0, len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END AS sh
+            FROM tokc),
+          bench AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(toks) < 5 THEN []
+                   ELSE list_transform(range(0, len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END) AS g
+            FROM (SELECT $sqlToks AS toks FROM documents WHERE doc_id % 20 = 0)),
+          contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, unnest(sh) AS g FROM sh5) t
+            JOIN bench b ON t.g = b.g),
+          gated AS (
+            SELECT doc_id, text, lang, toks FROM tokc
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+                 + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+                 + CASE WHEN len(toks) > 0
+                         AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                        THEN 3 ELSE 0 END) >= 7),
+          grouped AS (SELECT doc_id, lang, text, md5(text) AS grp,
+                             CAST(len(toks) AS BIGINT) AS n_tokens FROM gated),
+          groups AS (SELECT grp, MIN(lang) AS rl FROM grouped GROUP BY 1),
+          ranked AS (
+            SELECT grp, rl, ROW_NUMBER() OVER (PARTITION BY rl ORDER BY grp) AS rn,
+                   COUNT(*) OVER (PARTITION BY rl) AS n
+            FROM groups),
+          assigned AS (
+            SELECT grp, CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                             WHEN rn * 10 <= n * 9 THEN 'val'
+                             ELSE 'test' END AS split
+            FROM ranked),
+          sp AS (
+            SELECT g.doc_id, g.lang, g.text, g.n_tokens, a.split
+            FROM grouped g JOIN assigned a USING (grp)),
+          run AS (
+            SELECT doc_id, lang, split, n_tokens,
+              COALESCE(CAST(SUM(CASE WHEN split = 'train' THEN n_tokens END) OVER (
+                PARTITION BY lang ORDER BY md5(text), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prior
+            FROM sp)
+        SELECT doc_id, lang, split, n_tokens,
+               (split != 'train' OR
+                prior < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) AS admitted
+        FROM run""",
 
     // BPE ground truth: DuckDB re-runs the pinned merge table's full
     // greedy encoding from raw text (identical rank-ordered replace
