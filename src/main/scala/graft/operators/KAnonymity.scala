@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-anonymity ENFORCEMENT — the operational closure of the q118
+  * audit: rows are released only inside a quasi-identifier cell with
+  * ≥ k members, escalating through a generalization ladder and
+  * suppressing what never qualifies.
+  *
+  * Algorithm (iterative local recoding over bucket widths):
+  * for each width w in the ascending ladder, bucket the numeric
+  * quasi-identifier to `value div w · w`, count cells OVER THE ROWS
+  * STILL UNRELEASED, release the rows of ≥ k cells at this width, and
+  * carry the rest to the next (coarser) width. Rows still sub-k after
+  * the coarsest width are SUPPRESSED (dropped). Counting over the
+  * remaining rows — not the full dataset — is what makes the
+  * guarantee hold: every released (cell, width) group is exactly a
+  * counted cell, so its size is ≥ k by construction (a full-dataset
+  * count would let a coarse cell release a < k leftover after its
+  * fine sub-cells released theirs). The per-width release decision is
+  * a pure function of cell counts, so the output is deterministic on
+  * any partitioning.
+  *
+  * Scale shape: per width, ONE map-side-combined aggregate over the
+  * remaining rows produces the (cells × 1) count table — broadcast
+  * back, never a row-keyed shuffle join. The remaining set is the
+  * sub-k risk TAIL (cells × < k rows), which collapses fast — it is
+  * localCheckpoint-ed per level so later levels and the released
+  * union never re-derive earlier levels; checkpoint cost is
+  * proportional to the tail, not the corpus.
+  */
+object KAnonymity {
+
+  /** Released rows with their generalized cell: all input columns +
+    * (`bucket_lo` LONG, `bucket_width` LONG). Suppressed rows are
+    * dropped; callers audit via `df.count - released.count`.
+    */
+  def enforce(df: DataFrame, quasiCols: Seq[String], valueCol: String,
+              widths: Seq[Long], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "KAnonymity.enforce: need quasi-identifier columns")
+    require(widths.nonEmpty && widths.forall(_ > 0) &&
+      widths == widths.sorted && widths.distinct == widths,
+      s"KAnonymity.enforce: widths must be positive, ascending, distinct: $widths")
+    require(k >= 1, s"KAnonymity.enforce: k must be >= 1, got $k")
+    val q = quasiCols.map(col)
+    var remaining = df
+    var released: Option[DataFrame] = None
+    for ((w, i) <- widths.zipWithIndex) {
+      val withCell = remaining.withColumn("__cell",
+        expr(s"$valueCol div ${w}L * ${w}L").cast("long"))
+      val counts = withCell.groupBy((q :+ col("__cell")): _*)
+        .agg(count(lit(1)).as("__n"))
+      val joined = withCell.join(broadcast(counts), quasiCols :+ "__cell")
+      val rel = joined.filter(col("__n") >= k)
+        .withColumn("bucket_lo", col("__cell"))
+        .withColumn("bucket_width", lit(w))
+        .drop("__cell", "__n")
+      released = Some(released.map(_.unionByName(rel)).getOrElse(rel))
+      if (i < widths.length - 1)
+        remaining = joined.filter(col("__n") < k).drop("__cell", "__n")
+          .localCheckpoint() // the sub-k tail only — keeps lineage flat
+    }
+    released.get
+  }
+}

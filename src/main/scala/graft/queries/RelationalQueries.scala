@@ -1627,10 +1627,65 @@ object RelationalQueries {
         .groupBy(col("lang"), col("source"), col("size_bucket"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") < 5)
+    }),
+
+    // K-ANONYMITY ENFORCEMENT — q118's operational loop closed
+    // (operators.KAnonymity): the audit lists sub-k cells; this
+    // RELEASES the table, escalating sub-k rows through the
+    // 100 → 500 → 2000 size-bucket generalization ladder (counts
+    // always over the rows still unreleased — the recursion that
+    // makes every released cell ≥ k by construction) and suppressing
+    // what never qualifies. Output = one row per released document
+    // with its generalized cell; re-running q118's audit ON THIS
+    // OUTPUT returns zero rows (KAnonymitySpec pins it). The oracle
+    // unrolls the three-level loop exactly.
+    "q122_k_anon_release" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.KAnonymity.enforce(
+          t.documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          Seq("lang", "source"), "n_chars", widths = Seq(100L, 500L, 2000L), k = 5L)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bucket_lo"), col("bucket_width"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Enforcement twin: the three-level remaining-count loop unrolled —
+    // release at 100, re-count leftovers at 500, re-count at 2000,
+    // suppress the rest. Integer floor-division bucketing on
+    // non-negative n_chars is engine-exact.
+    "q122_k_anon_release" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         n1 AS (SELECT lang, source, n_chars // 100 * 100 AS cell, COUNT(*) AS n
+                FROM base GROUP BY 1, 2, 3),
+         j1 AS (SELECT b.*, n1.n FROM base b
+                JOIN n1 ON b.lang = n1.lang AND b.source = n1.source
+                       AND b.n_chars // 100 * 100 = n1.cell),
+         r1 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 100 * 100 AS BIGINT) AS bucket_lo,
+                       CAST(100 AS BIGINT) AS bucket_width
+                FROM j1 WHERE n >= 5),
+         rem1 AS (SELECT doc_id, lang, source, n_chars FROM j1 WHERE n < 5),
+         n2 AS (SELECT lang, source, n_chars // 500 * 500 AS cell, COUNT(*) AS n
+                FROM rem1 GROUP BY 1, 2, 3),
+         j2 AS (SELECT b.*, n2.n FROM rem1 b
+                JOIN n2 ON b.lang = n2.lang AND b.source = n2.source
+                       AND b.n_chars // 500 * 500 = n2.cell),
+         r2 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 500 * 500 AS BIGINT) AS bucket_lo,
+                       CAST(500 AS BIGINT) AS bucket_width
+                FROM j2 WHERE n >= 5),
+         rem2 AS (SELECT doc_id, lang, source, n_chars FROM j2 WHERE n < 5),
+         n3 AS (SELECT lang, source, n_chars // 2000 * 2000 AS cell, COUNT(*) AS n
+                FROM rem2 GROUP BY 1, 2, 3),
+         j3 AS (SELECT b.*, n3.n FROM rem2 b
+                JOIN n3 ON b.lang = n3.lang AND b.source = n3.source
+                       AND b.n_chars // 2000 * 2000 = n3.cell),
+         r3 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 2000 * 2000 AS BIGINT) AS bucket_lo,
+                       CAST(2000 AS BIGINT) AS bucket_width
+                FROM j3 WHERE n >= 5)
+       SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3""",
     // the bucketed layout is a PHYSICAL property — the logical answer
     // is the plain join+agg
     "q42_bucketed_join" ->

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Enforcement closes the audit: every released (cell, width) group
+  * must hold ≥ k rows (the post-suppression audit returns zero rows),
+  * escalation and suppression actually fire, values stay inside their
+  * released bucket, and the output is partitioning-deterministic.
+  */
+class KAnonymitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // crafted corpus: cell (en, web) dense at fine width; (de, web)
+  // qualifies only at width 500; (zh, api) never reaches 5 → suppress
+  private lazy val rows =
+    (0 until 8).map(i => (i.toLong, "en", "web", 110L + i)) ++          // fine cell [100,200)
+      (0 until 5).map(i => (100L + i, "de", "web", (i * 90).toLong)) ++ // spread over fine cells, one 500-cell
+      (0 until 3).map(i => (200L + i, "zh", "api", 10000L + i * 3000))  // 3 rows, 3 distinct 2000-cells
+  private lazy val df = rows.toDF("doc_id", "lang", "source", "n_chars")
+  private lazy val out = KAnonymity.enforce(df.repartition(5),
+    Seq("lang", "source"), "n_chars", widths = Seq(100L, 500L, 2000L), k = 5L).cache()
+
+  test("post-suppression audit returns zero rows: every released cell has >= k members") {
+    val viol = out.groupBy("lang", "source", "bucket_lo", "bucket_width")
+      .agg(count(lit(1)).as("n")).filter(col("n") < 5)
+    assert(viol.count() === 0L)
+  }
+
+  test("escalation ladder and suppression fire as constructed") {
+    val got = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("bucket_lo"), r.getAs[Long]("bucket_width"))).toSet
+    // en/web: all 8 in the 100-wide [100,200) cell
+    (0L until 8L).foreach(i => assert(got.contains((i, 100L, 100L)), s"en $i"))
+    // de/web: values 0,90,180,270,360 — fine cells singleton, 500-cell holds all 5
+    (100L until 105L).foreach(i => assert(got.exists(t => t._1 == i && t._3 == 500L), s"de $i"))
+    // zh/api: 3 rows spread across distinct cells at every width → suppressed
+    assert(!got.exists(_._1 >= 200L))
+    assert(out.count() === 13L) // 8 + 5 released, 3 suppressed
+  }
+
+  test("released values lie inside their generalized bucket") {
+    val bad = out // enforce keeps all input columns, n_chars included
+      .filter(col("n_chars") < col("bucket_lo") ||
+        col("n_chars") >= col("bucket_lo") + col("bucket_width"))
+    assert(bad.count() === 0L)
+  }
+
+  test("deterministic under partitioning") {
+    val b = KAnonymity.enforce(df.repartition(2),
+      Seq("lang", "source"), "n_chars", Seq(100L, 500L, 2000L), k = 5L)
+      .collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet === b)
+  }
+
+  test("invalid arguments rejected") {
+    intercept[IllegalArgumentException](
+      KAnonymity.enforce(df, Seq(), "n_chars", Seq(100L), 5L))
+    intercept[IllegalArgumentException](
+      KAnonymity.enforce(df, Seq("lang"), "n_chars", Seq(500L, 100L), 5L))
+    intercept[IllegalArgumentException](
+      KAnonymity.enforce(df, Seq("lang"), "n_chars", Seq(100L), 0L))
+  }
+}
