@@ -62,4 +62,40 @@ class EditDistanceJoinSpec extends SparkSpec {
       run(Seq((1L, "short"), (2L, "also-short")), 1, 24)
     }
   }
+
+  // shared-prefix corpus: every string opens with the same 8 chars, so
+  // the prefix segment is one quadratic hot key for the primary join
+  private def sharedPrefixRows(n: Int, len: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(97)
+    (0 until n).flatMap { i =>
+      val tail = (0 until len - 8).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+      val s = "prefixxx" + tail
+      val mut = s.updated(10 + rng.nextInt(len - 10), 'z')
+      Seq((i * 2L, s), (i * 2L + 1, mut))
+    }
+  }
+
+  test("hot-segment escalation: result identical to brute force and to the cold-only path") {
+    val len = 24
+    val rows = sharedPrefixRows(60, len)
+    val df = rows.toDF("id", "s").repartition(5)
+    val want = brute(rows, 2)
+    val hotOn = EditDistanceJoin.selfJoin(df, "id", "s", 2, len, hotThreshold = 8L)
+      .as[(Long, Long, Int)].collect().toSet
+    val hotOff = EditDistanceJoin.selfJoin(df, "id", "s", 2, len, hotThreshold = Long.MaxValue)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hotOff === want)
+    assert(hotOn === want)
+  }
+
+  test("hot-segment escalation: candidate rows collapse on the shared-prefix corpus") {
+    val len = 24
+    val df = sharedPrefixRows(60, len).toDF("id", "s").repartition(5)
+    val naive = EditDistanceJoin.candidates(df, "id", "s", 2, len, Long.MaxValue).count()
+    val refined = EditDistanceJoin.candidates(df, "id", "s", 2, len, 8L).count()
+    // 120 strings sharing the prefix key → primary emits ~120²/2 rows
+    // from it; the complement re-blocking keeps only genuinely close
+    // pairs' witnesses
+    assert(refined < naive / 3, s"refined=$refined naive=$naive")
+  }
 }
