@@ -42,10 +42,22 @@ import org.apache.spark.sql.functions._
   * returned as a live plan, so `explain`/PlanAudit see one true
   * iteration's shape.
   *
-  * Contract: `edges(src STRING, dst STRING)` distinct, and every node
-  * appears as a src at least once (no dangling mass — callers with
-  * sink nodes symmetrize or self-loop first). Dangling srcs are safe;
-  * dangling dsts are rejected because their mass would silently leak.
+  * Contract: `edges(src STRING, dst STRING)` distinct. Under the
+  * default `dangling = "reject"` every node must appear as a src at
+  * least once (no dangling mass — callers with sink nodes symmetrize
+  * or self-loop first); dangling dsts are rejected because their mass
+  * would silently leak. `dangling = "redistribute"` lifts the
+  * contract for real crawl graphs (sinks are the norm): the node set
+  * becomes srcs ∪ dsts, and each iteration the sinks' aggregate rank
+  * D re-enters damped through the teleport profile — every node gains
+  * ⌊17·D / (20·n)⌋ (classic) or seeds gain ⌊17·D / (20·|S|)⌋
+  * (personalized), the standard dangling-mass treatment. D is one
+  * node-sized semi-join sum per iteration, collected as a single
+  * driver scalar and folded back EXACTLY via BigInt floor division —
+  * the no-rounding discipline is preserved, so redistribute runs are
+  * as bit-reproducible as reject runs (and identical to them on a
+  * sink-free graph, where D = 0; PageRankFixedSpec pins both, plus
+  * mass conservation on a sink-bearing graph).
   */
 object PageRankFixed {
 
@@ -55,8 +67,8 @@ object PageRankFixed {
   /** `iters` damped iterations (d = 17/20 = 0.85 exactly) from the
     * uniform start; returns `(node STRING, rank_scaled BIGINT)`.
     */
-  def run(edges: DataFrame, iters: Int): DataFrame =
-    personalized(edges, iters, None)
+  def run(edges: DataFrame, iters: Int, dangling: String = "reject"): DataFrame =
+    personalized(edges, iters, None, dangling)
 
   /** Personalized PageRank: the teleport vector is uniform over the
     * seed set instead of all nodes — the seed-and-expand curation
@@ -68,8 +80,12 @@ object PageRankFixed {
     * at 1/|S|, non-seeds at 0 — bit-identical on any partitioning.
     */
   def personalized(edges: DataFrame, iters: Int,
-                   seeds: Option[DataFrame]): DataFrame = {
+                   seeds: Option[DataFrame],
+                   dangling: String = "reject"): DataFrame = {
     require(iters >= 1, "PageRankFixed.run: iters must be >= 1")
+    require(dangling == "reject" || dangling == "redistribute",
+      s"PageRankFixed: dangling must be 'reject' or 'redistribute', got '$dangling'")
+    val redistribute = dangling == "redistribute"
     // Edge layout: partition by src, attach the scaled 1/outdeg weight
     // via a window over that same partitioning (zero extra exchanges,
     // and no per-iteration weight join), cache. CacheManager keys on
@@ -84,28 +100,40 @@ object PageRankFixed {
       .persist()
     // Node list from the raw input (NOT from e: keeps the cached plans
     // independent, so the final plan does not reprint the edge layout
-    // under the nodes scan); node-keyed for the per-iteration left join.
-    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    // under the nodes scan); node-keyed for the per-iteration left
+    // join. Redistribute mode admits sinks, so its node set includes
+    // dsts.
+    val nodes = (if (redistribute)
+        edges.select(col("src").as("node"))
+          .unionByName(edges.select(col("dst").as("node")))
+      else edges.select(col("src").as("node")))
+      .distinct().persist()
     // The one driver scalar — counting it also materializes both
     // caches BEFORE the iteration plans are built, which is what makes
     // the cached partitioning visible to EnsureRequirements.
     val n = nodes.count()
     require(n > 0, "PageRankFixed.run: empty graph")
     e.count()
-    // Guard the no-dangling-dst contract: a dst that never appears as
-    // src would swallow mass silently.
-    val dangling = e.join(nodes.withColumnRenamed("node", "dst"),
-      Seq("dst"), "left_anti").limit(1).count()
-    require(dangling == 0L,
+    // The static sink set (nodes with no out-edges — under 'reject'
+    // the node set is the srcs, so this is exactly the dangling-dst
+    // probe). Reject fails loudly; redistribute persists the set for
+    // the per-iteration mass sweep.
+    val sinks = (if (redistribute)
+        nodes.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      else e.select(col("dst").as("node"))
+        .join(nodes, Seq("node"), "left_anti").limit(1))
+      .persist()
+    val nSinks = sinks.count()
+    require(redistribute || nSinks == 0L,
       "PageRankFixed.run: found dst nodes with no out-edges (dangling); " +
-        "symmetrize or self-loop them first")
+        "symmetrize or self-loop them first, or pass dangling = 'redistribute'")
     // Teleport profile per node: (__base, __r0) — uniform over all
     // nodes (classic) or over the seed set (personalized). Both use
     // (1 − d)/k = 3·SCALE div (20k), exact in a driver Long (3e18 < 2^63).
-    val profiled = seeds match {
+    val (profiled, teleportCount) = seeds match {
       case None =>
-        nodes.withColumn("__base", lit(3L * Scale / (20L * n)))
-          .withColumn("__r0", lit(Scale / n))
+        (nodes.withColumn("__base", lit(3L * Scale / (20L * n)))
+          .withColumn("__r0", lit(Scale / n)), n)
       case Some(sd) =>
         val s = sd.select(col("node")).distinct().persist()
         val k = s.count()
@@ -114,13 +142,13 @@ object PageRankFixed {
         require(offGraph == 0L,
           "PageRankFixed.personalized: seed nodes missing from the graph " +
             "(teleport mass would vanish silently)")
-        nodes.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
+        (nodes.join(s.withColumn("__seed", lit(1)), Seq("node"), "left")
           .withColumn("__base",
             when(col("__seed") === 1, lit(3L * Scale / (20L * k)))
               .otherwise(lit(0L)))
           .withColumn("__r0",
             when(col("__seed") === 1, lit(Scale / k)).otherwise(lit(0L)))
-          .drop("__seed")
+          .drop("__seed"), k)
     }
     val prof = profiled.persist()
     prof.count() // materialize node-keyed before the iteration plans
@@ -136,13 +164,27 @@ object PageRankFixed {
         ).as("__c"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__msum"))
-      // r' = __base + d·Σ, with d·Σ = 17·Σ div 20 (17e18 needs the
-      // decimal detour too). Left join keeps zero-indegree nodes alive.
+      // Dangling-mass sweep (redistribute mode): sinks' aggregate rank
+      // D re-enters damped through the teleport profile. One node-
+      // sized semi-join sum → a single driver scalar, folded back via
+      // exact BigInt floor division (17·D can exceed Long range).
+      val bonus = if (redistribute && nSinks > 0) {
+        val d = r.join(sinks, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank_scaled")), lit(0L))).first().getLong(0)
+        (BigInt(17) * d / (BigInt(20) * teleportCount)).toLong
+      } else 0L
+      // r' = __base + d·Σ + bonus·[teleport target], with d·Σ = 17·Σ
+      // div 20 (17e18 needs the decimal detour too). Left join keeps
+      // zero-indegree nodes alive. The bonus lands where __base does:
+      // every node (classic) or exactly the seeds (personalized,
+      // where __base > 0 ⇔ seed).
+      val bonusCol = if (seeds.isEmpty) lit(bonus)
+        else when(col("__base") > 0L, lit(bonus)).otherwise(lit(0L))
       val next = prof
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"), expr(
+        .select(col("node"), (expr(
           "__base + (CAST(17 AS DECIMAL(38,0)) * COALESCE(__msum, 0L)) div 20"
-        ).as("rank_scaled"))
+        ) + bonusCol).as("rank_scaled"))
       // Snap every NON-final iteration flat; return the last one live.
       r = if (i < iters) next.localCheckpoint() else next
     }

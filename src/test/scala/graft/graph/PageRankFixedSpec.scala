@@ -122,4 +122,73 @@ class PageRankFixedSpec extends SparkSpec {
         .collect()
     }
   }
+
+  private def redistRanks(edges: Seq[(String, String)], iters: Int,
+      parts: Int = 4): Map[String, Long] =
+    PageRankFixed.run(edges.toDF("src", "dst").repartition(parts), iters,
+        dangling = "redistribute")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("redistribute: sink-bearing chain matches the hand recurrence and conserves mass") {
+    // a → b → c, c a pure sink: its rank re-enters damped, uniformly
+    val edges = Seq(("a", "b"), ("b", "c"))
+    val n = 3L
+    val base = BigInt(3L) * S / (BigInt(20) * n)
+    var ra = BigInt(S / n); var rb = ra; var rc = ra
+    for (_ <- 1 to 3) {
+      val bonus = BigInt(17) * rc / (BigInt(20) * n)
+      val mb = ra * (BigInt(S) / 1) / S // a's single out-edge
+      val mc = rb * (BigInt(S) / 1) / S
+      ra = base + BigInt(0) + bonus
+      rb = base + BigInt(17) * mb / 20 + bonus
+      rc = base + BigInt(17) * mc / 20 + bonus
+    }
+    val got = redistRanks(edges, iters = 3)
+    assert(got.keySet === Set("a", "b", "c")) // sink c IS in the node set
+    assert(got("a") === ra.toLong)
+    assert(got("b") === rb.toLong)
+    assert(got("c") === rc.toLong)
+    val total = got.values.map(BigInt(_)).sum
+    assert(total <= BigInt(S) && total > BigInt(S) - 1000L, s"mass leaked: $total")
+  }
+
+  test("redistribute: identical to reject mode on a sink-free graph; bit-identical across partitionings") {
+    val rng = new scala.util.Random(31)
+    val fwd = (0 until 200).map(_ => (s"a${rng.nextInt(25)}", s"b${rng.nextInt(25)}")).distinct
+    val sym = fwd ++ fwd.map(_.swap)
+    assert(redistRanks(sym, 3) === ranks(sym, 3))
+    // sink-bearing: determinism across partitionings
+    val withSinks = fwd // one direction only: every b-node is a sink
+    assert(redistRanks(withSinks, 3, parts = 1) === redistRanks(withSinks, 3, parts = 13))
+    // mass conserved up to floor losses on the sink-heavy graph too
+    val total = redistRanks(withSinks, 3).values.map(BigInt(_)).sum
+    assert(total <= BigInt(S) &&
+      total > BigInt(S) - BigInt(10L * (withSinks.size + 60)))
+  }
+
+  test("redistribute: personalized dangling mass returns to the seeds") {
+    // a → b, b sink; seed = {a}: b's mass must flow back to a only
+    val edges = Seq(("a", "b"))
+    val got = PageRankFixed.personalized(
+        edges.toDF("src", "dst").repartition(2), 3, Some(Seq("a").toDF("node")),
+        dangling = "redistribute")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseA = BigInt(3L) * S / 20
+    var ra = BigInt(S); var rb = BigInt(0)
+    for (_ <- 1 to 3) {
+      val bonus = BigInt(17) * rb / 20 // to the single seed a
+      val mb = ra * (BigInt(S) / 1) / S
+      val ra2 = baseA + bonus
+      rb = BigInt(17) * mb / 20
+      ra = ra2
+    }
+    assert(got("a") === ra.toLong)
+    assert(got("b") === rb.toLong)
+  }
+
+  test("unknown dangling mode is rejected") {
+    intercept[IllegalArgumentException] {
+      PageRankFixed.run(Seq(("a", "b")).toDF("src", "dst"), 1, dangling = "selfloop")
+    }
+  }
 }
