@@ -33,6 +33,11 @@ object EventStream {
   // public: the state encoder's generated code instantiates it
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, ts: Timestamp)
+
+  final case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
   final case class Trending(window_start: Timestamp, event_type: String,
                             n_events: Long, rank: Int)
   // per-window accumulator: event_type -> count
@@ -341,6 +346,56 @@ object EventStream {
         sum(col("value").cast(D)).cast("double").as("total_value"))
       .select(col("user_id"), col("start"), col("end"),
         col("n_events"), col("total_value"))
+  }
+
+  /** Incremental Markov-transition PAIR feed — the q115 family's
+    * streaming twin in the drift-cell pattern (the q101 incremental
+    * producer): the stream emits one (user, from, to) row per
+    * consecutive event pair as it arrives, and the Markov TABLE
+    * (counts + row-normalized p) is a batch re-agg of the stored
+    * pairs ([[markovTable]]) — exact integer cells merge, so any
+    * ingest range's transition matrix is recomputable without
+    * re-scanning events. State per user is ONE last-event record
+    * (`flatMapGroupsWithState`, no timeout — user-count bounded,
+    * tiny; event text/value never enters state). Within a micro-batch
+    * events sort by (ts, event_id) — q115's exact order — and across
+    * batches the state bridges the boundary pair. Stream ≡ batch is
+    * exact for per-user in-order feeds (the replay/ingest contract;
+    * EventStreamSpec pins stream-pairs-then-agg ≡ the batch window
+    * plan on corpus rows split across several batches).
+    */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l =>
+              out += Transition(userId, l.event_type, e.event_type, e.ts))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** The batch consumer of [[transitions]]' stored pair rows: exact
+    * (from, to) counts and the row-normalized transition probability —
+    * q115's output shape over the incremental cells.
+    */
+  def markovTable(pairs: DataFrame): DataFrame = {
+    val c2 = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val c1 = c2.groupBy(col("from_type")).agg(sum(col("c")).as("__c1"))
+    c2.join(c1, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"),
+        round(col("c").cast("double") / col("__c1"), 9).as("p"))
   }
 
   /** Per-user sessionization with an inactivity gap — custom streaming

@@ -579,4 +579,46 @@ class EventStreamSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(batch === got)
   }
+
+  test("transitions: streamed pairs over corpus rows across batches equal the batch window plan") {
+    implicit val sq = spark.sqlContext
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.events.orderBy("ts", "event_id").limit(1500).as[Event].collect()
+    val src = MemoryStream[Event]
+    val q = EventStream.transitions(src.toDS()).writeStream
+      .format("memory").queryName("trans").outputMode("append").start()
+    // three chunks with state bridging the boundaries (per-user order
+    // is preserved: chunks are consecutive slices of the global order)
+    rows.grouped(500).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("trans")
+      .select("user_id", "from_type", "to_type", "ts")
+      .as[(Long, String, String, Timestamp)].collect()
+      .map(x => (x._1, x._2, x._3, x._4.getTime)).sorted.toSeq
+    // batch twin: q115's exact window plan on the same rows
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val batchPairs = rows.toSeq.toDF()
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", org.apache.spark.sql.functions.lead(col("from_type"), 1).over(wU))
+      .withColumn("to_ts", org.apache.spark.sql.functions.lead(col("ts"), 1).over(wU))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("from_type"), col("to_type"), col("to_ts"))
+      .as[(Long, String, String, Timestamp)].collect()
+      .map(x => (x._1, x._2, x._3, x._4.getTime)).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batchPairs)
+    // the Markov table re-agg over stored pairs matches the q115 shape
+    // computed directly from the batch pairs
+    val streamTable = EventStream.markovTable(spark.table("trans"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batchTable = EventStream.markovTable(
+        batchPairs.toDF("user_id", "from_type", "to_type", "ts"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamTable === batchTable)
+  }
 }
