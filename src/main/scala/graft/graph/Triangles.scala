@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by DEGREE-ORDERED ORIENTATION — the
+  * canonical MapReduce/Spark layout (Suri & Vassilvitskii's "last
+  * reducer" construction): orient every undirected edge from its
+  * lower-(degree, node) endpoint to the higher one, form wedges only
+  * at each node's oriented OUT-neighbors, and close them against the
+  * oriented edge set. Every triangle is generated exactly once (its
+  * three nodes have a unique (deg, node)-order, and the wedge forms
+  * only at the smallest), so no post-hoc dedup pass exists.
+  *
+  * Why this survives a 100× scale-up: the naive wedge join explodes
+  * at hubs (a degree-d node contributes d² wedges); orientation caps
+  * every node's out-degree at O(√E) (a node with out-degree t has t
+  * out-neighbors of degree ≥ its own, so t(t+1)/2 ≤ E), which bounds
+  * wedges by O(E^1.5) — the theoretical optimum for exact triangle
+  * enumeration — independent of the degree distribution. All four
+  * shuffles are keyed (two node-keyed degree joins, the wedge join on
+  * the apex, the closure join on the (v, w) edge key); nothing is
+  * ever all-pairs, nothing collects.
+  *
+  * Input: an edge list in any mix of directions/duplicates;
+  * canonicalized here to distinct undirected (a < b) pairs with
+  * self-loops dropped. Output: `(node, n_triangles)` for every node
+  * in at least one triangle — exact counts, engine-recomputable (the
+  * oracle brute-forces the triple join on the same canonical edges).
+  */
+object Triangles {
+
+  def perNode(edges: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst"): DataFrame = {
+    val ce = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = ce.select(col("a").as("node"))
+      .unionAll(ce.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by the (deg, node) total order: u → v iff u's key is lower
+    val oriented = ce
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"),
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("__da").as("du"), col("__db").as("dv")))
+          .otherwise(struct(col("__db").as("du"), col("__da").as("dv"))).as("d"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("d.du").as("du"), col("d.dv").as("dv"))
+      .localCheckpoint() // one oriented edge set feeds wedge + closure
+    // wedges at the apex u: out-neighbor pair (v, w) with v ≺ w in the
+    // same (deg, node) order, so the candidate arrives pre-oriented
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u") &&
+        (col("e1.dv") < col("e2.dv") ||
+          (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("t_u"), col("e1.v").as("t_v"), col("e2.v").as("t_w"))
+    // closure: the (v, w) oriented edge must exist
+    val tris = wedges.join(oriented.select(col("u").as("t_v"), col("v").as("t_w")),
+      Seq("t_v", "t_w"), "left_semi")
+    tris.select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -387,6 +387,70 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic audio-ONLY fixture of real 16-bit PCM mono WAV
+    * payloads with planted perceptual near-duplicates — q126's input,
+    * the audio sibling of [[imageFixtureParquet]]. Waveforms are
+    * integer triangle-wave mixes (no transcendentals — byte-exact on
+    * any JVM); per decade: rows ≡ 0..7 distinct, row ≡ 8 adds a small
+    * constant offset to the first envelope bin's samples of row ≡ 0's
+    * waveform (a genuine near-twin — inaudible level shift, envelope
+    * pHash a few bits off at most), row ≡ 9 is a byte-exact WAV copy.
+    */
+  def audioFixtureParquet(spark: SparkSession, path: String, n: Long,
+                          seed: Long = 42L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      spark.range(n).select(col("id")).mapPartitions { rows =>
+        rows.map { r =>
+          val i = r.getLong(0)
+          val cls = (i % 10).toInt
+          val base = cls match { case 8 => i - 8; case 9 => i - 9; case _ => i }
+          Row(i, "audio", wavBytes(base, seed, perturb = cls == 8),
+            Map("rate" -> "8000", "bits" -> "16", "codec" -> "pcm_s16le"))
+        }
+      }(enc).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private[graft] def wavBytes(base: Long, seed: Long, perturb: Boolean): Array[Byte] = {
+    val ns = 8000 // 1 s at 8 kHz
+    val f1 = 3 + ((seed + base) % 37).toInt
+    // a flat carrier has a flat envelope (every bin near the mean ⇒
+    // near-colliding pHashes for DISTINCT clips); modulate each of the
+    // 64 envelope bins with a seeded gain so each clip's envelope is a
+    // rich, clip-specific 64-cell pattern — like the image noise
+    val rng = new scala.util.Random(seed + base)
+    val gains = Array.fill(64)(1 + rng.nextInt(8))
+    def tri(t: Int, f: Int): Int = {
+      val ph = (t * f) % ns
+      (if (ph < ns / 2) ph else ns - ph) - ns / 4
+    }
+    val binLen = ns / 64
+    val pcm = new Array[Byte](ns * 2)
+    var t = 0
+    while (t < ns) {
+      var v = tri(t, f1) * gains(math.min(t / binLen, 63)) // ≤ 8·2000 < 2^15
+      if (perturb && t < binLen) v += 300 // first envelope bin only
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def le32(x: Int): Unit = { d.writeByte(x & 0xff); d.writeByte((x >> 8) & 0xff)
+      d.writeByte((x >> 16) & 0xff); d.writeByte((x >> 24) & 0xff) }
+    def le16(x: Int): Unit = { d.writeByte(x & 0xff); d.writeByte((x >> 8) & 0xff) }
+    d.writeBytes("RIFF"); le32(36 + pcm.length); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(1); le16(1) // PCM, mono
+    le32(8000); le32(8000 * 2); le16(2); le16(16)    // rate, byteRate, block, bits
+    d.writeBytes("data"); le32(pcm.length); d.write(pcm)
+    d.flush()
+    bos.toByteArray
+  }
+
   /** Decode `fixture` with `decoder` and persist (id, feature) once —
     * the cross-engine anchor for perceptual dedup: the DuckDB oracle
     * recomputes everything DOWNSTREAM of the codec (quantization,

@@ -403,7 +403,8 @@ object TextOps {
     *   parallelism); each shard's rows must fit one window task
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    windowTokens: Int, numShards: Int = 0): DataFrame = {
+                    windowTokens: Int, numShards: Int = 0,
+                    tokenCounter: Column => Column = tokenCount): DataFrame = {
     require(windowTokens >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -413,7 +414,7 @@ object TextOps {
     // explicit shard count: AQE never coalesces a user-pinned
     // repartition, so __part is stable across the checkpoint's lifetime
     val ranged = docs
-      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .select(col(idCol), tokenCounter(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(shards, col(idCol))
       .withColumn("__part", spark_partition_id())
       .localCheckpoint()

@@ -98,13 +98,19 @@ object EditDistanceJoin {
 
     // hot-key split: own-side global frequency per (i, seg) — tiny,
     // broadcast. Segments whose complement cannot host k+1 sub-
-    // segments stay cold regardless of frequency.
+    // segments stay cold regardless of frequency. The existence probe
+    // is ONE map-side-combined agg (skinny (i, seg) rows); when no key
+    // is hot — the common case — the plan is exactly the primary join,
+    // none of the refinement frames are ever built (they cost plan
+    // size and per-run planning time even when empty at runtime).
     val refinable = segs.filter { case (_, _, ln) => len - ln > k }.map(_._1).toSet
     val hotKeys = own.groupBy(col("__i"), col("__seg"))
       .agg(count(lit(1)).as("__f"))
       .filter(col("__f") > hotThreshold && col("__i").isInCollection(
         if (refinable.isEmpty) Seq(-1) else refinable.toSeq))
       .select(col("__i"), col("__seg"))
+      .persist()
+    if (hotKeys.limit(1).count() == 0L) { hotKeys.unpersist(); return primary }
     val cold = own.join(broadcast(hotKeys), Seq("__i", "__seg"), "left_anti")
       .join(windows, Seq("__i", "__seg"))
       .filter(col("id_a") < col("id_b"))

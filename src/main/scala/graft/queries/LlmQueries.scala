@@ -1180,6 +1180,97 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // AUDIO PERCEPTUAL NEAR-DUP — q119's pipeline on the REAL audio
+    // codec path: 16-bit PCM WAV payloads (integer triangle-wave
+    // fixture with byte-exact copies and level-shift near-twins)
+    // decode through javax.sound (Multimodal.RealDecoder) into the
+    // 64-bin mean-|amplitude| envelope, and the identical pHash chain
+    // (Phash.sig60 → pigeonhole Hamming ≤ 3 block join) pairs them.
+    // Same shared-raster-parquet oracle discipline: DuckDB brute-
+    // forces the exact pair set from the envelope parquet; the codec
+    // is spec-pinned (PhashNearDupSpec audio cases).
+    "q126_phash_audio_neardup" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val n = math.max(60L, (20000 * sfOf(dir)).toLong)
+      val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+      val decoded = Multimodal.decodedRasterParquet(
+        s, s"$fixDir/audio_decoded_$sfName",
+        Multimodal.audioFixtureParquet(s, s"$fixDir/audio_$sfName", n),
+        new Multimodal.RealDecoder(8))
+      Phash.pairs(decoded, "id", "feature", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // BIGRAM-LM DOCUMENT FLUENCY — the perplexity-proxy quality filter
+    // (CCNet's LM scoring shape) kept in exact integer space: score a
+    // document by the mean GLOBAL frequency of its adjacent token
+    // pairs (fluent text reuses common transitions; gibberish pairs
+    // are corpus-rare). Pairs form inside the scan projection (q114's
+    // device), the vocabulary²-bounded count table joins back keyed
+    // on the pair — deliberately NOT broadcast (vocab² outgrows
+    // drivers at 100 TB, q101's reasoning) — and the only division is
+    // one exact-integer ratio rounded to 9. localCheckpoint feeds one
+    // pair scan to both the count build and the join.
+    "q124_bigram_doc_score" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val pairs = t.documents
+        .select(col("doc_id"), toks.as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("__t")) - 1)).as("__i"), col("__t"))
+        .select(col("doc_id"),
+          element_at(col("__t"), col("__i")).as("w1"),
+          element_at(col("__t"), col("__i") + 1).as("w2"))
+        .localCheckpoint()
+      val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      pairs.join(counts, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c")).cast("long").as("sum_c"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 9).as("fluency"))
+    }),
+
+    // SEQUENCE PACKING IN MODEL TOKENS — q46's two-pass distributed
+    // prefix sum re-billed by the pinned BPE vocab (graft.llm.Bpe):
+    // context windows are what the trainer actually fills, so the
+    // packing arithmetic should run on the tokens it bills. Same
+    // no-single-partition-stage shape; the DuckDB twin re-runs the
+    // greedy merges per document before the identical running-offset
+    // window.
+    "q125_bpe_seq_packing" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      TextOps.packSequences(t.documents, "doc_id", "text", windowTokens = 512,
+        tokenCounter = Bpe.tokenCount)
+    }),
+
+    // WEIGHTED SYSTEMATIC (PPS) SAMPLING — the third member of the
+    // deterministic-sampling family: q45 thins by a per-doc coin
+    // (rate control, size-blind), q98 cuts a prefix (budget control);
+    // this samples PROPORTIONAL TO TOKEN SIZE with an exact integer
+    // grid — a doc is kept iff a stride multiple falls inside its
+    // token span along the per-language md5 order, so every stride
+    // tokens of corpus yield ~one kept doc and heavy docs are kept
+    // with probability ∝ size (the classic PPS systematic design,
+    // made rerun-stable by the content-derived order and exact by
+    // pure BIGINT div arithmetic — no RNG, no floats). One lang-keyed
+    // window carrying (id, lang, hash, count) — never text.
+    "q127_pps_sample" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val strideSql = "(CASE WHEN lang = 'en' THEN 2000L ELSE 800L END)"
+      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.documents
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("n_hits", expr(
+          s"(cum_before + n_tokens) div $strideSql - cum_before div $strideSql"))
+        .filter(col("n_hits") >= 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_before"), col("n_hits"))
+    }),
+
     // THE COMPOSED PIPELINE under the driver's eye — TrainingSet.build
     // (clean → decontaminate → quality-gate → leakage-safe split →
     // token-budget admit) end-to-end on the q40 twin corpus with q41's
@@ -1846,6 +1937,61 @@ object LlmQueries {
         FROM sig a, sig b
         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.s, b.s)) <= 3""",
 
+    // Fluency twin: same in-scan pair formation, same global pair
+    // counts, one exact-integer division rounded to 9.
+    "q124_bigram_doc_score" ->
+      s"""WITH t AS (
+            SELECT doc_id, $sqlToks AS toks FROM documents),
+          b AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)),
+          c2 AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2)
+        SELECT doc_id, COUNT(*) AS n_pairs, CAST(SUM(c) AS BIGINT) AS sum_c,
+               ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 9) AS fluency
+        FROM b JOIN c2 USING (w1, w2) GROUP BY doc_id""",
+
+    // BPE-packing twin: q46's running-offset window with the merge
+    // chain re-run from raw text (Bpe.sqlTokenCount — the same
+    // generated fragment as q120's oracle).
+    "q125_bpe_seq_packing" ->
+      s"""WITH tok AS (
+            SELECT doc_id, ${Bpe.sqlTokenCount(sqlToks)} AS n_tokens FROM documents),
+          run AS (
+            SELECT doc_id, n_tokens,
+              COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+            FROM tok)
+        SELECT doc_id, n_tokens,
+          CAST(FLOOR(off / 512) AS BIGINT) AS window_start,
+          CAST(CASE WHEN n_tokens = 0 THEN 1
+                    ELSE FLOOR((off + n_tokens - 1) / 512) - FLOOR(off / 512) + 1
+               END AS BIGINT) AS n_windows
+        FROM run""",
+
+    // PPS twin: same per-language md5 order, same exclusive prefix
+    // sum, same integer stride-grid test (DuckDB // floors and Spark
+    // div truncates — identical on these non-negative operands).
+    "q127_pps_sample" ->
+      s"""WITH tok AS (
+            SELECT doc_id, lang, md5(text) AS h,
+                   CAST(len($sqlToks) AS BIGINT) AS n_tokens
+            FROM documents),
+          run AS (
+            SELECT doc_id, lang, n_tokens,
+              COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                AS cum_before
+            FROM tok),
+          hits AS (
+            SELECT doc_id, lang, n_tokens, cum_before,
+              (cum_before + n_tokens) // (CASE WHEN lang = 'en' THEN 2000 ELSE 800 END)
+                - cum_before // (CASE WHEN lang = 'en' THEN 2000 ELSE 800 END) AS n_hits
+            FROM run)
+        SELECT doc_id, lang, n_tokens, cum_before, n_hits
+        FROM hits WHERE n_hits >= 1""",
+
     // Composed-pipeline ground truth: one program recomputing all five
     // TrainingSet.build stages from raw text — q40's exact clean (md5
     // keep-first + recursive min-label CC over the exact pair set),
@@ -1964,6 +2110,26 @@ object LlmQueries {
     // 64·qᵢ > Σq is pure BIGINT arithmetic.
     "q119_phash_image_neardup" -> {
       val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_sf0.01/*.parquet"
+      s"""WITH q AS (
+            SELECT id, list_transform(feature,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr
+            FROM read_parquet('$fixture')),
+          s AS (
+            SELECT id, qarr, CAST(list_sum(qarr) AS BIGINT) AS stot FROM q),
+          sig AS (
+            SELECT id, bit_or(CASE WHEN qarr[b + 1] * 64 > stot
+                                   THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sg
+            FROM s, range(60) r(b) GROUP BY id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        FROM sig a, sig b
+        WHERE a.id < b.id AND bit_count(xor(a.sg, b.sg)) <= 3"""
+    },
+
+    // Audio pHash ground truth — identical program to q119's over the
+    // audio envelope raster parquet.
+    "q126_phash_audio_neardup" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_sf0.01/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr

@@ -1646,10 +1646,49 @@ object RelationalQueries {
           Seq("lang", "source"), "n_chars", widths = Seq(100L, 500L, 2000L), k = 5L)
         .select(col("doc_id"), col("lang"), col("source"),
           col("bucket_lo"), col("bucket_width"))
+    }),
+
+    // TRIANGLE COUNTING (graph.Triangles) — the clustering/community
+    // primitive PageRank's family lacks: per-node exact triangle
+    // counts by degree-ordered orientation (wedges bounded O(E^1.5)
+    // regardless of hub skew — see the operator scaladoc). The graph
+    // is an md5-folded projection of the order graph (orderkey and
+    // custkey hashed into one 5000-node id space — deterministic,
+    // engine-recomputable, non-bipartite so triangles exist); the
+    // oracle brute-forces the a<b<c triple join on the same canonical
+    // edges.
+    "q123_triangle_count" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val edges = t.orders.select(
+        expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 6), 16, 10) as bigint) % 5000")
+          .as("src"),
+        expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 6), 16, 10) as bigint) % 5000")
+          .as("dst"))
+      graft.graph.Triangles.perNode(edges)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Triangle twin: same md5-folded edges, brute-force x<y<z triple
+    // join on the canonical a<b set (e1=(x,y), e2=(y,z), e3=(x,z) —
+    // each triangle exactly once), exploded to per-node counts.
+    "q123_triangle_count" ->
+      """WITH e0 AS (
+           SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 5000 AS x,
+                  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 6))::BIGINT % 5000 AS y
+           FROM orders),
+         ce AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x != y),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1
+           JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri)
+       SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
+
     // Enforcement twin: the three-level remaining-count loop unrolled —
     // release at 100, re-count leftovers at 500, re-count at 2000,
     // suppress the rest. Integer floor-division bucketing on

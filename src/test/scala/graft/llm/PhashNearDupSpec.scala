@@ -61,6 +61,28 @@ class PhashNearDupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  private lazy val audioDecoded = Multimodal.decodedRasterParquet(
+    spark, s"$tmp/adec",
+    Multimodal.audioFixtureParquet(spark, s"$tmp/wav", 60),
+    new Multimodal.RealDecoder(8)).cache()
+
+  test("audio: WAV fixture decodes through javax.sound; planted structure pairs exactly") {
+    val rows = audioDecoded.collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]](1)
+      assert(f.length === 64 && f.exists(_ > 0f), s"row ${r.getLong(0)}")
+    }
+    val pairs = Phash.pairs(audioDecoded, "id", "feature", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    (0L until 60L by 10).foreach { b =>
+      assert(pairs.get((b, b + 9)).contains(0), s"exact copy pair ($b, ${b + 9})")
+      assert(pairs.contains((b, b + 8)) && pairs((b, b + 8)) <= 3,
+        s"perturbed pair ($b, ${b + 8})")
+    }
+    pairs.keys.foreach { case (a, b) => assert(a / 10 === b / 10, s"($a, $b)") }
+  }
+
   test("signaturePairs rejects non-divisible block layouts") {
     val df = Seq((1L, 5L)).toDF("id", "sig")
     intercept[IllegalArgumentException](
