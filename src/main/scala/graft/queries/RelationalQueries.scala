@@ -1665,6 +1665,93 @@ object RelationalQueries {
         expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 6), 16, 10) as bigint) % 5000")
           .as("dst"))
       graft.graph.Triangles.perNode(edges)
+    }),
+
+    // RANK-FEATURE WINDOWS — the ML-prep percentile features
+    // (percent_rank / cume_dist / decile) per order priority: all
+    // three are exact rational functions of integer ranks, so the
+    // doubles are engine-identical (one division each, round-9 by
+    // convention); the (totalprice, orderkey) order is total so ntile
+    // boundaries are deterministic. One keyed window shuffle.
+    "q128_rank_features" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("pr", round(percent_rank().over(w), 9))
+        .withColumn("cd", round(cume_dist().over(w), 9))
+        .withColumn("decile", ntile(10).over(w))
+    }),
+
+    // ORDERED FUNNEL — the batch conversion analysis (streaming
+    // attribution q-family's batch sibling): per user, the earliest
+    // signup, the earliest click AFTER that signup, the earliest
+    // purchase AFTER that click — each stage gated on the previous
+    // (the order requirement is what makes it a funnel, not three
+    // mins). Three user-keyed conditional aggregates, no window over
+    // events, no self-join wider than user×stage.
+    "q129_funnel" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("__s"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("__s")).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("__s") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("__s")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("__s") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("__s")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // REFERENTIAL-INTEGRITY AUDIT — the dbt/expectations-style data
+    // contract check: orphan counts for the three core foreign keys,
+    // each an anti-join keyed on the fk (the dimension side broadcasts
+    // when small; at 100 TB the orders→customer probe is the standard
+    // shuffled anti join). A planted orphan row per relation proves
+    // the audit actually detects (the corpus itself is clean — an
+    // all-zero audit can't distinguish working from vacuous).
+    "q130_ref_integrity" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def orphans(name: String, fact: DataFrame, key: String, dim: DataFrame,
+                  dimKey: String): DataFrame =
+        fact.select(col(key).as("__k"))
+          .unionByName(s.range(1).select(lit(-1L).as("__k"))) // planted orphan
+          .join(dim.select(col(dimKey).as("__k")).distinct(), Seq("__k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("check"), col("n_orphans"))
+      orphans("orders_custkey", t.orders, "o_custkey", t.customer, "c_custkey")
+        .unionByName(orphans("lineitem_orderkey", t.lineitem, "l_orderkey",
+          t.orders, "o_orderkey"))
+        .unionByName(orphans("lineitem_partkey", t.lineitem, "l_partkey",
+          t.part, "p_partkey"))
+    }),
+
+    // ROLLING TIME-WINDOW FEATURES — trailing 1-hour event count and
+    // mean value per type via a RANGE frame over epoch seconds (the
+    // feature-engineering staple). RANGE includes all epoch-tied
+    // peers, so the frame content is order-independent under ties;
+    // sums run in decimal (order-independent exactness, q92's device)
+    // and the one division rounds to 9. One keyed window shuffle.
+    "q131_rolling_features" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val D = org.apache.spark.sql.types.DecimalType(18, 6)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("epoch")).rangeBetween(-3599, 0)
+      t.events
+        .select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("epoch"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("mean_1h", round(
+          sum(col("value").cast(D)).over(w).cast("double") / count(lit(1)).over(w), 9))
+        .select(col("event_id"), col("event_type"), col("epoch"),
+          col("n_1h"), col("mean_1h"))
     })
   )
 
@@ -1688,6 +1775,63 @@ object RelationalQueries {
                UNION ALL SELECT y FROM tri
                UNION ALL SELECT z FROM tri)
        SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node""",
+
+    // Rank-feature twin: identical total order, identical rational
+    // rank functions, same round-9.
+    "q128_rank_features" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(percent_rank() OVER w, 9) AS pr,
+           ROUND(cume_dist() OVER w, 9) AS cd,
+           ntile(10) OVER w AS decile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)""",
+
+    // Funnel twin: the same three stage-gated min aggregates.
+    "q129_funnel" ->
+      """WITH ev AS (
+           SELECT user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+         s1 AS (SELECT user_id, MIN(s) AS t_signup FROM ev
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.s) AS t_click
+                FROM ev e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.s > s1.t_signup GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.s) AS t_purchase
+                FROM ev e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.s > s2.t_click GROUP BY 1)
+       SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+              1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+
+    // Integrity twin: same three anti-join orphan counts with the
+    // same planted orphan key.
+    "q130_ref_integrity" ->
+      """SELECT 'orders_custkey' AS check, COUNT(*) AS n_orphans FROM (
+           SELECT o_custkey AS k FROM orders UNION ALL SELECT -1) f
+         WHERE k NOT IN (SELECT c_custkey FROM customer)
+         UNION ALL
+         SELECT 'lineitem_orderkey', COUNT(*) FROM (
+           SELECT l_orderkey AS k FROM lineitem UNION ALL SELECT -1) f
+         WHERE k NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'lineitem_partkey', COUNT(*) FROM (
+           SELECT l_partkey AS k FROM lineitem UNION ALL SELECT -1) f
+         WHERE k NOT IN (SELECT p_partkey FROM part)""",
+
+    // Rolling twin: identical RANGE frame over floored epoch seconds,
+    // decimal sums, one round-9 division.
+    "q131_rolling_features" ->
+      """SELECT event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 9) AS mean_1h
+         FROM events
+         WINDOW w AS (PARTITION BY event_type
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
 
     // Enforcement twin: the three-level remaining-count loop unrolled —
     // release at 100, re-count leftovers at 500, re-count at 2000,
