@@ -98,7 +98,29 @@ object SoakGen {
     // localizes in the original component — the seeded semantics)
     t.supplier.write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    println(s"SOAKGEN wrote 10x documents+events+embeddings+lineitem (+supplier dim) from $src to $out")
+    // orders: copy c shifts o_orderkey by the SAME c·10⁸ lineitem
+    // uses for l_orderkey, so lineitem→orders referential integrity
+    // holds on the soak corpus (q130's audit must stay clean except
+    // its planted orphans); o_custkey is NOT shifted — 10× orders
+    // over the same customer dim, the shape traffic growth has.
+    val od = t.orders
+    (0 until 10).map { c =>
+      if (c == 0) od
+      else od.withColumn("o_orderkey", col("o_orderkey") + c * 100000000L)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // customer/part: verbatim dims. Note lineitem copies 1-9 shift
+    // l_partkey OFF the part dim, so q130's lineitem→part probe sees
+    // an orphan-heavy fact at 10× — the audit's worst case (every
+    // orphan row survives the anti join), a deliberately harder soak
+    // than the clean path; orders↔customer and lineitem↔orders stay
+    // referentially intact by the matching key shifts.
+    t.customer.write.mode("overwrite").parquet(s"$out/customer.parquet")
+    t.part.write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    println(s"SOAKGEN wrote 10x documents+events+embeddings+lineitem+orders " +
+      s"(+supplier/customer/part dims) from $src to $out")
     spark.stop()
   }
 }

@@ -1652,18 +1652,22 @@ object RelationalQueries {
     // primitive PageRank's family lacks: per-node exact triangle
     // counts by degree-ordered orientation (wedges bounded O(E^1.5)
     // regardless of hub skew — see the operator scaladoc). The graph
-    // is an md5-folded projection of the order graph (orderkey and
-    // custkey hashed into one 5000-node id space — deterministic,
-    // engine-recomputable, non-bipartite so triangles exist); the
-    // oracle brute-forces the a<b<c triple join on the same canonical
-    // edges.
+    // is the natural PART CO-PURCHASE projection: one edge per order
+    // between its first two lineitems' parts (one keyed aggregate —
+    // no self-join, no pair explosion). The node space is the part
+    // dimension, which GROWS with the data, so graph density stays
+    // constant under scale-up — the earlier md5-fold into a fixed id
+    // space densified quadratically and saturated at the 10× soak
+    // (44 s → 187 s); this shape soaks linearly. Oracle brute-forces
+    // the a<b<c triple join on the same canonical edges.
     "q123_triangle_count" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val edges = t.orders.select(
-        expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 6), 16, 10) as bigint) % 5000")
-          .as("src"),
-        expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 6), 16, 10) as bigint) % 5000")
-          .as("dst"))
+      val edges = t.lineitem.filter(col("l_linenumber") <= 2)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_partkey")).as("src"), max(col("l_partkey")).as("dst"),
+          count(lit(1)).as("__c"))
+        .filter(col("__c") === 2)
+        .select(col("src"), col("dst"))
       graft.graph.Triangles.perNode(edges)
     }),
 
@@ -1761,9 +1765,9 @@ object RelationalQueries {
     // each triangle exactly once), exploded to per-node counts.
     "q123_triangle_count" ->
       """WITH e0 AS (
-           SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT % 5000 AS x,
-                  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 6))::BIGINT % 5000 AS y
-           FROM orders),
+           SELECT MIN(l_partkey) AS x, MAX(l_partkey) AS y
+           FROM lineitem WHERE l_linenumber <= 2
+           GROUP BY l_orderkey HAVING COUNT(*) = 2),
          ce AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
                 FROM e0 WHERE x != y),
          tri AS (
