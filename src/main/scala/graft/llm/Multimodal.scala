@@ -324,12 +324,38 @@ object Multimodal {
     * scan, not in-memory generation. Content is seed-deterministic, so
     * an existing fixture is always valid to reuse.
     */
-  def fixtureParquet(spark: SparkSession, path: String, n: Long, seed: Long = 42L): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      syntheticFixtureDistributed(spark, n, seed)
-        .write.mode("overwrite").parquet(path)
+  def fixtureParquet(spark: SparkSession, path: String, n: Long, seed: Long = 42L): DataFrame =
+    materializeOnce(spark, path + fixtureKey(n, seed))(
+      syntheticFixtureDistributed(spark, n, seed))
+
+  /** Generator version bumped whenever pngBytes/wavBytes/synthetic
+    * recipes change, so a persisted fixture can never silently go
+    * stale — the key IS the content formula. */
+  private[graft] val fixtureGenVersion = 2
+
+  /** Path suffix encoding everything the fixture bytes depend on. */
+  private[graft] def fixtureKey(n: Long, seed: Long): String =
+    s"_n${n}_s${seed}_v$fixtureGenVersion"
+
+  /** Materialize `build` at `path` exactly once, safely under
+    * concurrent sessions sharing java.io.tmpdir: write to a private
+    * temp dir, then rename into place — a loser of the race just
+    * deletes its copy and reads the winner's (content is
+    * seed-deterministic, so any complete fixture is THE fixture).
+    */
+  private def materializeOnce(spark: SparkSession, path: String)
+                             (build: => DataFrame): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID.toString)
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(target) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        fs.delete(target, true) // crashed partial write: clear it
+      if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race
+    }
     spark.read.parquet(path)
   }
 
@@ -345,10 +371,8 @@ object Multimodal {
     * runs.
     */
   def imageFixtureParquet(spark: SparkSession, path: String, n: Long,
-                          seed: Long = 42L): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+                          seed: Long = 42L): DataFrame =
+    materializeOnce(spark, path + fixtureKey(n, seed)) {
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
       spark.range(n).select(col("id")).mapPartitions { rows =>
         rows.map { r =>
@@ -358,10 +382,8 @@ object Multimodal {
           Row(i, "image", pngBytes(base, seed, perturb = cls == 8),
             Map("width" -> "64", "height" -> "48", "codec" -> "png"))
         }
-      }(enc).write.mode("overwrite").parquet(path)
+      }(enc)
     }
-    spark.read.parquet(path)
-  }
 
   private[graft] def pngBytes(base: Long, seed: Long, perturb: Boolean): Array[Byte] = {
     val w = 64; val h = 48
@@ -397,10 +419,8 @@ object Multimodal {
     * pHash a few bits off at most), row ≡ 9 is a byte-exact WAV copy.
     */
   def audioFixtureParquet(spark: SparkSession, path: String, n: Long,
-                          seed: Long = 42L): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+                          seed: Long = 42L): DataFrame =
+    materializeOnce(spark, path + fixtureKey(n, seed)) {
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
       spark.range(n).select(col("id")).mapPartitions { rows =>
         rows.map { r =>
@@ -410,10 +430,8 @@ object Multimodal {
           Row(i, "audio", wavBytes(base, seed, perturb = cls == 8),
             Map("rate" -> "8000", "bits" -> "16", "codec" -> "pcm_s16le"))
         }
-      }(enc).write.mode("overwrite").parquet(path)
+      }(enc)
     }
-    spark.read.parquet(path)
-  }
 
   private[graft] def wavBytes(base: Long, seed: Long, perturb: Boolean): Array[Byte] = {
     val ns = 8000 // 1 s at 8 kHz
@@ -459,12 +477,7 @@ object Multimodal {
     * (MultimodalSpec / PhashNearDupSpec).
     */
   def decodedRasterParquet(spark: SparkSession, path: String,
-                           fixture: => DataFrame, decoder: MediaDecoder): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      decodeFeatures(fixture, decoder).select(col("id"), col("feature"))
-        .write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+                           fixture: => DataFrame, decoder: MediaDecoder): DataFrame =
+    materializeOnce(spark, path + s"_v$fixtureGenVersion")(
+      decodeFeatures(fixture, decoder).select(col("id"), col("feature")))
 }

@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   * broadcast hot-key table (hot keys are few by definition); the
   * verify runs only on candidates. Both `levenshtein` and all
   * blocking keys are engine-recomputable, so the result set is
-  * exactly SQL-checkable.
+  * exactly SQL-checkable. The hot-key table is deliberately kept
+  * persisted for the RESULT'S lifetime (not unpersisted before
+  * return): the returned plan references it from both the cold
+  * anti-join and every hot frame, an early unpersist would re-run
+  * the global frequency count on each consumption, and the cache is
+  * threshold-bounded metadata (≤ |R|/hotThreshold skinny rows) that
+  * Spark evicts LRU if memory is ever tight. Only the no-hot-keys
+  * early return unpersists, because there the cache provably has no
+  * consumer.
   *
   * Contract: every string in `strCol` has exactly `len` characters
   * (pad/truncate upstream — the fixed length is what bounds the

@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per width, ONE map-side-combined aggregate over the
   * remaining rows produces the (cells × 1) count table — broadcast
-  * back, never a row-keyed shuffle join. The remaining set is the
+  * back when the counted cell cardinality is under
+  * `maxBroadcastCells`, else joined as an ordinary shuffle join (the
+  * quasi × bucket domain can outgrow a driver at 100 TB even though
+  * real quasi-identifier ladders rarely do; the guard costs one
+  * map-side-combined count per width). The remaining set is the
   * sub-k risk TAIL (cells × < k rows), which collapses fast — it is
   * localCheckpoint-ed per level so later levels and the released
   * union never re-derive earlier levels; checkpoint cost is
@@ -37,7 +41,8 @@ object KAnonymity {
     * dropped; callers audit via `df.count - released.count`.
     */
   def enforce(df: DataFrame, quasiCols: Seq[String], valueCol: String,
-              widths: Seq[Long], k: Long): DataFrame = {
+              widths: Seq[Long], k: Long,
+              maxBroadcastCells: Long = 1L << 21): DataFrame = {
     require(quasiCols.nonEmpty, "KAnonymity.enforce: need quasi-identifier columns")
     require(widths.nonEmpty && widths.forall(_ > 0) &&
       widths == widths.sorted && widths.distinct == widths,
@@ -51,7 +56,11 @@ object KAnonymity {
         expr(s"$valueCol div ${w}L * ${w}L").cast("long"))
       val counts = withCell.groupBy((q :+ col("__cell")): _*)
         .agg(count(lit(1)).as("__n"))
-      val joined = withCell.join(broadcast(counts), quasiCols :+ "__cell")
+      // broadcast only driver-small cell tables; the count is itself a
+      // map-side-combined pass over the (checkpointed) remaining set
+      val joined = withCell.join(
+        if (counts.count() <= maxBroadcastCells) broadcast(counts) else counts,
+        quasiCols :+ "__cell")
       val rel = joined.filter(col("__n") >= k)
         .withColumn("bucket_lo", col("__cell"))
         .withColumn("bucket_width", lit(w))

@@ -1173,7 +1173,7 @@ object LlmQueries {
       val n = math.max(60L, (20000 * sfOf(dir)).toLong)
       val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
       val decoded = Multimodal.decodedRasterParquet(
-        s, s"$fixDir/images_decoded_$sfName",
+        s, s"$fixDir/images_decoded_${sfName}_n$n",
         Multimodal.imageFixtureParquet(s, s"$fixDir/images_$sfName", n),
         new Multimodal.RealDecoder(8))
       Phash.pairs(decoded, "id", "feature", maxDist = 3)
@@ -1194,7 +1194,7 @@ object LlmQueries {
       val n = math.max(60L, (20000 * sfOf(dir)).toLong)
       val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
       val decoded = Multimodal.decodedRasterParquet(
-        s, s"$fixDir/audio_decoded_$sfName",
+        s, s"$fixDir/audio_decoded_${sfName}_n$n",
         Multimodal.audioFixtureParquet(s, s"$fixDir/audio_$sfName", n),
         new Multimodal.RealDecoder(8))
       Phash.pairs(decoded, "id", "feature", maxDist = 3)
@@ -1420,7 +1420,8 @@ object LlmQueries {
     // structurally nil: distinct payloads hash to distinct 64-bit
     // folds on this deterministic fixture (asserted in MultimodalSpec).
     "q32_multimodal" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_sf0.01/*.parquet"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_sf0.01" +
+        Multimodal.fixtureKey(200L, 42L) + "/*.parquet"
       s"""WITH g AS (
            SELECT id, modality,
                   CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END AS grp
@@ -2109,7 +2110,8 @@ object LlmQueries {
     // is exact, ×10⁶ + half-up round are IEEE-identical, and the vote
     // 64·qᵢ > Σq is pure BIGINT arithmetic.
     "q119_phash_image_neardup" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_sf0.01/*.parquet"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_sf0.01_n200" +
+        s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr
@@ -2129,7 +2131,8 @@ object LlmQueries {
     // Audio pHash ground truth — identical program to q119's over the
     // audio envelope raster parquet.
     "q126_phash_audio_neardup" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_sf0.01/*.parquet"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_sf0.01_n200" +
+        s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr

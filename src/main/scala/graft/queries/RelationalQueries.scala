@@ -1760,7 +1760,9 @@ object RelationalQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // Triangle twin: same md5-folded edges, brute-force x<y<z triple
+    // Triangle twin: same co-purchase edge derivation (per 2-line
+    // order, src = MIN / dst = MAX of l_partkey over l_linenumber ≤ 2,
+    // kept only when COUNT(*) = 2), then brute-force x<y<z triple
     // join on the canonical a<b set (e1=(x,y), e2=(y,z), e3=(x,z) —
     // each triangle exactly once), exploded to per-node counts.
     "q123_triangle_count" ->
