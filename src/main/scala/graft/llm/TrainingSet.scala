@@ -58,33 +58,33 @@ object TrainingSet {
     // 4. leakage-safe split (group = exact content; post-clean these are
     // singletons, but the rule stays group-keyed so a caller skipping
     // stage 1 still cannot leak identical docs across the boundary)
+    // both rank passes below run on DistributedRank.prefix — a
+    // language-keyed window would funnel each language's corpus
+    // through one sort task at scale (round-12 q128 flag; same fix)
     val grouped = gated.withColumn("__grp", md5(col(textCol)))
-    val assigned = grouped
-      .groupBy(col("__grp")).agg(min(col(langCol)).as("__rl"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__rl")).orderBy(col("__grp"))))
-      .withColumn("__nn", count(lit(1)).over(
-        Window.partitionBy(col("__rl"))))
+    val assigned = graft.operators.DistributedRank.prefix(
+        grouped.groupBy(col("__grp")).agg(min(col(langCol)).as("__rl")),
+        Seq("__rl"), Seq("__grp"))
       .select(col("__grp"),
-        when(col("__rn") * 10 <= col("__nn") * 8, "train")
-          .when(col("__rn") * 10 <= col("__nn") * 9, "val")
+        when(col("__rank") * 10 <= col("__n") * 8, "train")
+          .when(col("__rank") * 10 <= col("__n") * 9, "val")
           .otherwise("test").as("split"))
     val split = grouped.join(assigned, Seq("__grp"))
       .withColumn("__tok", TextOps.tokenCount(col(textCol)))
     // 5. per-language token budget on the train split: admit while the
     // tokens admitted BEFORE this doc stay under budget (q98 straddle
-    // semantics — the boundary doc is admitted)
+    // semantics — the boundary doc is admitted); non-train rows ride
+    // along with a zero summand, exactly the old conditional sum
     val budgetCol: Column = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
     }
-    val wLang = Window.partitionBy(col(langCol))
-      .orderBy(md5(col(textCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    split
+    graft.operators.DistributedRank.prefix(
+        split.withColumn("__tok_tr",
+          when(col("split") === "train", col("__tok").cast("long")).otherwise(0L)),
+        Seq(langCol), Seq("__grp", idCol), Seq("__tok_tr"))
       .withColumn("admitted",
         col("split") =!= "train" ||
-          coalesce(sum(when(col("split") === "train", col("__tok"))).over(wLang),
-            lit(0L)) < budgetCol)
+          (col("__cum___tok_tr") - col("__tok_tr")) < budgetCol)
       .select(col(idCol), col(langCol), col("split"),
         col("__tok").as("n_tokens"), col("admitted"))
   }

@@ -914,18 +914,20 @@ object LlmQueries {
     // budgets are in TOKENS (what the model consumes), the order is
     // content-derived (rerun-stable on any cluster), and the boundary
     // doc is admitted (its overshoot is the standard "last document
-    // straddles the budget" semantics). One lang-keyed window shuffle
-    // carrying (id, lang, hash, n_tokens) — never text; exact integer
-    // cumulative sums, so both engines cut at the identical doc.
+    // straddles the budget" semantics). The cumulative sum runs
+    // through DistributedRank.prefix carrying (id, lang, hash,
+    // n_tokens) — never text — so no sort task ever exceeds a range
+    // shard (a lang-keyed window funnels per-language corpora through
+    // ~5 tasks at 100×); exact integer sums, so both engines cut at
+    // the identical doc.
     "q98_token_budget_mix" -> ((s, dir) => {
       val t = Tables(s, dir)
       val budget = when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
-      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.documents
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      graft.operators.DistributedRank.prefix(
+          t.documents.select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("lang"), Seq("__h", "doc_id"), Seq("n_tokens"))
+        .withColumn("cum_tokens", col("__cum_n_tokens"))
         .filter(col("cum_tokens") - col("n_tokens") < budget)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
     }),
@@ -1142,13 +1144,12 @@ object LlmQueries {
     "q120_bpe_budget_mix" -> ((s, dir) => {
       val t = Tables(s, dir)
       val budget = when(col("lang") === "en", lit(10000L)).otherwise(lit(3500L))
-      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.documents
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
-          Bpe.tokenCount(col("text")).as("n_bpe_tokens"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
-        .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(w))
+      graft.operators.DistributedRank.prefix(
+          t.documents.select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
+            Bpe.tokenCount(col("text")).as("n_bpe_tokens"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens")),
+          Seq("lang"), Seq("__h", "doc_id"), Seq("n_bpe_tokens"))
+        .withColumn("cum_tokens", col("__cum_n_bpe_tokens"))
         .filter(col("cum_tokens") - col("n_bpe_tokens") < budget)
         .select(col("doc_id"), col("lang"), col("n_bpe_tokens"),
           col("n_ws_tokens"), col("cum_tokens"))
@@ -1253,17 +1254,18 @@ object LlmQueries {
     // tokens of corpus yield ~one kept doc and heavy docs are kept
     // with probability ∝ size (the classic PPS systematic design,
     // made rerun-stable by the content-derived order and exact by
-    // pure BIGINT div arithmetic — no RNG, no floats). One lang-keyed
-    // window carrying (id, lang, hash, count) — never text.
+    // pure BIGINT div arithmetic — no RNG, no floats). The exclusive
+    // cumulative sum is DistributedRank.prefix's inclusive sum minus
+    // the row's own count, carrying (id, lang, hash, count) — never
+    // text — with every sort task bounded by a range shard.
     "q127_pps_sample" -> ((s, dir) => {
       val t = Tables(s, dir)
       val strideSql = "(CASE WHEN lang = 'en' THEN 2000L ELSE 800L END)"
-      val w = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.documents
-        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      graft.operators.DistributedRank.prefix(
+          t.documents.select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+          Seq("lang"), Seq("__h", "doc_id"), Seq("n_tokens"))
+        .withColumn("cum_before", col("__cum_n_tokens") - col("n_tokens"))
         .withColumn("n_hits", expr(
           s"(cum_before + n_tokens) div $strideSql - cum_before div $strideSql"))
         .filter(col("n_hits") >= 1)

@@ -1673,18 +1673,29 @@ object RelationalQueries {
 
     // RANK-FEATURE WINDOWS — the ML-prep percentile features
     // (percent_rank / cume_dist / decile) per order priority: all
-    // three are exact rational functions of integer ranks, so the
-    // doubles are engine-identical (one division each, round-9 by
-    // convention); the (totalprice, orderkey) order is total so ntile
-    // boundaries are deterministic. One keyed window shuffle.
+    // three are exact rational functions of the integer (rank, n)
+    // pair, so the doubles are engine-identical (one division each,
+    // round-9 by convention); the (totalprice, orderkey) order is
+    // total so ntile boundaries are deterministic. Ranks come from
+    // DistributedRank.prefix — a naive partitionBy(o_orderpriority)
+    // window funnels the whole table through 5 sort tasks at 100×
+    // (round-12 weak flag); here every sort task is one range shard
+    // and the only group-keyed window runs over the shards×groups
+    // partials table.
     "q128_rank_features" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("pr", round(percent_rank().over(w), 9))
-        .withColumn("cd", round(cume_dist().over(w), 9))
-        .withColumn("decile", ntile(10).over(w))
+      import graft.operators.DistributedRank
+      DistributedRank.prefix(
+          t.orders.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"), Seq("o_totalprice", "o_orderkey"))
+        .withColumn("pr", round(
+          DistributedRank.percentRankFromRank(col("__rank"), col("__n")), 9))
+        .withColumn("cd", round(
+          DistributedRank.cumeDistFromRank(col("__rank"), col("__n")), 9))
+        .withColumn("decile",
+          DistributedRank.ntileFromRank(col("__rank"), col("__n"), 10))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("pr"), col("cd"), col("decile"))
     }),
 
     // ORDERED FUNNEL — the batch conversion analysis (streaming
@@ -1742,18 +1753,22 @@ object RelationalQueries {
     // feature-engineering staple). RANGE includes all epoch-tied
     // peers, so the frame content is order-independent under ties;
     // sums run in decimal (order-independent exactness, q92's device)
-    // and the one division rounds to 9. One keyed window shuffle.
+    // and the one division rounds to 9. The frame runs through
+    // DistributedRank.rollingRange — (type, hour-chunk) partitions
+    // with one donor replica per row instead of the ~6-task
+    // partitionBy(event_type) funnel (round-12 weak flag), so
+    // parallelism grows with the data's time span.
     "q131_rolling_features" -> ((s, dir) => {
       val t = Tables(s, dir)
       val D = org.apache.spark.sql.types.DecimalType(18, 6)
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("epoch")).rangeBetween(-3599, 0)
-      t.events
-        .select(col("event_id"), col("event_type"),
-          unix_timestamp(col("ts")).as("epoch"), col("value"))
-        .withColumn("n_1h", count(lit(1)).over(w))
+      graft.operators.DistributedRank.rollingRange(
+          t.events.select(col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("epoch"),
+            col("value").cast(D).as("__dv")),
+          Seq("event_type"), "epoch", 3600L, Seq("__dv"))
+        .withColumn("n_1h", col("__roll_n"))
         .withColumn("mean_1h", round(
-          sum(col("value").cast(D)).over(w).cast("double") / count(lit(1)).over(w), 9))
+          col("__roll___dv").cast("double") / col("__roll_n"), 9))
         .select(col("event_id"), col("event_type"), col("epoch"),
           col("n_1h"), col("mean_1h"))
     })

@@ -25,7 +25,10 @@ class PlanShapeSpec extends SparkSpec {
     "q86_salted_distinct" -> 3, // (type,salt[,user]) expansion + 2-stage fold
     "q87_window_dedup" -> 1,    // one user-keyed window shuffle
     "q88_hash_sample" -> 1,     // one lang-keyed window shuffle
-    "q98_token_budget_mix" -> 1 // one lang-keyed window shuffle (cum sum)
+    // DistributedRank.prefix: shard-partials agg + metadata-sized base
+    // window + shard-local window (the range exchange hides behind the
+    // operator's localCheckpoint) — 3 visible, every one shard-bounded
+    "q98_token_budget_mix" -> 3
   )
 
   test("pinned no-join queries keep their exact shuffle counts") {
@@ -99,6 +102,45 @@ class PlanShapeSpec extends SparkSpec {
     // projection must reach the reader: only the three live columns
     assert(!plan.contains("user_id") && !plan.contains("props"),
       s"q106 ORC ReadSchema not pruned:\n$plan")
+  }
+
+  test("no corpus-sized single-partition or low-cardinality window in any query") {
+    // Round-12 weak flag, generalized into a net: every logical Window
+    // node in every SparkEntry query must be partitioned, and for the
+    // DistributedRank-rewritten family the partition key must be the
+    // range shard (__part) / time chunk (__chunk) — or the window must
+    // sit on the operator's shard-partials Aggregate, which is
+    // metadata-sized (≤ shards + |groups| rows) by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // q91: rank over the distinct-calendar table; q107: ≥5-error hour
+    // cells — both metadata-sized by construction (documented since
+    // their rounds; the two known WindowExec warnings in the bench log)
+    val emptyOk = Set("q91_dpp", "q107_interval_join")
+    val sharded = Seq("q98_token_budget_mix", "q120_bpe_budget_mix",
+      "q127_pps_sample", "q128_rank_features", "q131_rolling_features",
+      "q121_training_set")
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow =>
+          if (w.partitionSpec.isEmpty && !emptyOk.contains(name))
+            bad += s"$name: unpartitioned Window (single task at any scale)"
+          else if (sharded.contains(name) && w.partitionSpec.nonEmpty) {
+            val onShard = w.partitionSpec.exists(_.references.exists(a =>
+              a.name == "__part" || a.name == "__chunk"))
+            val onPartials = w.child.collectFirst {
+              case a: Aggregate if a.groupingExpressions.exists(
+                _.references.exists(_.name == "__part")) => a
+            }.nonEmpty
+            if (!onShard && !onPartials)
+              bad += s"$name: Window partitioned by neither shard nor " +
+                s"chunk and not over shard partials: ${w.partitionSpec}"
+          }
+        case _ =>
+      }
+    }
+    assert(bad.isEmpty, s"window-shape violations:\n${bad.mkString("\n")}")
   }
 
   test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
