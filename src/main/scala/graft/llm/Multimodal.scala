@@ -343,8 +343,8 @@ object Multimodal {
     * deletes its copy and reads the winner's (content is
     * seed-deterministic, so any complete fixture is THE fixture).
     */
-  private def materializeOnce(spark: SparkSession, path: String)
-                             (build: => DataFrame): DataFrame = {
+  private[llm] def materializeOnce(spark: SparkSession, path: String)
+                                  (build: => DataFrame): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {

@@ -1129,24 +1129,26 @@ object LlmQueries {
     }),
 
     // MODEL-TOKEN budget mix — q98's cumulative-weight cut re-billed
-    // in BPE tokens (graft.llm.Bpe): the budget a trainer actually
-    // pays. The BPE count is exact textbook greedy encoding under a
-    // pinned consistent merge table, computed as a chained-replace
-    // builtin projection INSIDE the scan (codegen, no UDF, no state);
-    // the lang-keyed window then carries only (id, lang, hash, two
-    // counts) — never text. n_ws_tokens rides along to expose the
-    // model-vs-whitespace divergence the round-11 verdict flagged as
-    // the gap in the whole budget family. The DuckDB twin recomputes
-    // the greedy merges themselves from raw text via the same
-    // rank-ordered replace chain (Bpe.sqlTokenCount — single source
-    // of truth for both engines), so the tokenizer, not just the
-    // cut, is cross-checked.
+    // in BPE tokens: the budget a trainer actually pays, under the
+    // PRODUCTION-SCALE vocab (Bpe.TableMerges, ~50k consistent
+    // merges). The count is exact textbook greedy encoding through
+    // the broadcast-vocab codegen'd expression (functions.
+    // BpeTableCount — the table is a few MB, so it ships as ONE
+    // torrent broadcast, never inside the expression tree), computed
+    // per row inside the scan; the prefix pass then carries only
+    // (id, lang, hash, two counts) — never text. n_ws_tokens rides
+    // along to expose the model-vs-whitespace divergence. The DuckDB
+    // twin replays the SAME persisted merges parquet per distinct
+    // word (Bpe.sqlTableCtes — substring-candidate equi-join + the
+    // rank-ascending recursive replay, valid by the consistency
+    // theorem in BpeVocab), so the tokenizer TABLE, not just the
+    // algorithm, is cross-checked.
     "q120_bpe_budget_mix" -> ((s, dir) => {
       val t = Tables(s, dir)
       val budget = when(col("lang") === "en", lit(10000L)).otherwise(lit(3500L))
       graft.operators.DistributedRank.prefix(
           t.documents.select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
-            Bpe.tokenCount(col("text")).as("n_bpe_tokens"),
+            Bpe.tableTokenCount(s, col("text")).as("n_bpe_tokens"),
             TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens")),
           Seq("lang"), Seq("__h", "doc_id"), Seq("n_bpe_tokens"))
         .withColumn("cum_tokens", col("__cum_n_bpe_tokens"))
@@ -1233,16 +1235,16 @@ object LlmQueries {
     }),
 
     // SEQUENCE PACKING IN MODEL TOKENS — q46's two-pass distributed
-    // prefix sum re-billed by the pinned BPE vocab (graft.llm.Bpe):
-    // context windows are what the trainer actually fills, so the
-    // packing arithmetic should run on the tokens it bills. Same
-    // no-single-partition-stage shape; the DuckDB twin re-runs the
-    // greedy merges per document before the identical running-offset
-    // window.
+    // prefix sum re-billed by the PRODUCTION BPE vocab (broadcast
+    // table + codegen'd greedy encoder, q120's path): context windows
+    // are what the trainer actually fills, so the packing arithmetic
+    // should run on the tokens it bills. Same no-single-partition-
+    // stage shape; the DuckDB twin replays the same merges parquet
+    // per distinct word before the identical running-offset window.
     "q125_bpe_seq_packing" -> ((s, dir) => {
       val t = Tables(s, dir)
       TextOps.packSequences(t.documents, "doc_id", "text", windowTokens = 512,
-        tokenCounter = Bpe.tokenCount)
+        tokenCounter = c => Bpe.tableTokenCount(s, c))
     }),
 
     // WEIGHTED SYSTEMATIC (PPS) SAMPLING — the third member of the
@@ -1954,12 +1956,16 @@ object LlmQueries {
                ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 9) AS fluency
         FROM b JOIN c2 USING (w1, w2) GROUP BY doc_id""",
 
-    // BPE-packing twin: q46's running-offset window with the merge
-    // chain re-run from raw text (Bpe.sqlTokenCount — the same
-    // generated fragment as q120's oracle).
+    // BPE-packing twin: q46's running-offset window with per-doc
+    // counts replayed from the SAME persisted merges parquet
+    // (Bpe.sqlTableCtes — q120's oracle machinery).
     "q125_bpe_seq_packing" ->
-      s"""WITH tok AS (
-            SELECT doc_id, ${Bpe.sqlTokenCount(sqlToks)} AS n_tokens FROM documents),
+      s"""WITH RECURSIVE
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          ${Bpe.sqlTableCtes},
+          tok AS (
+            SELECT d.doc_id, COALESCE(dt.n_bpe, 0) AS n_tokens
+            FROM documents d LEFT JOIN dtok dt USING (doc_id)),
           run AS (
             SELECT doc_id, n_tokens,
               COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -2078,20 +2084,26 @@ object LlmQueries {
                 prior < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) AS admitted
         FROM run""",
 
-    // BPE ground truth: DuckDB re-runs the pinned merge table's full
-    // greedy encoding from raw text (identical rank-ordered replace
-    // chain over the identical delimited symbol string — both sides
-    // generated from Bpe.Merges), then the identical md5-order
-    // cumulative cut. SQL-standard replace semantics (left-to-right,
-    // non-overlapping, continue after the replacement) agree between
-    // the engines, and the per-symbol |…| wrappers make boundary
-    // sharing impossible.
+    // BPE ground truth: DuckDB replays the ~50k-merge PRODUCTION
+    // table from the SAME persisted merges parquet the broadcast
+    // vocab was built from (Bpe.sqlTableCtes): per distinct word, the
+    // candidate merges (vocab rows whose output is a substring of the
+    // word — the only ones that can ever fire) apply in rank order as
+    // literal replaces inside a recursive CTE, which equals greedy
+    // encoding by the consistency theorem (BpeVocab scaladoc;
+    // BpeSpec pins it empirically at full size). Then the identical
+    // md5-order cumulative cut. SQL-standard replace semantics
+    // (left-to-right, non-overlapping) agree between the engines, and
+    // the per-symbol |…| wrappers make boundary sharing impossible.
     "q120_bpe_budget_mix" ->
-      s"""WITH tok AS (
-            SELECT doc_id, lang, md5(text) AS h,
-                   ${Bpe.sqlTokenCount(sqlToks)} AS n_bpe_tokens,
+      s"""WITH RECURSIVE
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          ${Bpe.sqlTableCtes},
+          tok AS (
+            SELECT d.doc_id, d.lang, md5(d.text) AS h,
+                   COALESCE(dt.n_bpe, 0) AS n_bpe_tokens,
                    CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens
-            FROM documents),
+            FROM documents d LEFT JOIN dtok dt USING (doc_id)),
           run AS (
             SELECT doc_id, lang, n_bpe_tokens, n_ws_tokens,
               CAST(SUM(n_bpe_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id

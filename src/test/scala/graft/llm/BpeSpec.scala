@@ -17,12 +17,12 @@ class BpeSpec extends SparkSpec {
   /** Canonical greedy BPE: repeatedly merge the leftmost occurrence of
     * the lowest-ranked applicable pair.
     */
-  private def greedy(word: String): Vector[String] = {
+  private def greedyWith(ranks: Map[(String, String), Int])(word: String): Vector[String] = {
     var syms = word.map(_.toString).toVector
     var done = false
     while (!done && syms.length > 1) {
       val cands = (0 until syms.length - 1)
-        .flatMap(i => rankOf.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(r => (r, i)))
       if (cands.isEmpty) done = true
       else {
         val (r, i) = cands.min
@@ -32,8 +32,17 @@ class BpeSpec extends SparkSpec {
     syms
   }
 
+  private def greedy(word: String): Vector[String] = greedyWith(rankOf)(word)
+
   private def greedyCount(text: String): Long =
     text.trim.split("\\s+").filter(_.nonEmpty).map(w => greedy(w).length.toLong).sum
+
+  private def corpusWords: Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct().as[String].collect().toSeq
+  }
 
   test("hand-traced words: multi-level merge chains resolve fully") {
     val got = Seq("table", "the", "scan", "sort", "stream", "order", "window")
@@ -74,6 +83,60 @@ class BpeSpec extends SparkSpec {
       Seq("bad|text").toDF("text").select(Bpe.tokenCount(col("text"))).collect())
     assert(e.getMessage.contains("Bpe") ||
       Option(e.getCause).exists(_.getMessage.contains("Bpe")))
+  }
+
+  test("TableMerges: 50k merges, consistent, deterministic, curated prefix") {
+    val v = Bpe.TableMerges
+    assert(v.length === 50000)
+    assert(v.take(Bpe.Merges.length) === Bpe.Merges)
+    // consistency: every operand is a base char or an earlier output —
+    // the precondition of the greedy ≡ ascending-replay theorem the
+    // DuckDB oracle leans on
+    val outputs = scala.collection.mutable.Set.empty[String]
+    v.foreach { case (a, b) =>
+      Seq(a, b).foreach(s => assert(s.length == 1 || outputs.contains(s),
+        s"inconsistent operand '$s'"))
+      assert(a.length + b.length <= Bpe.TableMaxLen)
+      outputs += a + b
+    }
+    assert(v.distinct.length === v.length, "duplicate merge pair")
+    // pure-integer generation: a second build is identical
+    assert(Bpe.syntheticVocab(50000) === v)
+  }
+
+  test("native greedy encoder equals the reference at full table size") {
+    val vocab = new BpeVocab(Bpe.TableMerges.toArray, Bpe.TableMaxLen)
+    val tableRanks = Bpe.TableMerges.zipWithIndex
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    val rng = new scala.util.Random(23)
+    val fuzz = Vector.fill(400)(
+      (0 until 1 + rng.nextInt(14)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    (corpusWords ++ fuzz).distinct.foreach { w =>
+      val want = greedyWith(tableRanks)(w)
+      assert(vocab.encode(w).toVector === want, s"word '$w'")
+      assert(vocab.countWord(w) === want.length.toLong, s"count '$w'")
+    }
+  }
+
+  test("broadcast-table expression equals the driver-side encoder on the corpus") {
+    import spark.implicits._
+    val vocab = new BpeVocab(Bpe.TableMerges.toArray, Bpe.TableMaxLen)
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq :+ "" :+ "   "
+    val got = texts.toDF("text")
+      .select(col("text"), Bpe.tableTokenCount(spark, col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (t, n) => assert(n === vocab.countText(t), s"text '${t.take(40)}'") }
+  }
+
+  test("under the 24-merge table the native encoder equals the replace chain") {
+    import spark.implicits._
+    val vocab = new BpeVocab(Bpe.Merges.toArray, Bpe.TableMaxLen)
+    val texts = corpusWords.take(500)
+    val chain = texts.toDF("text")
+      .select(col("text"), Bpe.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    chain.foreach { case (t, n) => assert(n === vocab.countText(t), s"text '$t'") }
   }
 
   test("sql fragment equals the Spark chain on the corpus (via DuckDB-free recompute)") {
