@@ -26,6 +26,29 @@ object RelationalQueries {
   /** exact money arithmetic: decimal sum -> double */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
 
+  /** q129's batch funnel plan over a raw `events` frame — factored out
+    * so EventStreamSpec can pin the streaming state machine
+    * (EventStream.funnel) against the exact query plan.
+    */
+  def batchFunnel(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("__s"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("__s")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("__s") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("__s")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("__s") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("__s")).as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   /** Ensure the bucketed fact-table layout for `dir`'s scale factor
     * exists in this session (q42/q43 share it). Deterministic content →
     * a table created earlier this session is always valid to reuse
@@ -1705,25 +1728,7 @@ object RelationalQueries {
     // (the order requirement is what makes it a funnel, not three
     // mins). Three user-keyed conditional aggregates, no window over
     // events, no self-join wider than user×stage.
-    "q129_funnel" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val ev = t.events.select(col("user_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("__s"))
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("__s")).as("t_signup"))
-      val s2 = ev.filter(col("event_type") === "click")
-        .join(s1, Seq("user_id"))
-        .filter(col("__s") > col("t_signup"))
-        .groupBy(col("user_id")).agg(min(col("__s")).as("t_click"))
-      val s3 = ev.filter(col("event_type") === "purchase")
-        .join(s2, Seq("user_id"))
-        .filter(col("__s") > col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("__s")).as("t_purchase"))
-      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
-          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
-            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
-    }),
+    "q129_funnel" -> ((s, dir) => batchFunnel(Tables(s, dir).events)),
 
     // REFERENTIAL-INTEGRITY AUDIT — the dbt/expectations-style data
     // contract check: orphan counts for the three core foreign keys,

@@ -384,6 +384,113 @@ object EventStream {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long, t_signup: Long,
+                                t_click: Option[Long], t_purchase: Option[Long],
+                                stage: Int)
+  // -1 = stage not reached (encoder-friendly sentinel; never emitted)
+  final case class FunnelState(s: Long, c: Long, p: Long)
+
+  /** ORDERED-FUNNEL streaming twin (q129): per user, the earliest
+    * signup, the earliest click strictly AFTER it, the earliest
+    * purchase strictly AFTER that — as a per-user stage state machine
+    * (the [[transitions]] pattern: state is three epoch-second longs
+    * per user, event payloads never enter state). A row is emitted
+    * whenever a user's funnel ADVANCES, so the stream's latest row
+    * per user equals the batch q129 row at every point in time.
+    *
+    * Stage comparisons run in epoch SECONDS (the batch plan's
+    * unix_timestamp grain); within a micro-batch events sort by
+    * (ts, event_id), and the per-user in-order feed contract (same as
+    * [[transitions]]) bridges batches. Stream ≡ batch is pinned in
+    * EventStreamSpec on corpus rows split across batches.
+    */
+  def funnel(events: Dataset[Event], signup: String = "signup",
+             click: String = "click", purchase: String = "purchase"): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val before = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var st = before
+          sorted.foreach { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            if (e.event_type == signup && st.s < 0)
+              st = st.copy(s = sec)
+            else if (e.event_type == click && st.s >= 0 && st.c < 0 && sec > st.s)
+              st = st.copy(c = sec)
+            else if (e.event_type == purchase && st.c >= 0 && st.p < 0 && sec > st.c)
+              st = st.copy(p = sec)
+          }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(FunnelUpdate(userId, st.s,
+              if (st.c >= 0) Some(st.c) else None,
+              if (st.p >= 0) Some(st.p) else None,
+              1 + (if (st.c >= 0) 1 else 0) + (if (st.p >= 0) 1 else 0)))
+          }
+      }
+  }
+
+  final case class RollingUpdate(event_id: Long, event_type: String,
+                                 epoch: Long, n_1h: Long, mean_1h: Double)
+  final case class RollEntry(epoch: Long, eventId: Long, value: Double)
+  // ascending (epoch, eventId); pruned to the trailing window each batch
+  final case class RollState(entries: List[RollEntry])
+
+  /** ROLLING TRAILING-WINDOW streaming twin (q131): per event type,
+    * the trailing `windowSecs` event count and exact-decimal mean at
+    * every event. State per type is ONLY the window's own contents
+    * (epoch, id, value — pruned as the frame slides), i.e. the same
+    * bound as one chunk partition of the batch operator
+    * (DistributedRank.rollingRange).
+    *
+    * RANGE-frame tie semantics: all events sharing (type, epoch) are
+    * mutual frame peers, so rows of an epoch are emitted only after
+    * the whole epoch is inserted — the replay contract is therefore
+    * EPOCH-GRANULAR ingestion (rows sharing (type, epoch) arrive in
+    * one micro-batch, in per-type order), one notch stronger than
+    * [[transitions]]' per-user ordering. Arithmetic mirrors the batch
+    * plan digit-for-digit: per-value DECIMAL(18,6) half-up cast,
+    * exact decimal sum (order-free), one double division, round-9.
+    */
+  def rollingFeatures(events: Dataset[Event], windowSecs: Long = 3600L): Dataset[RollingUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RollState, RollingUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[RollState]) =>
+          val sorted = rows.toArray
+            .map(e => RollEntry(Math.floorDiv(e.ts.getTime, 1000L), e.event_id, e.value))
+            .sortBy(e => (e.epoch, e.eventId))
+          val out = Seq.newBuilder[RollingUpdate]
+          var buf = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+          var i = 0
+          while (i < sorted.length) {
+            val epoch = sorted(i).epoch
+            var j = i
+            while (j < sorted.length && sorted(j).epoch == epoch) j += 1
+            buf = (buf ++ sorted.slice(i, j)).dropWhile(_.epoch <= epoch - windowSecs)
+            val n = buf.size.toLong
+            val sumDec = buf.foldLeft(java.math.BigDecimal.ZERO)((acc, e) =>
+              acc.add(java.math.BigDecimal.valueOf(e.value)
+                .setScale(6, java.math.RoundingMode.HALF_UP)))
+            val mean = java.math.BigDecimal.valueOf(sumDec.doubleValue() / n)
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+            while (i < j) {
+              out += RollingUpdate(sorted(i).eventId, typ, epoch, n, mean)
+              i += 1
+            }
+          }
+          if (buf.nonEmpty) state.update(RollState(buf.toList))
+          out.result().iterator
+      }
+  }
+
   /** The batch consumer of [[transitions]]' stored pair rows: exact
     * (from, to) counts and the row-normalized transition probability —
     * q115's output shape over the incremental cells.

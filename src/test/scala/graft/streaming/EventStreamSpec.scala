@@ -621,4 +621,72 @@ class EventStreamSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSet
     assert(streamTable === batchTable)
   }
+
+  test("funnel: latest streamed stage per user across batches equals batch q129") {
+    implicit val sq = spark.sqlContext
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.events.orderBy("ts", "event_id").limit(1500).as[Event].collect()
+    val src = MemoryStream[Event]
+    val q = EventStream.funnel(src.toDS()).writeStream
+      .format("memory").queryName("funnelupd").outputMode("append").start()
+    rows.grouped(500).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // a user's updates are monotone in stage — the max-stage row (ties
+    // impossible: a row is only emitted when the state ADVANCES, and
+    // t_* fields never change once set) is the user's final state
+    val streamed = spark.table("funnelupd").as[FunnelUpdate].collect()
+      .groupBy(_.user_id).map { case (u, ups) => ups.maxBy(_.stage) }
+      .map(u => (u.user_id, u.t_signup, u.t_click.getOrElse(-1L),
+        u.t_purchase.getOrElse(-1L), u.stage))
+      .toSeq.sorted
+    val batch = graft.queries.RelationalQueries.batchFunnel(rows.toSeq.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+      .toSeq.sorted
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("rollingFeatures: streamed trailing stats across epoch-granular batches equal batch q131") {
+    implicit val sq = spark.sqlContext
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.events.orderBy("ts", "event_id").limit(1500).as[Event].collect()
+    // replay contract: rows sharing an epoch second stay in one batch —
+    // split at epoch boundaries nearest to thirds
+    val secs = rows.map(e => e.ts.getTime / 1000L)
+    def cutAfter(i0: Int): Int = {
+      var i = i0
+      while (i < rows.length - 1 && secs(i + 1) == secs(i)) i += 1
+      i + 1
+    }
+    val c1 = cutAfter(500); val c2 = cutAfter(1000)
+    val chunks = Seq(rows.slice(0, c1), rows.slice(c1, c2), rows.slice(c2, rows.length))
+    val src = MemoryStream[Event]
+    val q = EventStream.rollingFeatures(src.toDS()).writeStream
+      .format("memory").queryName("rollupd").outputMode("append").start()
+    chunks.foreach { chunk =>
+      src.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("rollupd").as[RollingUpdate].collect()
+      .map(u => (u.event_id, u.event_type, u.epoch, u.n_1h, u.mean_1h))
+      .toSeq.sorted
+    // batch twin: the exact q131 plan (DistributedRank.rollingRange)
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val batch = graft.operators.DistributedRank.rollingRange(
+        rows.toSeq.toDF().select(col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("epoch"), col("value").cast(D).as("__dv")),
+        Seq("event_type"), "epoch", 3600L, Seq("__dv"))
+      .select(col("event_id"), col("event_type"), col("epoch"),
+        col("__roll_n").as("n_1h"),
+        round(col("__roll___dv").cast("double") / col("__roll_n"), 9).as("mean_1h"))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq.sorted
+    assert(streamed.length === rows.length)
+    assert(streamed === batch)
+  }
 }
