@@ -431,21 +431,36 @@ object NearDup {
   def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
                      maxDist: Int, sigBits: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    require(sigBits > 0 && sigBits % (maxDist + 1) == 0,
-      s"sigBits=$sigBits must divide into maxDist+1=${maxDist + 1} equal blocks")
+    require(sigBits > maxDist,
+      s"sigBits=$sigBits must exceed maxDist=$maxDist (each of the " +
+        s"${maxDist + 1} pigeonhole blocks needs at least one bit)")
     simhashPairsOf(
       df.select(col(idCol).as("__id"), col(sigCol).as("__sig")), maxDist, sigBits)
   }
 
+  /** The pigeonhole block join at ANY radius: the signature splits
+    * into maxDist + 1 blocks of NEAR-EQUAL widths (the first
+    * sigBits % nBlocks blocks take one extra bit) — completeness only
+    * needs "more blocks than differing bits", not equal widths, so
+    * radii that don't divide the signature (e.g. Hamming ≤ 6 on 60
+    * bits → 7 blocks of 9/9/9/9/8/8/8) block exactly the same way.
+    * Wider radii trade candidate selectivity (fewer bits per block ⇒
+    * more collisions) for recall radius — the standard multi-index
+    * Hamming design (Norouzi et al., MIH).
+    */
   private def simhashPairsOf(sigDf: DataFrame, maxDist: Int,
                              sigBits: Int): DataFrame = {
     val nBlocks = maxDist + 1
-    val blockBits = sigBits / nBlocks
-    val blocked = sigDf.select(col("__id"), col("__sig"),
-      explode(transform(sequence(lit(0), lit(nBlocks - 1)),
-        b => struct(b.cast("int").as("blk"),
-          call_function("shiftrightunsigned", col("__sig"), (b * blockBits).cast("int"))
-            .bitwiseAND(lit((1L << blockBits) - 1)).as("blkval")))).as("bb"))
+    val base = sigBits / nBlocks
+    val rem = sigBits % nBlocks
+    val sizes = Seq.tabulate(nBlocks)(b => base + (if (b < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val blocks = array(Seq.tabulate(nBlocks) { b =>
+      struct(lit(b).as("blk"),
+        call_function("shiftrightunsigned", col("__sig"), lit(offsets(b)))
+          .bitwiseAND(lit((1L << sizes(b)) - 1)).as("blkval"))
+    }: _*)
+    val blocked = sigDf.select(col("__id"), col("__sig"), explode(blocks).as("bb"))
       .select(col("__id"), col("__sig"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))
       .localCheckpoint() // one signature scan feeds both join sides
     blocked.as("l")

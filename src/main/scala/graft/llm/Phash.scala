@@ -45,7 +45,12 @@ object Phash {
           "0L, (a, x) -> a | x)").as("sig"))
 
   /** Exact Hamming ≤ maxDist pHash pair set: signature scan + blocked
-    * self-join. Output (id_a, id_b, hamming).
+    * self-join. Output (id_a, id_b, hamming). Any radius works — the
+    * pigeonhole splits into maxDist + 1 near-equal blocks (e.g.
+    * radius 6 → 7 blocks of 9/9/9/9/8/8/8 bits), trading per-block
+    * selectivity for recall radius (multi-index Hamming; see
+    * NearDup.simhashPairsOf). PhashNearDupSpec pins planted radius-5
+    * twins found at maxDist = 6 with the candidate set still blocked.
     */
   def pairs(decoded: DataFrame, idCol: String, featureCol: String,
             maxDist: Int = 3): DataFrame =

@@ -39,20 +39,43 @@ object KAnonymity {
   /** Released rows with their generalized cell: all input columns +
     * (`bucket_lo` LONG, `bucket_width` LONG). Suppressed rows are
     * dropped; callers audit via `df.count - released.count`.
+    *
+    * `starLadder` appends CATEGORICAL generalization rungs after the
+    * numeric ladder exhausts: rung j re-runs the COARSEST numeric
+    * width with the first j+1 ladder columns recoded to `"*"`
+    * (cumulative — real local recoding coarsens whole quasi-columns,
+    * not just the numeric bucket; Sweeney 2002's suppression
+    * hierarchy, LeFevre et al.'s Mondrian as the multidim variant).
+    * Released rows CARRY the starred values — that substitution IS
+    * the anonymization. Counting stays over the remaining rows at
+    * every rung, so the ≥ k guarantee argument above is unchanged;
+    * starring is monotone down the ladder, so a row's earlier-starred
+    * columns never need their original values again and the sub-k
+    * tail can carry recoded values forward.
     */
   def enforce(df: DataFrame, quasiCols: Seq[String], valueCol: String,
               widths: Seq[Long], k: Long,
-              maxBroadcastCells: Long = 1L << 21): DataFrame = {
+              maxBroadcastCells: Long = 1L << 21,
+              starLadder: Seq[String] = Nil): DataFrame = {
     require(quasiCols.nonEmpty, "KAnonymity.enforce: need quasi-identifier columns")
     require(widths.nonEmpty && widths.forall(_ > 0) &&
       widths == widths.sorted && widths.distinct == widths,
       s"KAnonymity.enforce: widths must be positive, ascending, distinct: $widths")
     require(k >= 1, s"KAnonymity.enforce: k must be >= 1, got $k")
+    require(starLadder.forall(quasiCols.contains) &&
+      starLadder.distinct == starLadder,
+      s"KAnonymity.enforce: starLadder must be distinct quasi columns: $starLadder")
     val q = quasiCols.map(col)
+    // rung = (numeric width, columns recoded to '*'): the numeric
+    // ladder first, then cumulative column suppression at the widest w
+    val rungs: Seq[(Long, Seq[String])] =
+      widths.map(w => (w, Seq.empty[String])) ++
+        starLadder.indices.map(j => (widths.last, starLadder.take(j + 1)))
     var remaining = df
     var released: Option[DataFrame] = None
-    for ((w, i) <- widths.zipWithIndex) {
-      val withCell = remaining.withColumn("__cell",
+    for (((w, stars), i) <- rungs.zipWithIndex) {
+      val generalized = stars.foldLeft(remaining)((d, c) => d.withColumn(c, lit("*")))
+      val withCell = generalized.withColumn("__cell",
         expr(s"$valueCol div ${w}L * ${w}L").cast("long"))
       val counts = withCell.groupBy((q :+ col("__cell")): _*)
         .agg(count(lit(1)).as("__n"))
@@ -66,7 +89,7 @@ object KAnonymity {
         .withColumn("bucket_width", lit(w))
         .drop("__cell", "__n")
       released = Some(released.map(_.unionByName(rel)).getOrElse(rel))
-      if (i < widths.length - 1)
+      if (i < rungs.length - 1)
         remaining = joined.filter(col("__n") < k).drop("__cell", "__n")
           .localCheckpoint() // the sub-k tail only — keeps lineage flat
     }

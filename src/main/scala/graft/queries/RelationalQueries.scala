@@ -26,6 +26,20 @@ object RelationalQueries {
   /** exact money arithmetic: decimal sum -> double */
   private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(D)).cast("double")
 
+  /** The natural part CO-PURCHASE graph q123/q133 share: one edge per
+    * 2-line order between its first two lineitems' parts (one keyed
+    * aggregate — no self-join, no pair explosion; the node space is
+    * the part dimension, which GROWS with the data, so density stays
+    * constant under scale-up).
+    */
+  private def coPurchaseEdges(t: Tables): DataFrame =
+    t.lineitem.filter(col("l_linenumber") <= 2)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_partkey")).as("src"), max(col("l_partkey")).as("dst"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") === 2)
+      .select(col("src"), col("dst"))
+
   /** q129's batch funnel plan over a raw `events` frame — factored out
     * so EventStreamSpec can pin the streaming state machine
     * (EventStream.funnel) against the exact query plan.
@@ -1671,6 +1685,26 @@ object RelationalQueries {
           col("bucket_lo"), col("bucket_width"))
     }),
 
+    // K-ANONYMITY WITH A CATEGORICAL LADDER — q122's enforcement
+    // extended past the numeric widths by COLUMN SUPPRESSION rungs
+    // (source → '*', then lang → '*', each re-counted over the
+    // remaining rows at the coarsest width): real local recoding
+    // coarsens whole quasi-columns, not just the bucket. On this
+    // corpus the rung is demonstrably non-vacuous: the 181-row sub-k
+    // tail q122 suppresses outright is RELEASED here under source='*'
+    // (same ≥ k guarantee — the released cells are counted cells).
+    // Released rows carry the starred values; the oracle unrolls all
+    // five rungs.
+    "q132_k_anon_ladder" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.KAnonymity.enforce(
+          t.documents.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          Seq("lang", "source"), "n_chars", widths = Seq(100L, 500L, 2000L), k = 5L,
+          starLadder = Seq("source", "lang"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bucket_lo"), col("bucket_width"))
+    }),
+
     // TRIANGLE COUNTING (graph.Triangles) — the clustering/community
     // primitive PageRank's family lacks: per-node exact triangle
     // counts by degree-ordered orientation (wedges bounded O(E^1.5)
@@ -1683,16 +1717,19 @@ object RelationalQueries {
     // space densified quadratically and saturated at the 10× soak
     // (44 s → 187 s); this shape soaks linearly. Oracle brute-forces
     // the a<b<c triple join on the same canonical edges.
-    "q123_triangle_count" -> ((s, dir) => {
-      val t = Tables(s, dir)
-      val edges = t.lineitem.filter(col("l_linenumber") <= 2)
-        .groupBy(col("l_orderkey"))
-        .agg(min(col("l_partkey")).as("src"), max(col("l_partkey")).as("dst"),
-          count(lit(1)).as("__c"))
-        .filter(col("__c") === 2)
-        .select(col("src"), col("dst"))
-      graft.graph.Triangles.perNode(edges)
-    }),
+    "q123_triangle_count" -> ((s, dir) =>
+      graft.graph.Triangles.perNode(coPurchaseEdges(Tables(s, dir)))),
+
+    // LOCAL CLUSTERING COEFFICIENT — Watts-Strogatz C_v over the same
+    // co-purchase projection: triangles(v) / (deg(v) choose 2), one
+    // keyed join of q123's oriented triangle counts against the exact
+    // degree table (Triangles.localClustering — inherits the O(E^1.5)
+    // orientation shape; the only new arithmetic is a double division
+    // on exact integers, round-9). Triangle-free deg ≥ 2 nodes appear
+    // with coefficient 0. Oracle: the q123 brute-force triple join
+    // extended by the exact degree denominator.
+    "q133_clustering_coeff" -> ((s, dir) =>
+      graft.graph.Triangles.localClustering(coPurchaseEdges(Tables(s, dir)))),
 
     // RANK-FEATURE WINDOWS — the ML-prep percentile features
     // (percent_rank / cume_dist / decile) per order priority: all
@@ -1895,6 +1932,89 @@ object RelationalQueries {
                        CAST(2000 AS BIGINT) AS bucket_width
                 FROM j3 WHERE n >= 5)
        SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3""",
+    // Clustering twin: the q123 brute-force triple join, left-joined
+    // onto the exact degree table with the (deg choose 2) denominator.
+    "q133_clustering_coeff" ->
+      """WITH e0 AS (
+           SELECT MIN(l_partkey) AS x, MAX(l_partkey) AS y
+           FROM lineitem WHERE l_linenumber <= 2
+           GROUP BY l_orderkey HAVING COUNT(*) = 2),
+         ce AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x != y),
+         deg AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+                 GROUP BY node),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1
+           JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri),
+         tc AS (SELECT node, COUNT(*) AS n_triangles FROM n GROUP BY node)
+       SELECT d.node, d.deg,
+              COALESCE(tc.n_triangles, 0) AS n_triangles,
+              ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+                    / (d.deg * (d.deg - 1)), 9) AS coeff
+       FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2""",
+
+    // Ladder twin: q122's three numeric rungs, then the two column-
+    // suppression rungs at width 2000 — counts always over the
+    // remaining rows, released rows carry the starred values.
+    "q132_k_anon_ladder" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         n1 AS (SELECT lang, source, n_chars // 100 * 100 AS cell, COUNT(*) AS n
+                FROM base GROUP BY 1, 2, 3),
+         j1 AS (SELECT b.*, n1.n FROM base b
+                JOIN n1 ON b.lang = n1.lang AND b.source = n1.source
+                       AND b.n_chars // 100 * 100 = n1.cell),
+         r1 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 100 * 100 AS BIGINT) AS bucket_lo,
+                       CAST(100 AS BIGINT) AS bucket_width
+                FROM j1 WHERE n >= 5),
+         rem1 AS (SELECT doc_id, lang, source, n_chars FROM j1 WHERE n < 5),
+         n2 AS (SELECT lang, source, n_chars // 500 * 500 AS cell, COUNT(*) AS n
+                FROM rem1 GROUP BY 1, 2, 3),
+         j2 AS (SELECT b.*, n2.n FROM rem1 b
+                JOIN n2 ON b.lang = n2.lang AND b.source = n2.source
+                       AND b.n_chars // 500 * 500 = n2.cell),
+         r2 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 500 * 500 AS BIGINT) AS bucket_lo,
+                       CAST(500 AS BIGINT) AS bucket_width
+                FROM j2 WHERE n >= 5),
+         rem2 AS (SELECT doc_id, lang, source, n_chars FROM j2 WHERE n < 5),
+         n3 AS (SELECT lang, source, n_chars // 2000 * 2000 AS cell, COUNT(*) AS n
+                FROM rem2 GROUP BY 1, 2, 3),
+         j3 AS (SELECT b.*, n3.n FROM rem2 b
+                JOIN n3 ON b.lang = n3.lang AND b.source = n3.source
+                       AND b.n_chars // 2000 * 2000 = n3.cell),
+         r3 AS (SELECT doc_id, lang, source,
+                       CAST(n_chars // 2000 * 2000 AS BIGINT) AS bucket_lo,
+                       CAST(2000 AS BIGINT) AS bucket_width
+                FROM j3 WHERE n >= 5),
+         rem3 AS (SELECT doc_id, lang, source, n_chars FROM j3 WHERE n < 5),
+         n4 AS (SELECT lang, n_chars // 2000 * 2000 AS cell, COUNT(*) AS n
+                FROM rem3 GROUP BY 1, 2),
+         j4 AS (SELECT b.*, n4.n FROM rem3 b
+                JOIN n4 ON b.lang = n4.lang
+                       AND b.n_chars // 2000 * 2000 = n4.cell),
+         r4 AS (SELECT doc_id, lang, '*' AS source,
+                       CAST(n_chars // 2000 * 2000 AS BIGINT) AS bucket_lo,
+                       CAST(2000 AS BIGINT) AS bucket_width
+                FROM j4 WHERE n >= 5),
+         rem4 AS (SELECT doc_id, lang, source, n_chars FROM j4 WHERE n < 5),
+         n5 AS (SELECT n_chars // 2000 * 2000 AS cell, COUNT(*) AS n
+                FROM rem4 GROUP BY 1),
+         j5 AS (SELECT b.*, n5.n FROM rem4 b
+                JOIN n5 ON b.n_chars // 2000 * 2000 = n5.cell),
+         r5 AS (SELECT doc_id, '*' AS lang, '*' AS source,
+                       CAST(n_chars // 2000 * 2000 AS BIGINT) AS bucket_lo,
+                       CAST(2000 AS BIGINT) AS bucket_width
+                FROM j5 WHERE n >= 5)
+       SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+       UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5""",
+
     // the bucketed layout is a PHYSICAL property — the logical answer
     // is the plain join+agg
     "q42_bucketed_join" ->

@@ -51,4 +51,33 @@ class TrianglesSpec extends SparkSpec {
     assert(run(edges) === brute(edges))
     assert(run(edges, parts = 1) === run(edges, parts = 11)) // deterministic
   }
+
+  test("localClustering equals the exact rational on a random graph; K4 is 1.0; stars are 0") {
+    val rng = new scala.util.Random(29)
+    val edges = (0 until 300).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong)) ++
+      (0L until 12L).map(i => (77L, 200L + i)) // star: hub deg 12, leaves deg 1
+    val got = Triangles.localClustering(edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ce = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val degRef = ce.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val triRef = brute(edges.toSeq)
+    // every deg >= 2 node present with the exact rational, incl. 0-triangle ones
+    degRef.filter(_._2 >= 2).foreach { case (n, d) =>
+      val t = triRef.getOrElse(n, 0L)
+      val want = BigDecimal(2.0 * t / (d * (d - 1)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got.contains(n), s"node $n missing")
+      assert(got(n) === ((d, t, want)), s"node $n")
+    }
+    assert(got.keySet === degRef.filter(_._2 >= 2).keySet)
+    // the star's leaves (deg 1) are excluded; the hub has coeff 0
+    assert(!got.contains(200L) && got(77L)._3 === 0.0)
+    // K4: all coefficients exactly 1
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    Triangles.localClustering(k4.toDF("src", "dst")).collect()
+      .foreach(r => assert(r.getDouble(3) === 1.0 && r.getLong(1) === 3L))
+  }
 }

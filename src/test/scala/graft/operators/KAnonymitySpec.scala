@@ -53,6 +53,61 @@ class KAnonymitySpec extends SparkSpec {
     assert(out.collect().map(_.toSeq).toSet === b)
   }
 
+  test("starLadder releases rows pure suppression would drop, at the right rung") {
+    // zh/api (rows 200..202, values 10000/13000/16000) dies in every
+    // numeric rung; four more sub-k zh groups land in the [10000,12000)
+    // 2000-cell, so the source→'*' rung pools that cell to 5 ≥ k while
+    // 13000/16000 stay singletons. fr/ja groups are too small even
+    // pooled by lang → only the lang→'*' rung (5 rows in cell 0)
+    // rescues them. A lone oversized value in its own 2000-cell still
+    // suppresses at every rung.
+    val ladderRows = rows ++
+      Seq((300L, "zh", "web", 10500L), (301L, "zh", "cdn", 11800L),
+        (302L, "zh", "web", 10100L), (303L, "zh", "cdn", 11000L)) ++
+      Seq((400L, "fr", "web", 50L), (401L, "fr", "api", 60L),
+        (402L, "ja", "web", 70L), (403L, "ja", "api", 80L),
+        (404L, "ja", "cdn", 90L)) ++
+      Seq((500L, "ko", "web", 999999L)) // alone in its 2000-cell even starred
+    val d = ladderRows.toDF("doc_id", "lang", "source", "n_chars")
+    val noLadder = KAnonymity.enforce(d.repartition(3),
+      Seq("lang", "source"), "n_chars", Seq(100L, 500L, 2000L), k = 5L)
+    val ladder = KAnonymity.enforce(d.repartition(3),
+      Seq("lang", "source"), "n_chars", Seq(100L, 500L, 2000L), k = 5L,
+      starLadder = Seq("source", "lang")).cache()
+    val noIds = noLadder.select("doc_id").as[Long].collect().toSet
+    val byId = ladder.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[String]("source"),
+          r.getAs[Long]("bucket_lo"))).toMap
+    // the (zh, [10000,12000)) pool: suppressed without the ladder,
+    // released at the source rung with lang preserved
+    Seq(200L, 300L, 301L, 302L, 303L).foreach { i =>
+      assert(!noIds.contains(i), s"row $i unexpectedly released without ladder")
+      assert(byId.contains(i), s"row $i not rescued by the ladder")
+      assert(byId(i)._2 === "*", s"row $i must carry source='*'")
+      assert(byId(i)._1 === "zh", s"row $i keeps lang at the source rung")
+      assert(byId(i)._3 === 10000L, s"row $i bucket")
+    }
+    // zh 13000/16000 stay singleton in their cells at EVERY rung
+    Seq(201L, 202L).foreach(i => assert(!byId.contains(i), s"row $i"))
+    // fr/ja rows: only the lang rung (both columns starred) rescues
+    (400L to 404L).foreach { i =>
+      assert(!noIds.contains(i), s"row $i unexpectedly released without ladder")
+      assert(byId.contains(i), s"row $i not rescued by the lang rung")
+      assert(byId(i)._1 === "*" && byId(i)._2 === "*", s"row $i fully starred")
+    }
+    // the lone oversized row still suppresses at every rung
+    assert(!byId.contains(500L))
+    // the anonymity audit holds on the GENERALIZED columns
+    val viol = ladder.groupBy("lang", "source", "bucket_lo", "bucket_width")
+      .agg(count(lit(1)).as("n")).filter(col("n") < 5)
+    assert(viol.count() === 0L)
+    // rows released by the numeric rungs are identical with and
+    // without the ladder (the ladder only appends rungs)
+    assert(noLadder.collect().map(_.toSeq).toSet.subsetOf(
+      ladder.collect().map(_.toSeq).toSet))
+  }
+
   test("invalid arguments rejected") {
     intercept[IllegalArgumentException](
       KAnonymity.enforce(df, Seq(), "n_chars", Seq(100L), 5L))
