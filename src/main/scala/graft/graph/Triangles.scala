@@ -45,8 +45,16 @@ object Triangles {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
   def perNode(edges: DataFrame, srcCol: String = "src",
-              dstCol: String = "dst"): DataFrame = {
-    val ce = canonical(edges, srcCol, dstCol)
+              dstCol: String = "dst"): DataFrame =
+    enumerate(canonical(edges, srcCol, dstCol))
+      .select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  /** Every triangle exactly once as (t_u, t_v, t_w) — the oriented
+    * wedge-and-close core shared by [[perNode]], [[localClustering]]
+    * and [[edgeSupport]]. Input must be canonical (a < b, distinct).
+    */
+  private def enumerate(ce: DataFrame): DataFrame = {
     val deg = degrees(ce)
     // orient by the (deg, node) total order: u → v iff u's key is lower
     val oriented = ce
@@ -72,10 +80,8 @@ object Triangles {
           (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.u").as("t_u"), col("e1.v").as("t_v"), col("e2.v").as("t_w"))
     // closure: the (v, w) oriented edge must exist
-    val tris = wedges.join(oriented.select(col("u").as("t_v"), col("v").as("t_w")),
+    wedges.join(oriented.select(col("u").as("t_v"), col("v").as("t_w")),
       Seq("t_v", "t_w"), "left_semi")
-    tris.select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
   /** LOCAL CLUSTERING COEFFICIENT: triangles(v) / (deg(v) choose 2)
@@ -98,5 +104,32 @@ object Triangles {
       .withColumn("coeff", round(
         (col("n_triangles") * lit(2.0)) / (col("deg") * (col("deg") - 1)), 9))
       .select(col("node"), col("deg"), col("n_triangles"), col("coeff"))
+  }
+
+  /** EDGE TRIANGLE SUPPORT — the k-truss building block (Cohen 2008):
+    * for every canonical edge, the number of triangles it closes. A
+    * triangle's three nodes come out of [[enumerate]] oriented by the
+    * (deg, node) order, so each of its three edges is re-canonicalized
+    * by value before the count; zero-support edges are kept by the
+    * left join (a truss peel needs to see them). Inherits the
+    * O(E^1.5) enumeration shape; the only additions are one explode
+    * (3 skinny rows per triangle) and one edge-keyed aggregate + join.
+    * Output: (a, b, support), a < b, one row per canonical edge.
+    */
+  def edgeSupport(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val ce = canonical(edges, srcCol, dstCol)
+    val triEdges = enumerate(ce)
+      .select(explode(array(
+        struct(least(col("t_u"), col("t_v")).as("a"),
+          greatest(col("t_u"), col("t_v")).as("b")),
+        struct(least(col("t_u"), col("t_w")).as("a"),
+          greatest(col("t_u"), col("t_w")).as("b")),
+        struct(least(col("t_v"), col("t_w")).as("a"),
+          greatest(col("t_v"), col("t_w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    ce.join(triEdges, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 }

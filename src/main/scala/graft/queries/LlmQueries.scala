@@ -1287,6 +1287,73 @@ object LlmQueries {
     // recall-complete-on-this-corpus setting), 5-gram decontamination
     // (q41: the corpus has no 13-gram overlap at all), quality ≥ 7,
     // en 4000 / default 1500 token budgets (q98's binding values).
+    // REPETITION SCORE — the Gopher/MassiveText quality signal the
+    // length/stopword gate (q22) misses: the fraction of a document's
+    // word 3-grams that are repeats (1 − distinct/total). Looping,
+    // boilerplate, and template spam score high; fluent prose scores
+    // near 0. Pure projection arithmetic inside the scan (shingles →
+    // two array sizes → one exact-integer-fed division, round-9) —
+    // no shuffle, no state, trivially 100 TB-safe.
+    "q134_repetition_score" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("__g"))
+        .select(col("doc_id"),
+          size(col("__g")).cast("long").as("n_grams"),
+          size(array_distinct(col("__g"))).cast("long").as("n_distinct"))
+        .withColumn("rep_frac", when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 9)))
+    }),
+
+    // NEAR-DUP GROUP REPRESENTATIVE BY QUALITY — the dedup policy real
+    // pipelines ship: instead of keep-min-id (q36/q40), each near-dup
+    // component keeps its HIGHEST-QUALITY member (q22's integer score,
+    // ties to the lower id). The argmax is ONE map-side-combined
+    // `max(struct(quality, -id))` aggregate per group — no per-group
+    // window, no sort, the exact shape that survives a 100× group
+    // count. Oracle: q36's recursive min-label CC + q22's quality
+    // expression + a windowed argmax over the group members.
+    "q135_group_best" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val twins = t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1),
+          greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val corpus = t.documents.select(col("doc_id"), col("text")).unionByName(twins)
+      NearDup.nearDupGroups(corpus, "doc_id", "text",
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+        .join(corpus.select(col("doc_id").as("id"),
+          TextOps.qualityScore(col("text")).as("__q")), Seq("id"))
+        .groupBy(col("keep_id").as("group_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__b"))
+        .select(col("group_id"), col("n_members"),
+          col("__b.q").as("best_quality"), (-col("__b.nid")).as("best_id"))
+    }),
+
+    // VOCAB COVERAGE / COMPRESSION AUDIT — what a tokenizer team asks
+    // before adopting a vocab: per language, how many characters one
+    // model token buys (fertile languages compress worse under an
+    // English-heavy merge table — exactly the bias this surfaces).
+    // Model tokens via the broadcast-table expression (q120's path);
+    // ONE map-side-combined per-lang aggregate over exact integers,
+    // one division round-9. The oracle replays the same merges
+    // parquet per distinct word.
+    "q136_vocab_coverage" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("lang"), length(col("text")).cast("long").as("__c"),
+          Bpe.tableTokenCount(s, col("text")).as("__b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__c")).as("n_chars_total"),
+          sum(col("__b")).as("n_bpe_total"))
+        .withColumn("chars_per_token", when(col("n_bpe_total") === 0, lit(0.0))
+          .otherwise(round(
+            col("n_chars_total").cast("double") / col("n_bpe_total"), 9)))
+    }),
+
     "q121_training_set" -> ((s, dir) => {
       val t = Tables(s, dir)
       val corpus = q121Corpus(t)
@@ -2252,6 +2319,75 @@ object LlmQueries {
          GROUP BY 1, 2""",
     // N-gram count twin: same tokenizer, same 3-gram construction
     // WITHOUT per-doc dedup (occurrences, not sets), same ≥ 5 cut.
+    // Repetition twin: q94's 3-gram construction, two list sizes, one
+    // division round-9.
+    "q134_repetition_score" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          g AS (
+            SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(0, len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+              END AS grams
+            FROM tok)
+         SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 9) END AS rep_frac
+         FROM g""",
+
+    // Group-best twin: q36's recursive min-label components + q22's
+    // quality expression per member + a windowed argmax
+    // (quality DESC, id ASC) per group.
+    "q135_group_best" ->
+      s"""WITH RECURSIVE $sqlExactPairCtes,
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          grp AS (SELECT id, MIN(k) AS group_id FROM lbl GROUP BY id),
+          qtok AS (SELECT doc_id, $sqlToks AS toks FROM corpus),
+          qual AS (
+            SELECT doc_id, CAST(
+              CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+            + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+            + CASE WHEN len(toks) > 0
+                    AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                   THEN 3 ELSE 0 END AS INT) AS q
+            FROM qtok),
+          m AS (SELECT g.group_id, g.id, q.q FROM grp g JOIN qual q ON q.doc_id = g.id),
+          r AS (SELECT group_id, id, q,
+                  row_number() OVER (PARTITION BY group_id ORDER BY q DESC, id ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY group_id) AS n
+                FROM m)
+        SELECT group_id, CAST(n AS BIGINT) AS n_members, q AS best_quality,
+               id AS best_id
+        FROM r WHERE rn = 1""",
+
+    // Coverage twin: the q120 merges-parquet replay, re-aggregated per
+    // language with the exact char totals.
+    "q136_vocab_coverage" ->
+      s"""WITH RECURSIVE
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          ${Bpe.sqlTableCtes},
+          dd AS (
+            SELECT d.lang, length(d.text) AS c, COALESCE(dt.n_bpe, 0) AS b
+            FROM documents d LEFT JOIN dtok dt USING (doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_chars_total,
+               CAST(SUM(b) AS BIGINT) AS n_bpe_total,
+               CASE WHEN SUM(b) = 0 THEN 0.0
+                    ELSE ROUND(CAST(SUM(c) AS DOUBLE) / SUM(b), 9) END
+                 AS chars_per_token
+        FROM dd GROUP BY lang""",
+
     "q94_ngram_counts" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           grams AS (

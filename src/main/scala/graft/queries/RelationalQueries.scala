@@ -1731,6 +1731,16 @@ object RelationalQueries {
     "q133_clustering_coeff" -> ((s, dir) =>
       graft.graph.Triangles.localClustering(coPurchaseEdges(Tables(s, dir)))),
 
+    // EDGE TRIANGLE SUPPORT — the k-truss building block (Cohen's
+    // truss decomposition): per canonical co-purchase edge, the number
+    // of triangles it closes; zero-support edges kept (a truss peel
+    // must see them). Same O(E^1.5) oriented enumeration as q123, one
+    // extra explode (3 skinny rows per triangle) + edge-keyed agg +
+    // left join. Oracle: the brute-force triple join exploded to its
+    // three edges, left-joined onto the canonical edge set.
+    "q137_edge_support" -> ((s, dir) =>
+      graft.graph.Triangles.edgeSupport(coPurchaseEdges(Tables(s, dir)))),
+
     // RANK-FEATURE WINDOWS — the ML-prep percentile features
     // (percent_rank / cume_dist / decile) per order priority: all
     // three are exact rational functions of the integer (rank, n)
@@ -1958,6 +1968,27 @@ object RelationalQueries {
               ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
                     / (d.deg * (d.deg - 1)), 9) AS coeff
        FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2""",
+
+    // Edge-support twin: q123's brute-force triple join exploded to
+    // its three (already canonical: x<y<z) edges, left-joined onto ce.
+    "q137_edge_support" ->
+      """WITH e0 AS (
+           SELECT MIN(l_partkey) AS x, MAX(l_partkey) AS y
+           FROM lineitem WHERE l_linenumber <= 2
+           GROUP BY l_orderkey HAVING COUNT(*) = 2),
+         ce AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x != y),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM ce e1
+           JOIN ce e2 ON e2.a = e1.b
+           JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         te AS (SELECT x AS a, y AS b FROM tri
+                UNION ALL SELECT x, z FROM tri
+                UNION ALL SELECT y, z FROM tri),
+         sup AS (SELECT a, b, COUNT(*) AS n FROM te GROUP BY a, b)
+       SELECT ce.a, ce.b, COALESCE(sup.n, 0) AS support
+       FROM ce LEFT JOIN sup USING (a, b)""",
 
     // Ladder twin: q122's three numeric rungs, then the two column-
     // suppression rungs at width 2000 — counts always over the

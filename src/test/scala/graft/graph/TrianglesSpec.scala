@@ -52,6 +52,27 @@ class TrianglesSpec extends SparkSpec {
     assert(run(edges, parts = 1) === run(edges, parts = 11)) // deterministic
   }
 
+  test("edgeSupport equals brute force; zero-support edges kept; K4 edges support 2") {
+    val rng = new scala.util.Random(31)
+    val edges = (0 until 300).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong)) ++
+      Seq((60L, 61L)) // isolated edge: must appear with support 0
+    val got = Triangles.edgeSupport(edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ce = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val want = ce.map { case (a, b) =>
+      val nodes = ce.flatMap(p => Seq(p._1, p._2))
+      (a, b) -> nodes.count(c => c != a && c != b &&
+        ce((math.min(a, c), math.max(a, c))) &&
+        ce((math.min(b, c), math.max(b, c)))).toLong
+    }.toMap
+    assert(got === want)
+    assert(got((60L, 61L)) === 0L)
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    Triangles.edgeSupport(k4.toDF("src", "dst")).collect()
+      .foreach(r => assert(r.getLong(2) === 2L))
+  }
+
   test("localClustering equals the exact rational on a random graph; K4 is 1.0; stars are 0") {
     val rng = new scala.util.Random(29)
     val edges = (0 until 300).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong)) ++
