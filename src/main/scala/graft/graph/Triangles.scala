@@ -117,8 +117,10 @@ object Triangles {
     * Output: (a, b, support), a < b, one row per canonical edge.
     */
   def edgeSupport(edges: DataFrame, srcCol: String = "src",
-                  dstCol: String = "dst"): DataFrame = {
-    val ce = canonical(edges, srcCol, dstCol)
+                  dstCol: String = "dst"): DataFrame =
+    supportOf(canonical(edges, srcCol, dstCol))
+
+  private def supportOf(ce: DataFrame): DataFrame = {
     val triEdges = enumerate(ce)
       .select(explode(array(
         struct(least(col("t_u"), col("t_v")).as("a"),
@@ -131,5 +133,38 @@ object Triangles {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     ce.join(triEdges, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** K-TRUSS by support peeling (Cohen 2008): repeatedly recompute
+    * edge support on the surviving edge set and drop every edge in
+    * fewer than k − 2 triangles, until a fixpoint (or `maxRounds`).
+    * Each round is one [[supportOf]] pass — the O(E^1.5) enumeration
+    * on a shrinking edge set — with the survivors localCheckpointed
+    * so lineage stays flat across rounds (the PageRankFixed loop
+    * discipline). Peeling is determined purely by counts, so the
+    * result is partitioning-deterministic; with enough rounds it is
+    * THE k-truss (each round either strictly shrinks the edge set or
+    * stops — TrianglesSpec pins the fixpoint against brute-force
+    * peeling). Per-round convergence is checked with one count()
+    * job; rounds are few in practice (support can only drop).
+    * Output: the surviving (a, b, support) edges, support ≥ k − 2.
+    */
+  def ktruss(edges: DataFrame, k: Int, maxRounds: Int = 20,
+             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(maxRounds >= 1)
+    var cur = canonical(edges, srcCol, dstCol).localCheckpoint()
+    var n = cur.count()
+    var round = 0
+    var supported = supportOf(cur)
+    while (round < maxRounds && n > 0) {
+      val kept = supported.filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      val m = kept.count()
+      if (m == n) return supported.filter(col("support") >= k - 2)
+      cur = kept; n = m; round += 1
+      supported = supportOf(cur)
+    }
+    supported.filter(col("support") >= k - 2)
   }
 }

@@ -1741,6 +1741,20 @@ object RelationalQueries {
     "q137_edge_support" -> ((s, dir) =>
       graft.graph.Triangles.edgeSupport(coPurchaseEdges(Tables(s, dir)))),
 
+    // 3-TRUSS — q137's support peeled to fixpoint (Cohen's truss
+    // decomposition): keep edges in ≥ 1 triangle, recompute support on
+    // the survivors, repeat until stable — the community-core filter
+    // one rung above connected components. Each round is one oriented
+    // enumeration on a shrinking, localCheckpointed edge set (the
+    // PageRankFixed loop discipline). The co-purchase graph peels in
+    // one round at every tested SF; the oracle unrolls THREE rounds
+    // (extra rounds are no-ops past fixpoint, q122's unrolled-loop
+    // device), so the cross-check holds even if the data's peel
+    // deepens. TrianglesSpec pins multi-round convergence against
+    // brute-force peeling.
+    "q138_ktruss" -> ((s, dir) =>
+      graft.graph.Triangles.ktruss(coPurchaseEdges(Tables(s, dir)), k = 3)),
+
     // RANK-FEATURE WINDOWS — the ML-prep percentile features
     // (percent_rank / cume_dist / decile) per order priority: all
     // three are exact rational functions of the integer (rank, n)
@@ -1968,6 +1982,37 @@ object RelationalQueries {
               ROUND(CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
                     / (d.deg * (d.deg - 1)), 9) AS coeff
        FROM deg d LEFT JOIN tc USING (node) WHERE d.deg >= 2""",
+
+    // 3-truss twin: three unrolled peel rounds (triple join → support
+    // → keep ≥ 1), each over the previous round's survivors; the final
+    // round's support is the output. Fixpoint is reached in round 1 on
+    // this graph, so rounds 2-3 are provably no-ops — the unroll just
+    // buys slack (q122's device).
+    "q138_ktruss" -> {
+      def peel(i: Int, src: String): String =
+        s"""t$i AS (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM $src e1
+             JOIN $src e2 ON e2.a = e1.b
+             JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b),
+           te$i AS (SELECT x AS a, y AS b FROM t$i
+                    UNION ALL SELECT x, z FROM t$i
+                    UNION ALL SELECT y, z FROM t$i),
+           s$i AS (SELECT a, b, COUNT(*) AS n FROM te$i GROUP BY a, b),
+           e$i AS (SELECT s$i.a, s$i.b, s$i.n FROM $src ce
+                   JOIN s$i ON ce.a = s$i.a AND ce.b = s$i.b
+                   WHERE s$i.n >= 1)"""
+      s"""WITH e0 AS (
+           SELECT MIN(l_partkey) AS x, MAX(l_partkey) AS y
+           FROM lineitem WHERE l_linenumber <= 2
+           GROUP BY l_orderkey HAVING COUNT(*) = 2),
+         ce AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x != y),
+         ${peel(1, "ce")},
+         ${peel(2, "e1")},
+         ${peel(3, "e2")}
+       SELECT a, b, CAST(n AS BIGINT) AS support FROM e3"""
+    },
 
     // Edge-support twin: q123's brute-force triple join exploded to
     // its three (already canonical: x<y<z) edges, left-joined onto ce.

@@ -73,6 +73,42 @@ class TrianglesSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(2) === 2L))
   }
 
+  test("ktruss equals brute-force peeling to fixpoint, k=3 and k=4") {
+    def brutePeel(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+      var ce = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .filter(p => p._1 != p._2).distinct.toSet
+      def sup(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val nodes = s.flatMap(p => Seq(p._1, p._2))
+        s.map { case (a, b) => (a, b) -> nodes.count(c => c != a && c != b &&
+          s((math.min(a, c), math.max(a, c))) &&
+          s((math.min(b, c), math.max(b, c)))).toLong }.toMap
+      }
+      var stable = false
+      var supports = sup(ce)
+      while (!stable) {
+        val kept = ce.filter(e => supports(e) >= k - 2)
+        if (kept == ce) stable = true
+        else { ce = kept; supports = sup(ce) }
+      }
+      supports.filter(_._2 >= k - 2)
+    }
+    val rng = new scala.util.Random(41)
+    // dense-ish random graph + a K5 core so the 4-truss is nonempty and
+    // peeling cascades over several rounds
+    val edges = (0 until 250).map(_ => (rng.nextInt(25).toLong, rng.nextInt(25).toLong)) ++
+      (for (i <- 50L until 55L; j <- (i + 1) until 55L) yield (i, j))
+    for (k <- Seq(3, 4)) {
+      val got = Triangles.ktruss(edges.toDF("src", "dst").repartition(5), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === brutePeel(edges, k), s"k=$k")
+    }
+    // the K5 core survives k=4 (every edge in 3 triangles within K5)
+    val g4 = Triangles.ktruss(edges.toDF("src", "dst"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (for (i <- 50L until 55L; j <- (i + 1) until 55L) yield (i, j))
+      .foreach(e => assert(g4.contains(e), s"K5 edge $e peeled"))
+  }
+
   test("localClustering equals the exact rational on a random graph; K4 is 1.0; stars are 0") {
     val rng = new scala.util.Random(29)
     val edges = (0 until 300).map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong)) ++
