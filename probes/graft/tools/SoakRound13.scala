@@ -28,7 +28,9 @@ object SoakRound13 {
     val targets = Seq("q98_token_budget_mix", "q120_bpe_budget_mix",
       "q121_training_set", "q125_bpe_seq_packing", "q127_pps_sample",
       "q128_rank_features", "q129_funnel", "q131_rolling_features",
-      "q132_k_anon_ladder", "q133_clustering_coeff")
+      "q132_k_anon_ladder", "q133_clustering_coeff",
+      "q134_repetition_score", "q135_group_best", "q136_vocab_coverage",
+      "q137_edge_support", "q138_ktruss")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
