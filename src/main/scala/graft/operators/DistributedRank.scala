@@ -58,9 +58,13 @@ object DistributedRank {
     *
     * Contract: `groupCols ++ orderCols` must be a TOTAL order (give a
     * unique tiebreaker — ranks of tied rows would otherwise be
-    * partition-assignment-dependent) and non-null (range partitioning
-    * and the base-offset equi-join both key on them). `sumCols` must
-    * be exact-typed (integral/decimal) for engine-identical totals.
+    * partition-assignment-dependent). Null GROUP keys form their own
+    * group, exactly like the naive window (the base-offset join is
+    * null-safe — a plain equi-join would silently DROP null-group
+    * rows, the one failure mode worse than a wrong plan); null order
+    * values sort nulls-first in both the range partitioner and the
+    * shard window, also the window default. `sumCols` must be
+    * exact-typed (integral/decimal) for engine-identical totals.
     *
     * @param numShards range shards (0 = session shuffle parallelism);
     *   each shard must fit one sort task
@@ -99,8 +103,15 @@ object DistributedRank {
     val ordW = Window.partitionBy((col("__part") +: g): _*)
       .orderBy(orderCols.map(col): _*)
     val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe on the group keys: groupBy above put null groups in the
+    // partials, so the join back must match them too
+    val joinCond = ("__part" +: groupCols)
+      .map(c => ranged(c) <=> bases(c)).reduce(_ && _)
+    val joined = ranged.join(broadcast(bases), joinCond)
+      .drop(bases("__part"))
+    val dedupedGroups = groupCols.foldLeft(joined)((d, c) => d.drop(bases(c)))
     val out = sumCols.foldLeft(
-      ranged.join(broadcast(bases), "__part" +: groupCols)
+      dedupedGroups
         .withColumn("__rank", col("__base_rank") + row_number().over(ordW))) {
         (d, c) => d.withColumn(s"__cum_$c", col(s"__base_$c") + sum(col(c)).over(cumW))
       }

@@ -1354,6 +1354,32 @@ object LlmQueries {
             col("n_chars_total").cast("double") / col("n_bpe_total"), 9)))
     }),
 
+    // DOCUMENT FEATURE ASSEMBLY — the wide per-doc frame a quality
+    // classifier actually trains on, built in ONE zero-shuffle scan
+    // pass: whitespace + production-vocab model tokens, the q22
+    // integer quality score, the q134 repetition fraction, exact
+    // stopword/mean-token-length ratios (round-9), and the heuristic
+    // language prediction. Everything is a projection; at 100 TB this
+    // is one embarrassingly parallel map over the corpus — the shape
+    // feature extraction MUST have, because it runs on every ingest.
+    "q139_doc_features" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      t.documents
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          Bpe.tableTokenCount(s, col("text")).as("n_bpe_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          round(TextOps.stopwordRatio(toks), 9).as("stop_ratio"),
+          round(TextOps.meanTokenLen(toks), 9).as("mean_tok_len"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          TextOps.wordShingles(col("text"), 3).as("__g"))
+        .withColumn("rep_frac", when(size(col("__g")) === 0, lit(0.0))
+          .otherwise(round((size(col("__g")) - size(array_distinct(col("__g"))))
+            .cast("double") / size(col("__g")), 9)))
+        .drop("__g")
+    }),
+
     "q121_training_set" -> ((s, dir) => {
       val t = Tables(s, dir)
       val corpus = q121Corpus(t)
@@ -2319,6 +2345,55 @@ object LlmQueries {
          GROUP BY 1, 2""",
     // N-gram count twin: same tokenizer, same 3-gram construction
     // WITHOUT per-doc dedup (occurrences, not sets), same ≥ 5 cut.
+    // Feature-assembly twin: q22's quality + q134's repetition + q23's
+    // marker-vote language + the two exact ratios + the q120 merges-
+    // parquet replay for model tokens, all stitched per doc.
+    "q139_doc_features" -> {
+      val markerHits = TextOps.LangMarkers.map { case (lang, words) =>
+        s"${sqlHits(words.map(w => s"'$w'").mkString("[", ", ", "]"))} AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val bestExpr = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
+      val caseArms = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH RECURSIVE
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          ${Bpe.sqlTableCtes},
+          tok AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+          scored AS (SELECT doc_id, toks, $markerHits FROM tok),
+          best AS (SELECT *, $bestExpr AS best FROM scored),
+          g AS (
+            SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(0, len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+              END AS grams
+            FROM tok)
+        SELECT b.doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          COALESCE(dt.n_bpe, 0) AS n_bpe_tokens,
+          CAST(
+            CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+          + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+          + CASE WHEN len(toks) > 0
+                  AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                 THEN 3 ELSE 0 END AS INT) AS quality,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE ROUND(CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE), 9) END AS stop_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE), 9) END AS mean_tok_len,
+          CASE $caseArms ELSE 'und' END AS pred_lang,
+          CASE WHEN len(g.grams) = 0 THEN 0.0
+               ELSE ROUND(CAST(len(g.grams) - len(list_distinct(g.grams)) AS DOUBLE)
+                          / len(g.grams), 9) END AS rep_frac
+        FROM best b
+        JOIN g USING (doc_id)
+        LEFT JOIN dtok dt USING (doc_id)"""
+    },
+
     // Repetition twin: q94's 3-gram construction, two list sizes, one
     // division round-9.
     "q134_repetition_score" ->

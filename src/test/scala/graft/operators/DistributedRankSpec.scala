@@ -65,6 +65,26 @@ class DistributedRankSpec extends SparkSpec {
       .filter(fast("c") =!= naive("c")).isEmpty)
   }
 
+  test("prefix: null group keys form their own group, exactly like the naive window") {
+    val withNulls = corpus.withColumn("grp",
+      when(pmod(col("id"), lit(7)) === 0, lit(null)).otherwise(col("grp")))
+    val naiveOrd = Window.partitionBy(col("grp")).orderBy(col("h"), col("id"))
+    val naive = withNulls
+      .withColumn("r", row_number().over(naiveOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("c", sum(col("v")).over(
+        naiveOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("r"), col("n"), col("c"))
+    val fast = DistributedRank.prefix(withNulls, Seq("grp"), Seq("h", "id"),
+        Seq("v"), numShards = 8)
+      .select(col("id"), col("__rank").as("r"), col("__n").as("n"),
+        col("__cum_v").as("c"))
+    assert(fast.count() === 12000L, "null-group rows dropped")
+    assert(fast.join(naive, Seq("id"))
+      .filter(fast("r") =!= naive("r") || fast("n") =!= naive("n") ||
+        fast("c") =!= naive("c")).isEmpty)
+  }
+
   test("rollingRange matches the naive RANGE frame, ties included") {
     // epochs collide heavily (div 7) so RANGE-peer semantics are exercised,
     // and chunks are small (60 s window over ~2860 s span = ~48 chunks)
