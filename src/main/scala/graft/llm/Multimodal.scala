@@ -88,13 +88,7 @@ object Multimodal {
       modality match {
         case "image" => decodeImage(data)
         case "audio" => decodeAudio(data)
-        case "video" =>
-          // Honest stub: no video codec exists in this container (the
-          // JDK ships none and ffmpeg is not installed). The image and
-          // audio paths above are REAL decoders.
-          throw new UnsupportedOperationException(
-            "RealDecoder: no video codec available (JDK has none; ffmpeg not installed) " +
-              "— wire an ffmpeg/JavaCV binding here at deployment")
+        case "video" => decodeVideo(data)
         case other =>
           throw new IllegalArgumentException(s"unknown modality '$other'")
       }
@@ -133,6 +127,45 @@ object Multimodal {
         cy += 1
       }
       (w, h, 1, feat)
+    }
+
+    /** Motion-PNG container (`GVID` + frame count + length-prefixed
+      * PNG frames — [[Multimodal.gvidBytes]]): every frame decodes
+      * through the REAL javax.imageio codec path above; the feature is
+      * the per-cell MEAN of the frame rasters in frame order (fixed
+      * order ⇒ IEEE-deterministic). The container format is ours by
+      * necessity — the JDK ships no video codec and ffmpeg is absent —
+      * but the per-frame decode, the block-luminance math, and all the
+      * Spark plumbing are exactly what an ffmpeg/JavaCV binding would
+      * feed at deployment (swap `gvid` parsing for frame extraction;
+      * nothing downstream changes).
+      */
+    private def decodeVideo(data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (data.length < 8 || new String(data, 0, 4, "US-ASCII") != "GVID")
+        throw new UnsupportedOperationException(
+          "RealDecoder: no general video codec available (JDK has none; ffmpeg " +
+            "not installed) — only GVID motion-PNG containers decode here; wire " +
+            "an ffmpeg/JavaCV binding for real containers at deployment")
+      val in = java.nio.ByteBuffer.wrap(data)
+      in.position(4)
+      val nFrames = in.getInt
+      require(nFrames > 0, s"GVID container with $nFrames frames")
+      val acc = new Array[Double](grid * grid)
+      var w = 0; var h = 0
+      var f = 0
+      while (f < nFrames) {
+        val len = in.getInt
+        val frame = new Array[Byte](len); in.get(frame)
+        val (fw, fh, _, feat) = decodeImage(frame)
+        w = fw; h = fh
+        var i = 0
+        while (i < acc.length) { acc(i) += feat(i); i += 1 }
+        f += 1
+      }
+      val out = new Array[Float](acc.length)
+      var i = 0
+      while (i < out.length) { out(i) = (acc(i) / nFrames).toFloat; i += 1 }
+      (w, h, nFrames, out)
     }
 
     private def decodeAudio(data: Array[Byte]): (Int, Int, Int, Array[Float]) = {
@@ -432,6 +465,51 @@ object Multimodal {
         }
       }(enc)
     }
+
+  /** Deterministic video-ONLY fixture of GVID motion-PNG payloads
+    * (4 real PNG frames per video) with planted perceptual
+    * near-duplicates — q140's input, the video sibling of
+    * [[imageFixtureParquet]]. Per decade: rows ≡ 0..7 distinct seeded
+    * noise videos; row ≡ 8 perturbs one pixel of FRAME 0 of row ≡ 0's
+    * video (a genuine near-twin — the 4-frame mean dilutes it to a
+    * sub-bit raster shift); row ≡ 9 is a byte-exact container copy.
+    */
+  def videoFixtureParquet(spark: SparkSession, path: String, n: Long,
+                          seed: Long = 42L): DataFrame =
+    materializeOnce(spark, path + fixtureKey(n, seed)) {
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      spark.range(n).select(col("id")).mapPartitions { rows =>
+        rows.map { r =>
+          val i = r.getLong(0)
+          val cls = (i % 10).toInt
+          val base = cls match { case 8 => i - 8; case 9 => i - 9; case _ => i }
+          Row(i, "video", gvidBytes(base, seed, perturb = cls == 8),
+            Map("width" -> "64", "height" -> "48", "frames" -> "4",
+              "codec" -> "gvid-png"))
+        }
+      }(enc)
+    }
+
+  /** GVID container: "GVID" + int32 frame count + per frame
+    * (int32 length + PNG bytes). Frames are seeded noise PNGs;
+    * `perturb` brightens one pixel of frame 0 only.
+    */
+  private[graft] def gvidBytes(base: Long, seed: Long, perturb: Boolean,
+                               frames: Int = 4): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes("GVID")
+    d.writeInt(frames)
+    var f = 0
+    while (f < frames) {
+      val png = pngBytes(base * 16 + f, seed, perturb = perturb && f == 0)
+      d.writeInt(png.length)
+      d.write(png)
+      f += 1
+    }
+    d.flush()
+    bos.toByteArray
+  }
 
   private[graft] def wavBytes(base: Long, seed: Long, perturb: Boolean): Array[Byte] = {
     val ns = 8000 // 1 s at 8 kHz

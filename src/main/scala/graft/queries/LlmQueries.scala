@@ -1204,6 +1204,26 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // VIDEO PERCEPTUAL NEAR-DUP — the q119/q126 chain on the VIDEO
+    // path: GVID motion-PNG payloads (4 real PNG frames per video, a
+    // container of our own spec because the JDK ships no video codec
+    // and ffmpeg is absent — every FRAME decodes through the real
+    // javax.imageio codec, and nothing downstream would change under
+    // an ffmpeg binding). Feature = per-cell mean raster over frames;
+    // then the identical pHash pigeonhole. Same shared-raster-parquet
+    // oracle discipline as q119/q126.
+    "q140_phash_video_neardup" -> ((s, dir) => {
+      val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+      val n = math.max(60L, (20000 * sfOf(dir)).toLong)
+      val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+      val decoded = Multimodal.decodedRasterParquet(
+        s, s"$fixDir/video_decoded_${sfName}_n$n",
+        Multimodal.videoFixtureParquet(s, s"$fixDir/video_$sfName", n),
+        new Multimodal.RealDecoder(8))
+      Phash.pairs(decoded, "id", "feature", maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
     // BIGRAM-LM DOCUMENT FLUENCY — the perplexity-proxy quality filter
     // (CCNet's LM scoring shape) kept in exact integer space: score a
     // document by the mean GLOBAL frequency of its adjacent token
@@ -2266,6 +2286,28 @@ object LlmQueries {
     // audio envelope raster parquet.
     "q126_phash_audio_neardup" -> {
       val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_sf0.01_n200" +
+        s"_v${Multimodal.fixtureGenVersion}/*.parquet"
+      s"""WITH q AS (
+            SELECT id, list_transform(feature,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qarr
+            FROM read_parquet('$fixture')),
+          s AS (
+            SELECT id, qarr, CAST(list_sum(qarr) AS BIGINT) AS stot FROM q),
+          sig AS (
+            SELECT id, bit_or(CASE WHEN qarr[b + 1] * 64 > stot
+                                   THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sg
+            FROM s, range(60) r(b) GROUP BY id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        FROM sig a, sig b
+        WHERE a.id < b.id AND bit_count(xor(a.sg, b.sg)) <= 3"""
+    },
+
+    // Video pHash ground truth — identical program to q119's over the
+    // frame-mean raster parquet the q140 run persisted (every frame
+    // went through the real javax.imageio codec to build it).
+    "q140_phash_video_neardup" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/video_decoded_sf0.01_n200" +
         s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,

@@ -174,12 +174,31 @@ class MultimodalSpec extends SparkSpec {
     (32 until 64).foreach(b => assert(feat(b) === 0.0f, s"bin $b: ${feat(b)}"))
   }
 
-  test("RealDecoder: video and compressed audio fail loudly with truthful context") {
+  test("RealDecoder: non-GVID video and compressed audio fail loudly with truthful context") {
     val dec = new Multimodal.RealDecoder()
     val e1 = intercept[UnsupportedOperationException](dec.decode("video", Array[Byte](1, 2, 3)))
-    assert(e1.getMessage.contains("no video codec"))
+    assert(e1.getMessage.contains("no general video codec"))
     val e2 = intercept[UnsupportedOperationException](dec.decode("audio", Array[Byte](1, 2, 3)))
     assert(e2.getMessage.contains("not a PCM container"))
+  }
+
+  test("RealDecoder: GVID motion-PNG decodes per frame through javax.imageio; mean raster exact") {
+    val dec = new Multimodal.RealDecoder(8)
+    val payload = Multimodal.gvidBytes(base = 7L, seed = 42L, perturb = false)
+    val (w, h, frames, feat) = dec.decode("video", payload)
+    assert(w === 64 && h === 48 && frames === 4 && feat.length === 64)
+    // by-hand mean of the four per-frame rasters (same decoder path)
+    val perFrame = (0 until 4).map { f =>
+      dec.decode("image", Multimodal.pngBytes(7L * 16 + f, 42L, perturb = false))._4
+    }
+    feat.indices.foreach { i =>
+      val want = (perFrame.map(_(i).toDouble).sum / 4).toFloat
+      assert(feat(i) === want, s"cell $i")
+    }
+    // byte-exact container copy decodes to the identical raster
+    val copy = dec.decode("video",
+      Multimodal.gvidBytes(base = 7L, seed = 42L, perturb = false))._4
+    assert(copy.toSeq === feat.toSeq)
   }
 
   test("q32 pipeline with RealDecoder: image-only fixture, perceptual feature-key dedup") {
