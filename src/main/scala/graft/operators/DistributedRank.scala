@@ -104,14 +104,18 @@ object DistributedRank {
       .orderBy(orderCols.map(col): _*)
     val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null-safe on the group keys: groupBy above put null groups in the
-    // partials, so the join back must match them too
-    val joinCond = ("__part" +: groupCols)
-      .map(c => ranged(c) <=> bases(c)).reduce(_ && _)
-    val joined = ranged.join(broadcast(bases), joinCond)
-      .drop(bases("__part"))
-    val dedupedGroups = groupCols.foldLeft(joined)((d, c) => d.drop(bases(c)))
+    // partials, so the join back must match them too. The bases keys
+    // are RENAMED copies — a same-attribute condition (ranged(c) <=>
+    // bases(c)) resolves through the self-join disambiguator and logs
+    // a trivially-true-predicate WARN per query; distinct names keep
+    // the condition unambiguous and the logs quiet.
+    val keys = "__part" +: groupCols
+    val keyed = keys.foldLeft(bases)((d, c) => d.withColumnRenamed(c, s"__bk_$c"))
+    val joinCond = keys.map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
+    val joined = ranged.join(broadcast(keyed), joinCond)
+      .drop(keys.map(c => s"__bk_$c"): _*)
     val out = sumCols.foldLeft(
-      dedupedGroups
+      joined
         .withColumn("__rank", col("__base_rank") + row_number().over(ordW))) {
         (d, c) => d.withColumn(s"__cum_$c", col(s"__base_$c") + sum(col(c)).over(cumW))
       }

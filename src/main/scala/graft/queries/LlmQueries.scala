@@ -1016,13 +1016,18 @@ object LlmQueries {
         .join(broadcast(ss), Seq("source"))
         .withColumn("__term", term)
         .localCheckpoint()
-      val w = Window.partitionBy(col("source"))
-        .orderBy(round(col("__term"), 9).desc, col("tok").asc)
+      // top-1 per source = ONE map-side argmax (q135's device), not a
+      // per-source window: the (source × token) table is vocab-scale,
+      // and a partitionBy(source) sort would funnel each source's
+      // vocabulary through one task at 100×. min(struct(-term, tok))
+      // realizes (term desc, tok asc) exactly — negation reverses the
+      // IEEE order on the round-9 doubles, ties fall to the token.
       val top = scored
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("source"), col("tok").as("top_token"),
-          round(col("__term"), 9).as("top_term"))
+        .groupBy(col("source"))
+        .agg(min(struct(negate(round(col("__term"), 9)).as("nt"),
+          col("tok").as("tk"))).as("__best"))
+        .select(col("source"), col("__best.tk").as("top_token"),
+          negate(col("__best.nt")).as("top_term"))
       scored
         .groupBy(col("source"))
         .agg(sum(col("__term").cast(D30)).cast("double").as("__present"),
@@ -1042,8 +1047,8 @@ object LlmQueries {
     // (rn·10 ≤ n·8 / n·9 — no float boundary), rank order = the
     // group's own content hash, so the split is rerun-stable on any
     // cluster and any partitioning. Shuffle shape: one map-side-
-    // combined groupBy to group cells, one group-cell window, and the
-    // corpus-sized join-back keyed on grp. The zero-join alternative
+    // combined groupBy to group cells, the sharded two-pass rank over
+    // them, and the corpus-sized join-back keyed on grp. The zero-join alternative
     // (assign by hash RANGE of grp, a pure per-row function) trades
     // exact proportions for no shuffle — this is the exact-proportion
     // variant; q88/q98 hold the pure-hash end of the family.
@@ -1053,14 +1058,16 @@ object LlmQueries {
         md5(col("text")).as("grp"))
       val groups = docs.groupBy(col("grp"))
         .agg(min(col("lang")).as("rep_lang"))
-      val assigned = groups
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("rep_lang")).orderBy(col("grp"))))
-        .withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(col("rep_lang"))))
+      // group table = one row per DISTINCT text — corpus-scaling, so
+      // the per-language rank runs on DistributedRank.prefix (the
+      // TrainingSet.build stage-4 rule verbatim); a partitionBy(
+      // rep_lang) window would sort each language's group set in one
+      // task at 100× (round-13 weak flag).
+      val assigned = graft.operators.DistributedRank.prefix(
+          groups, Seq("rep_lang"), Seq("grp"))
         .select(col("grp"), col("rep_lang"),
-          when(col("__rn") * 10 <= col("__n") * 8, lit("train"))
-            .when(col("__rn") * 10 <= col("__n") * 9, lit("val"))
+          when(col("__rank") * 10 <= col("__n") * 8, lit("train"))
+            .when(col("__rank") * 10 <= col("__n") * 9, lit("val"))
             .otherwise(lit("test")).as("split"))
       docs.join(assigned, Seq("grp"))
         .select(col("doc_id"), col("lang"), col("grp"),

@@ -886,15 +886,28 @@ object RelationalQueries {
     // Ranking-window family completion: ntile quartiles, percent_rank,
     // cume_dist per order priority — deterministic under the
     // (totalprice desc, orderkey) total order; round-9 keeps the two
-    // engines' double division hash-identical.
+    // engines' double division hash-identical. Ranks come from
+    // DistributedRank.prefix (q128's shape): a naive
+    // partitionBy(o_orderpriority) window funnels the whole table
+    // through 5 sort tasks at 100× (round-13 weak flag). The DESC
+    // price order is expressed as an ascending prefix order on the
+    // negated price — negation reverses a numeric total order exactly,
+    // so __rank equals the window's row_number, and under a total
+    // order row_number ≡ rank, making percent_rank/cume_dist/ntile
+    // pure rational functions of (__rank, __n).
     "q73_window_ranks" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 9).as("pct_rank"),
-        round(cume_dist().over(w), 9).as("cume"))
+      import graft.operators.DistributedRank
+      DistributedRank.prefix(
+          t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+            negate(col("o_totalprice")).as("__negprice")),
+          Seq("o_orderpriority"), Seq("__negprice", "o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          DistributedRank.ntileFromRank(col("__rank"), col("__n"), 4).as("quartile"),
+          round(DistributedRank.percentRankFromRank(col("__rank"), col("__n")), 9)
+            .as("pct_rank"),
+          round(DistributedRank.cumeDistFromRank(col("__rank"), col("__n")), 9)
+            .as("cume"))
     }),
 
     // Data-quality expectations (operators.Expectations) — the
