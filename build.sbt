@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked app's stdout DIRECTLY (no "[info] " logger prefix):
+// the driver keeps a ~2 KB stdout tail of `runMain graft.Bench` and
+// json-parses the final line — the sbt logger prefix has made that
+// parse fail every round (BENCH_r*.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress the trailing "[success] Total time..." logger line,
+// which otherwise lands AFTER the JSON as the tail's final line.
+Global / showSuccess := false
 // Diagnostic mains (Probe*/Soak*/Parity/PlanAudit) live outside the
 // library source set: they compile with the TEST configuration — kept
 // healthy by every `sbt test` cycle, runnable via

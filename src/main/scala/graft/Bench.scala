@@ -97,35 +97,43 @@ object Bench {
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       name -> raw(i).sorted.apply(1)
     }
-    // ARTIFACT CONTRACT (round-11 fix): the driver retains only a
-    // ~2.2 KB stdout TAIL, and rounds 1-10 printed one ~11 KB JSON
-    // line — so every BENCH_r*.json parsed as null and the 2× bench
-    // gate was never checkable from its artifact. Now the detail
-    // payloads (raw triples, per-task memory peaks, short→full name
-    // map) print as separate EARLIER lines, and the FINAL stdout line
-    // is a compact parseable summary: total + per-query medians (3
-    // decimals) keyed by the qNN prefix — ~1.3 KB for 94 queries,
-    // safely inside the tail window with headroom for growth.
+    // ARTIFACT CONTRACT (round-11 fix, tightened round 14): the driver
+    // retains only a ~2 KB stdout TAIL, and the round-13 final line had
+    // grown to 1.8 KB — ~25 more queries from truncating mid-round. The
+    // detail payloads (raw triples, per-task memory peaks, short→full
+    // name map) print as separate EARLIER lines; the FINAL stdout line
+    // is the compact summary: total + per-query medians, keyed by the
+    // BARE query number ("73" = q73; the bench_names line maps numbers
+    // to full names), 2-decimal trailing-zero-trimmed values, no unit
+    // field (always seconds), no sf field (the driver's artifact
+    // wrapper records sf itself) — ~1.48 KB at 140 queries, ~1.6 KB at
+    // 150, inside the tail window through ~190 queries.
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    def j2(v: Double): String = {
+      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      if (t.isEmpty) "0" else t
+    }
+    def num(k: String): String = k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
     val namesJson = named.map { case (k, _) =>
-      "\"" + k.split("_")(0) + "\":\"" + k + "\""
+      "\"" + num(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val runsJson = named.zipWithIndex.map { case ((k, _), i) =>
-      "\"" + k + "\":" + raw(i).mkString("[", ",", "]")
+      "\"" + k + "\":" + raw(i).map(j3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // peak_mb = largest single-task execution-memory peak observed for
     // the query (bytes → MiB): the per-task memory headroom signal —
     // what has to fit in one executor task slot at the target SF.
     val peakJson = named.zipWithIndex.map { case ((k, _), i) =>
-      "\"" + k + "\":" + (peaks(i) / 1048576.0)
+      "\"" + k + "\":" + j2(peaks(i) / 1048576.0)
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k.split("_")(0) + "\":" + j3(v) }
+    val qs = results.map { case (k, v) => "\"" + num(k) + "\":" + j2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"bench_names":$namesJson}""")
     println(s"""{"bench_runs":$runsJson}""")
     println(s"""{"bench_peak_mb":$peakJson}""")
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j2(total)},"queries":$qs}""")
     spark.stop()
   }
 }
