@@ -32,6 +32,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-reading oracles must point at THIS sf's fixtures (the
+    // queries materialize them below, before the oracle SQL is dumped)
+    raw"sf[0-9.]+".r.findFirstIn(sfDir)
+      .foreach(graft.queries.LlmQueries.oracleSfName = _)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

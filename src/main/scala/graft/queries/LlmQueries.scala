@@ -1504,6 +1504,22 @@ object LlmQueries {
       fixture
     }) }
 
+  // ---- oracle fixture-path parameterization (round-14) ----
+  // Six oracles read fixtures the QUERIES materialize per sf
+  // (q32/q83/q97/q119/q126/q140). oracleSql is a def, so their paths
+  // resolve at DUMP time through this sf name: graft.Verify sets it
+  // from its sfDir argument before writing oracle_sql.json, making
+  // tools/selfcheck.py green at every sf (round-13 verdict: the gate
+  // was blind below sf0.01). The default matches the driver's sf0.01
+  // verification run.
+  @volatile var oracleSfName: String = "sf0.01"
+  private def oracleSf: Double =
+    raw"sf([0-9.]+)".r.findFirstMatchIn(oracleSfName)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .getOrElse(0.01)
+  // the multimodal fixture-size rule (same formula as the query side)
+  private def oracleFixN: Long = math.max(60L, (20000 * oracleSf).toLong)
+
   // scale factor parsed from the test-data dir name (…/sf0.01 → 0.01);
   // sizes the generated multimodal fixture proportionally to the driver
   // tables so the bench number scales like every other query.
@@ -1588,14 +1604,14 @@ object LlmQueries {
     // i-9 iff i % 10 == 9, all other payloads are distinct seeded
     // streams) fully determines the dedup group structure from id
     // alone, so the oracle reads the SAME parquet fixture q32 decoded
-    // (written by the q32 run before the oracle executes; the driver
-    // verifies at sf0.01, which fixes the fixture path) and regroups
+    // (written by the q32 run before the oracle executes; Verify sets
+    // oracleSfName so the path tracks the sf being verified) and regroups
     // by the recipe — no decoder needed. Feature-collision risk is
     // structurally nil: distinct payloads hash to distinct 64-bit
     // folds on this deterministic fixture (asserted in MultimodalSpec).
     "q32_multimodal" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_sf0.01" +
-        Multimodal.fixtureKey(200L, 42L) + "/*.parquet"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/multimodal_$oracleSfName" +
+        Multimodal.fixtureKey(oracleFixN, 42L) + "/*.parquet"
       s"""WITH g AS (
            SELECT id, modality,
                   CASE WHEN id % 10 = 9 THEN id - 9 ELSE id END AS grp
@@ -2294,7 +2310,7 @@ object LlmQueries {
     // is exact, ×10⁶ + half-up round are IEEE-identical, and the vote
     // 64·qᵢ > Σq is pure BIGINT arithmetic.
     "q119_phash_image_neardup" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_sf0.01_n200" +
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/images_decoded_${oracleSfName}_n$oracleFixN" +
         s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
@@ -2315,7 +2331,7 @@ object LlmQueries {
     // Audio pHash ground truth — identical program to q119's over the
     // audio envelope raster parquet.
     "q126_phash_audio_neardup" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_sf0.01_n200" +
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/audio_decoded_${oracleSfName}_n$oracleFixN" +
         s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
@@ -2337,7 +2353,7 @@ object LlmQueries {
     // frame-mean raster parquet the q140 run persisted (every frame
     // went through the real javax.imageio codec to build it).
     "q140_phash_video_neardup" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/video_decoded_sf0.01_n200" +
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/video_decoded_${oracleSfName}_n$oracleFixN" +
         s"_v${Multimodal.fixtureGenVersion}/*.parquet"
       s"""WITH q AS (
             SELECT id, list_transform(feature,
@@ -2356,11 +2372,11 @@ object LlmQueries {
     },
 
     // Reads the SAME JSONL files q83 ingested (written by the q83 run
-    // before the oracle executes; the driver verifies at sf0.01, which
-    // fixes the fixture path) — the cross-engine check covers the
-    // PARSE, not just the aggregate.
+    // before the oracle executes; Verify sets oracleSfName so the path
+    // tracks the sf being verified) — the cross-engine check covers
+    // the PARSE, not just the aggregate.
     "q83_jsonl_ingest" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/jsonl_sf0.01/*.json"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/jsonl_$oracleSfName/*.json"
       s"""SELECT lang, COUNT(*) AS n_docs,
                  CAST(SUM(id) AS BIGINT) AS sum_id,
                  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
@@ -2546,11 +2562,12 @@ object LlmQueries {
          SELECT gram, COUNT(*) AS n FROM grams
          GROUP BY gram HAVING COUNT(*) >= 5""",
     // PCA projection twin: reads the SAME fitted components the q97
-    // run wrote (q83's shared-fixture pattern — the driver verifies at
-    // sf0.01, which fixes the path), recomputes the mean-centered dot
-    // products with the same decimal term sums.
+    // run wrote (q83's shared-fixture pattern — Verify sets
+    // oracleSfName so the path tracks the sf being verified),
+    // recomputes the mean-centered dot products with the same decimal
+    // term sums.
     "q97_pca_project" -> {
-      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/pca_sf0.01/*.parquet"
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/pca_$oracleSfName/*.parquet"
       s"""WITH flat AS (
            SELECT vec_id, e.d AS dim, e.x AS x FROM (
              SELECT vec_id, UNNEST(list_transform(embedding,
