@@ -19,6 +19,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and suppress the trailing "[success] Total time..." logger line,
 // which otherwise lands AFTER the JSON as the tail's final line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by the command layer, not a task
 // Diagnostic mains (Probe*/Soak*/Parity/PlanAudit) live outside the
 // library source set: they compile with the TEST configuration — kept
 // healthy by every `sbt test` cycle, runnable via

@@ -141,6 +141,13 @@ object Bpe {
     ('a' to 'z').foreach(c => pool += c.toString)
     val used = scala.collection.mutable.HashSet.empty[(String, String)]
     def add(a: String, b: String): Unit = {
+      // holds for the curated prefix too, not just the LCG merges: an
+      // output longer than maxLen would fall outside the oracle's
+      // substring-candidate enumeration (lens 2..maxLen) and silently
+      // diverge engine vs oracle (round-13 advice — the invariant
+      // previously lived only in BpeSpec)
+      require(a.length + b.length <= maxLen,
+        s"syntheticVocab: merge '$a'+'$b' exceeds maxLen=$maxLen")
       out += ((a, b)); used += ((a, b)); pool += (a + b)
     }
     Merges.foreach { case (a, b) => add(a, b) }

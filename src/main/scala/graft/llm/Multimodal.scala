@@ -375,19 +375,37 @@ object Multimodal {
     * temp dir, then rename into place — a loser of the race just
     * deletes its copy and reads the winner's (content is
     * seed-deterministic, so any complete fixture is THE fixture).
+    *
+    * Hadoop `rename` does NOT fail when the destination directory
+    * already exists: HDFS and RawLocalFileSystem apply posix-mv
+    * semantics, moving tmp INSIDE the destination as a child dir and
+    * returning true — so a race loser's `!rename → delete tmp` branch
+    * never fired and `spark.read.parquet` double-counted the nested
+    * copy (round-13 advice). Rename now happens only into ABSENCE
+    * (re-checked after the write), and a nested-copy sweep covers the
+    * residual check→rename window.
     */
-  private[llm] def materializeOnce(spark: SparkSession, path: String)
-                                  (build: => DataFrame): DataFrame = {
+  private[graft] def materializeOnce(spark: SparkSession, path: String)
+                                    (build: => DataFrame): DataFrame = {
     val target = new org.apache.hadoop.fs.Path(path)
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+    if (!fs.exists(success)) {
       val tmp = new org.apache.hadoop.fs.Path(
         path + ".tmp-" + java.util.UUID.randomUUID.toString)
       build.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(target) &&
-          !fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      if (fs.exists(target) && !fs.exists(success))
         fs.delete(target, true) // crashed partial write: clear it
-      if (!fs.rename(tmp, target)) fs.delete(tmp, true) // lost the race
+      // a complete target can only (re)appear via a winner's rename
+      // (which carries _SUCCESS atomically with the dir move), so
+      // "success exists" ⇔ "lost the race": discard this copy
+      val renamed = !fs.exists(success) && fs.rename(tmp, target)
+      if (!renamed) fs.delete(tmp, true)
+      // residual exists-check → rename window: if another writer won
+      // INSIDE it, our rename nested tmp under the winner's target —
+      // remove the duplicate child so the read below counts each row once
+      val nested = new org.apache.hadoop.fs.Path(target, tmp.getName)
+      if (renamed && fs.exists(nested)) fs.delete(nested, true)
     }
     spark.read.parquet(path)
   }

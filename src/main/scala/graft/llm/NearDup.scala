@@ -456,9 +456,14 @@ object NearDup {
     val sizes = Seq.tabulate(nBlocks)(b => base + (if (b < rem) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
     val blocks = array(Seq.tabulate(nBlocks) { b =>
+      // a 64-bit-wide block (maxDist = 0 on a 64-bit sig) must mask
+      // with -1L: Java shifts are mod 64, so (1L << 64) - 1 == 0 and
+      // every blkval would collapse to 0 — still correct after the
+      // hamming filter, but an O(n²) cross-join candidate set
+      val mask = if (sizes(b) == 64) -1L else (1L << sizes(b)) - 1
       struct(lit(b).as("blk"),
         call_function("shiftrightunsigned", col("__sig"), lit(offsets(b)))
-          .bitwiseAND(lit((1L << sizes(b)) - 1)).as("blkval"))
+          .bitwiseAND(lit(mask)).as("blkval"))
     }: _*)
     val blocked = sigDf.select(col("__id"), col("__sig"), explode(blocks).as("bb"))
       .select(col("__id"), col("__sig"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))

@@ -65,6 +65,15 @@ object KAnonymity {
     require(starLadder.forall(quasiCols.contains) &&
       starLadder.distinct == starLadder,
       s"KAnonymity.enforce: starLadder must be distinct quasi columns: $starLadder")
+    // lit("*") recoding is only type-stable on string columns — a
+    // numeric ladder column would silently widen the earlier rungs'
+    // released column to string through the cross-rung unionByName
+    // (round-13 advice); callers cast + document explicitly instead
+    starLadder.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"KAnonymity.enforce: starLadder column '$c' must be StringType " +
+          s"(got ${df.schema(c).dataType.simpleString}); cast it explicitly")
+    }
     val q = quasiCols.map(col)
     // rung = (numeric width, columns recoded to '*'): the numeric
     // ladder first, then cumulative column suppression at the widest w

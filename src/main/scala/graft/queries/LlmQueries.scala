@@ -1469,14 +1469,26 @@ object LlmQueries {
     q121CleanLock.synchronized {
       q121CleanFixtures.getOrElseUpdate(Tables.fixtureKey(s, dir), {
         val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
-        val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/ts_clean_$sfName"
-        CorpusDedup.clean(q121Corpus(Tables(s, dir)), "doc_id", "text",
-            threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
-          .select(col("doc_id"))
-          .coalesce(1).write.mode("overwrite").parquet(fixture)
+        // the path encodes every parameter the kept-id set depends on
+        // (dedup params + corpus recipe version), and the write goes
+        // through materializeOnce's write-then-rename + _SUCCESS gate —
+        // a concurrent process sharing java.io.tmpdir can never read a
+        // half-written fixture, and a params change can never silently
+        // reuse an old one (round-13 advice).
+        val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+          s"ts_clean_${sfName}_t60_g3_h48_b16_cv$q121CorpusVersion"
+        graft.llm.Multimodal.materializeOnce(s, fixture) {
+          CorpusDedup.clean(q121Corpus(Tables(s, dir)), "doc_id", "text",
+              threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+            .select(col("doc_id")).coalesce(1)
+        }
         fixture
       })
     }
+
+  // bump when q121Corpus's recipe (or CorpusDedup.clean's semantics)
+  // changes — part of the clean-fixture path key
+  private val q121CorpusVersion = 1
 
   // Fitted PCA components per (process, corpus) — the once-per-corpus
   // model artifact (q42-bucket / q48-index amortization pattern): fit
