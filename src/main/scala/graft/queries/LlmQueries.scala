@@ -1446,8 +1446,77 @@ object LlmQueries {
     "q141_bpe_chunks" -> ((s, dir) => {
       val t = Tables(s, dir)
       graft.llm.BpeChunker.chunk(s, t.documents, "doc_id", "text", budget = 64L)
+    }),
+
+    // INCREMENTAL IVF INDEX MAINTENANCE — assignment of a NEW embedding
+    // batch to the FROZEN persisted quantizer (round-13 verdict missing
+    // item 2): a 100 TB pipeline appends embeddings daily and cannot
+    // re-cluster the corpus, so new vectors route to the index's
+    // existing centroids — one broadcast + map-side argmax per row,
+    // never re-reading the indexed base corpus (IvfIncrementalSpec
+    // pins that on the physical plan). Centroids are the q76 pinned
+    // device (vec_id < 16 base rows, persisted once), so the exact
+    // rounded-cosine argmax is fully SQL-recomputable; the batch is a
+    // deterministic REVERSED-vector transform of the corpus (new ids,
+    // different geometry, zero float-construction risk — reverse
+    // commutes with the double cast elementwise).
+    "q142_ivf_append" -> ((s, dir) => {
+      val (centPath, _) = ensureIvfIndexFixture(s, dir)
+      graft.llm.IvfIncremental.assignBatch(
+        ivfBatch(Tables(s, dir)), s.read.parquet(centPath))
+    }),
+
+    // CENTROID-DRIFT AUDIT — q142's other half: per centroid, the new
+    // batch's mean assigned similarity vs the train-time residual
+    // persisted WITH the index (decimal sums, round-9 means — the q101
+    // discipline), drift = mean_train − mean_new. This is the signal
+    // that tells the pipeline when quantizer re-training is due; both
+    // inputs are centroid-count-sized, so the audit is metadata-scale
+    // regardless of corpus size. The reversed-vector batch lands far
+    // from the text-embedding geometry, so drift is materially nonzero
+    // — an all-zero audit could not distinguish working from vacuous.
+    "q143_ivf_drift" -> ((s, dir) => {
+      val (centPath, statsPath) = ensureIvfIndexFixture(s, dir)
+      val asgn = graft.llm.IvfIncremental.assignBatch(
+        ivfBatch(Tables(s, dir)), s.read.parquet(centPath))
+      graft.llm.IvfIncremental.driftAudit(asgn, s.read.parquet(statsPath))
     })
   )
+
+  /** q142/q143's deterministic new-embedding batch: fresh ids, vectors
+    * = the corpus vectors REVERSED (different geometry, no float
+    * arithmetic in the construction).
+    */
+  private def ivfBatch(t: Tables): DataFrame =
+    t.embeddings.select((col("vec_id") + 100000L).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+
+  // bump when the index recipe changes — part of the fixture path key
+  private val ivfIndexVersion = 1
+
+  /** Build-once persisted IVF index for q142/q143: centroids = the
+    * pinned vec_id < 16 base rows; train stats = the full base corpus
+    * assigned to them once (decimal residual sums). Subsequent runs —
+    * and every batch append — read ONLY these two parquets.
+    */
+  private def ensureIvfIndexFixture(s: SparkSession, dir: String): (String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val centPath = s"$fixDir/ivf_centroids_${sfName}_v$ivfIndexVersion"
+    val statsPath = s"$fixDir/ivf_stats_${sfName}_v$ivfIndexVersion"
+    val t = Tables(s, dir)
+    graft.llm.Multimodal.materializeOnce(s, centPath) {
+      t.embeddings.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+        .coalesce(1)
+    }
+    graft.llm.Multimodal.materializeOnce(s, statsPath) {
+      graft.llm.IvfIncremental.trainStats(
+        graft.llm.IvfIncremental.assignBatch(
+          t.embeddings, s.read.parquet(centPath))).coalesce(1)
+    }
+    (centPath, statsPath)
+  }
 
   /** q121's doubled corpus (non-heldout docs + truncated near-twins). */
   private def q121Corpus(t: Tables): DataFrame = {
@@ -2763,6 +2832,73 @@ object LlmQueries {
                CAST(COUNT(*) AS INT) AS n_words,
                CAST(SUM(c.wt) AS BIGINT) AS n_bpe
         FROM rec r JOIN wcost c USING (doc_id, pos)
-        GROUP BY r.doc_id, r.chunk_idx"""
+        GROUP BY r.doc_id, r.chunk_idx""",
+
+    // Incremental-IVF twin: the oracle recomputes the ENTIRE frozen
+    // index from first principles (centroids = the pinned vec_id < 16
+    // rows; batch = reversed vectors, fresh ids) and re-runs the
+    // rounded-cosine argmax with the smallest-cid tie-break — q76's
+    // assignment program verbatim over the batch.
+    "q142_ivf_append" ->
+      """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+            batch AS (SELECT vec_id + 100000 AS vid,
+                             CAST(list_reverse(embedding) AS DOUBLE[]) AS v
+                      FROM embeddings)
+        SELECT vid AS vec_id, cid AS centroid_id, d + 0.0 AS cos_sim FROM (
+          SELECT vid, cid,
+            ROUND(list_dot_product(v, cv)
+              / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
+              ROUND(list_dot_product(v, cv)
+                / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+              cid ASC) AS rn
+          FROM batch, cents) t WHERE rn = 1""",
+
+    // Drift-audit twin: train stats recomputed by assigning the BASE
+    // corpus to the same pinned centroids, batch stats from the q142
+    // assignment, decimal sums → round-9 means, LEFT JOIN keeps
+    // never-chosen centroids with NULL batch stats.
+    "q143_ivf_drift" ->
+      """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                        FROM embeddings WHERE vec_id < 16),
+            corp AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            batch AS (SELECT vec_id + 100000 AS vid,
+                             CAST(list_reverse(embedding) AS DOUBLE[]) AS v
+                      FROM embeddings),
+            tasgn AS (
+              SELECT vid, cid, d FROM (
+                SELECT vid, cid,
+                  ROUND(list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+                  ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
+                    ROUND(list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                    cid ASC) AS rn
+                FROM corp, cents) t WHERE rn = 1),
+            basgn AS (
+              SELECT vid, cid, d FROM (
+                SELECT vid, cid,
+                  ROUND(list_dot_product(v, cv)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+                  ROW_NUMBER() OVER (PARTITION BY vid ORDER BY
+                    ROUND(list_dot_product(v, cv)
+                      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                    cid ASC) AS rn
+                FROM batch, cents) t WHERE rn = 1),
+            ts AS (SELECT cid, COUNT(*) AS n_train,
+                          SUM(CAST(d AS DECIMAL(30,15))) AS st
+                   FROM tasgn GROUP BY cid),
+            bs AS (SELECT cid, COUNT(*) AS n_new,
+                          SUM(CAST(d AS DECIMAL(30,15))) AS sn
+                   FROM basgn GROUP BY cid)
+        SELECT ts.cid AS centroid_id, ts.n_train,
+               COALESCE(bs.n_new, 0) AS n_new,
+               ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9) + 0.0 AS mean_sim_train,
+               ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9) + 0.0 AS mean_sim_new,
+               ROUND(ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9)
+                     - ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9), 9) + 0.0 AS drift
+        FROM ts LEFT JOIN bs ON bs.cid = ts.cid"""
   )
 }
