@@ -153,7 +153,16 @@ object Triangles {
              srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(maxRounds >= 1)
-    var cur = canonical(edges, srcCol, dstCol).localCheckpoint()
+    peelFrom(canonical(edges, srcCol, dstCol).localCheckpoint(), k, maxRounds)
+  }
+
+  /** The support-peel loop on an ALREADY-canonical, materialized edge
+    * set — shared by [[ktruss]] and [[trussness]] (whose level k + 1
+    * starts from level k's survivors, never re-canonicalizing).
+    * Returns the surviving (a, b, support) edges, support ≥ k − 2.
+    */
+  private def peelFrom(ce: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var cur = ce
     var n = cur.count()
     var round = 0
     var supported = supportOf(cur)
@@ -166,5 +175,44 @@ object Triangles {
       supported = supportOf(cur)
     }
     supported.filter(col("support") >= k - 2)
+  }
+
+  /** TRUSS DECOMPOSITION — every canonical edge's maximum trussness:
+    * the largest k such that the edge survives the k-truss peel
+    * (Cohen 2008; trussness 2 = the trivial truss every edge belongs
+    * to). Levels nest ((k+1)-truss ⊆ k-truss), so level k + 1 peels
+    * FROM level k's survivors — each level is the [[ktruss]] loop on a
+    * monotonically shrinking, localCheckpointed edge set, and the
+    * whole decomposition stops at the first empty level (no fixed k
+    * list; `maxK` is a runaway bound, not a tuning knob). An edge's
+    * trussness is the last level that kept it: one max over the level
+    * tags, one left join back onto the canonical set. Inherits the
+    * O(E^1.5) oriented enumeration per round; total rounds are bounded
+    * by the graph's truss depth, which is small on real graphs.
+    * Output: (a, b, trussness ≥ 2), one row per canonical edge.
+    */
+  def trussness(edges: DataFrame, maxRoundsPerK: Int = 20, maxK: Int = 64,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val ce = canonical(edges, srcCol, dstCol).localCheckpoint()
+    var cur = ce
+    var n = cur.count()
+    var k = 3
+    var levels = Vector.empty[DataFrame]
+    while (n > 0 && k <= maxK) {
+      val kept = peelFrom(cur, k, maxRoundsPerK)
+        .select(col("a"), col("b")).localCheckpoint()
+      val m = kept.count()
+      if (m > 0) levels :+= kept.withColumn("__k", lit(k.toLong))
+      cur = kept; n = m; k += 1
+    }
+    if (levels.isEmpty)
+      ce.select(col("a"), col("b"), lit(2L).as("trussness"))
+    else {
+      val best = levels.reduce(_ unionByName _)
+        .groupBy(col("a"), col("b")).agg(max(col("__k")).as("__mk"))
+      ce.join(best, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("__mk"), lit(2L)).as("trussness"))
+    }
   }
 }

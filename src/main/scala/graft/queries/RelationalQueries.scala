@@ -1768,6 +1768,21 @@ object RelationalQueries {
     "q138_ktruss" -> ((s, dir) =>
       graft.graph.Triangles.ktruss(coPurchaseEdges(Tables(s, dir)), k = 3)),
 
+    // TRUSS DECOMPOSITION — q138 generalized to every edge's MAXIMUM
+    // trussness (round-13 verdict item 7): level k + 1 peels from
+    // level k's survivors (trusses nest), stopping at the first empty
+    // level; trussness = the last level that kept the edge, 2 for
+    // edges outside every 3-truss. The oracle unrolls levels 3..5
+    // (data max is 3 at the tested SFs — margin of two levels) × 3
+    // peel rounds each; extra levels and rounds are provably no-ops
+    // past the fixpoint (the q122/q138 unrolled-loop device), and a
+    // graph deeper than the unroll fails LOUDLY as a hash mismatch,
+    // never silently. TrianglesSpec pins the decomposition against
+    // brute-force peeling on a K5-plus-pendant graph (trussness 5/3/2
+    // strata — depths the co-purchase fixture never reaches).
+    "q144_truss_decomposition" -> ((s, dir) =>
+      graft.graph.Triangles.trussness(coPurchaseEdges(Tables(s, dir)))),
+
     // RANK-FEATURE WINDOWS — the ML-prep percentile features
     // (percent_rank / cume_dist / decile) per order priority: all
     // three are exact rational functions of the integer (rank, n)
@@ -2025,6 +2040,51 @@ object RelationalQueries {
          ${peel(2, "e1")},
          ${peel(3, "e2")}
        SELECT a, b, CAST(n AS BIGINT) AS support FROM e3"""
+    },
+
+    // Truss-decomposition twin: q138's unrolled peel, generated per
+    // LEVEL k = 3..5 (threshold k − 2, each level starting from the
+    // previous level's round-3 survivors) × 3 rounds; trussness = 2 +
+    // one membership test per level (trusses nest, so the sum IS the
+    // max surviving k). Survivor CTEs are MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and each round references its source
+    // 4× — 9 rounds deep that re-expands the base scan 4⁹ times
+    // ("too many open files"); materialization makes it linear.
+    "q144_truss_decomposition" -> {
+      def peel(k: Int, i: Int, src: String): String =
+        s"""t${k}_$i AS (
+             SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM $src e1
+             JOIN $src e2 ON e2.a = e1.b
+             JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b),
+           te${k}_$i AS (SELECT x AS a, y AS b FROM t${k}_$i
+                    UNION ALL SELECT x, z FROM t${k}_$i
+                    UNION ALL SELECT y, z FROM t${k}_$i),
+           sp${k}_$i AS (SELECT a, b, COUNT(*) AS n FROM te${k}_$i GROUP BY a, b),
+           e${k}_$i AS MATERIALIZED (
+                   SELECT s.a, s.b FROM $src ed
+                   JOIN sp${k}_$i s ON ed.a = s.a AND ed.b = s.b
+                   WHERE s.n >= ${k - 2})"""
+      val levels = (3 to 5).map { k =>
+        val src0 = if (k == 3) "ce" else s"e${k - 1}_3"
+        Seq(peel(k, 1, src0), peel(k, 2, s"e${k}_1"), peel(k, 3, s"e${k}_2"))
+          .mkString(",\n         ")
+      }.mkString(",\n         ")
+      val member = (3 to 5).map(k =>
+        s"(CASE WHEN m$k.a IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+      val joins = (3 to 5).map(k =>
+        s"LEFT JOIN e${k}_3 m$k ON m$k.a = ce.a AND m$k.b = ce.b").mkString("\n       ")
+      s"""WITH e0 AS (
+           SELECT MIN(l_partkey) AS x, MAX(l_partkey) AS y
+           FROM lineitem WHERE l_linenumber <= 2
+           GROUP BY l_orderkey HAVING COUNT(*) = 2),
+         ce AS MATERIALIZED (
+                SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                FROM e0 WHERE x != y),
+         $levels
+       SELECT ce.a, ce.b, CAST(2 + $member AS BIGINT) AS trussness
+       FROM ce
+       $joins"""
     },
 
     // Edge-support twin: q123's brute-force triple join exploded to

@@ -137,4 +137,48 @@ class TrianglesSpec extends SparkSpec {
     Triangles.localClustering(k4.toDF("src", "dst")).collect()
       .foreach(r => assert(r.getDouble(3) === 1.0 && r.getLong(1) === 3L))
   }
+
+  test("trussness equals brute-force decomposition; K5/pendant/bridge strata") {
+    def bruteTrussness(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      var ce = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .filter(p => p._1 != p._2).distinct.toSet
+      def sup(s: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+        val nodes = s.flatMap(p => Seq(p._1, p._2))
+        s.map { case (a, b) => (a, b) -> nodes.count(c => c != a && c != b &&
+          s((math.min(a, c), math.max(a, c))) &&
+          s((math.min(b, c), math.max(b, c)))).toLong }.toMap
+      }
+      val out = scala.collection.mutable.Map.empty[(Long, Long), Long] ++
+        ce.map(_ -> 2L)
+      var k = 3
+      var cur = ce
+      while (cur.nonEmpty) {
+        var stable = false
+        var supports = sup(cur)
+        while (!stable) {
+          val kept = cur.filter(e => supports(e) >= k - 2)
+          if (kept == cur) stable = true
+          else { cur = kept; supports = sup(cur) }
+        }
+        cur.foreach(e => out(e) = k.toLong)
+        k += 1
+      }
+      out.toMap
+    }
+    // K5 (trussness 5) + a pendant triangle sharing one node (3) + a
+    // bridge edge (2) + random noise — strata the fixture graph never
+    // reaches, so the multi-level loop is actually exercised
+    val k5 = for (i <- 50L until 55L; j <- (i + 1) until 55L) yield (i, j)
+    val pendant = Seq((54L, 60L), (54L, 61L), (60L, 61L))
+    val bridge = Seq((61L, 99L))
+    val rng = new scala.util.Random(17)
+    val noise = (0 until 120).map(_ => (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+    val edges = k5 ++ pendant ++ bridge ++ noise
+    val got = Triangles.trussness(edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === bruteTrussness(edges))
+    k5.foreach(e => assert(got(e) == 5L, s"K5 edge $e"))
+    pendant.foreach(e => assert(got(e) == 3L, s"pendant edge $e"))
+    assert(got((61L, 99L)) == 2L, "bridge edge")
+  }
 }
