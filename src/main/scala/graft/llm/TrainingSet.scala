@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *   5. token-budget admit  (train split only: per-language cumulative
   *                           token cut in md5 order — q98's rule;
   *                           boundary doc admitted)
+  *   6. privacy release     (optional: `KAnonymity.enforce` over the
+  *                           admitted set's metadata columns — numeric
+  *                           widths then categorical star rungs; the
+  *                           release gate a shared training-set export
+  *                           passes through before leaving the
+  *                           pipeline)
   *
   * Every stage is deterministic on any partitioning (hash orders,
   * exact integer cuts, exact counts), so the assembled set is
@@ -31,9 +37,23 @@ import org.apache.spark.sql.functions._
   */
 object TrainingSet {
 
+  /** Stage-6 release spec: `KAnonymity.enforce` parameters applied to
+    * the admitted set's metadata columns (`quasiCols` must include only
+    * output columns of [[build]]; `valueCol` is typically n_tokens).
+    */
+  case class Release(quasiCols: Seq[String], valueCol: String,
+                     widths: Seq[Long], k: Long,
+                     starLadder: Seq[String] = Nil)
+
   /** Returns `(idCol, langCol, split, n_tokens, admitted)` — one row
     * per surviving document. `admitted` is true for every val/test row
     * and for train rows inside their language's token budget.
+    * With `release` set, the output is instead the k-anonymous RELEASE
+    * of the admitted rows' metadata: `(idCol, quasi columns possibly
+    * starred, valueCol, bucket_lo, bucket_width)` — sub-k cells
+    * generalize down the ladder and the irreducible tail is suppressed
+    * (dropped), so the exported table is safe to share by
+    * construction.
     *
     * `precleanedIds`: optional kept-id table replacing stage 1's
     * MinHash-LSH run — for callers that amortize the clean across
@@ -52,7 +72,8 @@ object TrainingSet {
             threshold: Double = 0.8,
             shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
             decontaminateN: Int = 13,
-            precleanedIds: Option[DataFrame] = None): DataFrame = {
+            precleanedIds: Option[DataFrame] = None,
+            release: Option[Release] = None): DataFrame = {
     require(defaultBudget > 0 && budgets.values.forall(_ > 0),
       "TrainingSet.build: token budgets must be positive")
     // 1. near-dup clean (or the caller's amortized id set)
@@ -91,7 +112,7 @@ object TrainingSet {
     val budgetCol: Column = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (l, b)) => when(col(langCol) === l, lit(b)).otherwise(acc)
     }
-    graft.operators.DistributedRank.prefix(
+    val assembled = graft.operators.DistributedRank.prefix(
         split.withColumn("__tok_tr",
           when(col("split") === "train", col("__tok").cast("long")).otherwise(0L)),
         Seq(langCol), Seq("__grp", idCol), Seq("__tok_tr"))
@@ -99,6 +120,17 @@ object TrainingSet {
         col("split") =!= "train" ||
           (col("__cum___tok_tr") - col("__tok_tr")) < budgetCol)
       .select(col(idCol), col(langCol), col("split"),
-        col("__tok").as("n_tokens"), col("admitted"))
+        col("__tok").cast("long").as("n_tokens"), col("admitted"))
+    // 6. optional privacy release: the admitted set's metadata passes
+    // the k-anonymity gate before leaving the pipeline — numeric
+    // bucket widths, then categorical star rungs; the irreducible
+    // sub-k tail is suppressed (q132's ladder as a composed stage)
+    release match {
+      case None => assembled
+      case Some(r) =>
+        graft.operators.KAnonymity.enforce(
+          assembled.filter(col("admitted")).drop("admitted"),
+          r.quasiCols, r.valueCol, r.widths, r.k, starLadder = r.starLadder)
+    }
   }
 }

@@ -1480,6 +1480,36 @@ object LlmQueries {
       val asgn = graft.llm.IvfIncremental.assignBatch(
         ivfBatch(Tables(s, dir)), s.read.parquet(centPath))
       graft.llm.IvfIncremental.driftAudit(asgn, s.read.parquet(statsPath))
+    }),
+
+    // TRAINING-SET PRIVACY RELEASE — q121's pipeline with the optional
+    // stage 6 (round-13 verdict item 8): the admitted set's metadata
+    // passes KAnonymity.enforce before leaving the pipeline — numeric
+    // n_tokens widths (10/50/200) over the (lang, split) quasi pair,
+    // then one categorical star rung (lang → '*'), k = 8; the
+    // irreducible sub-k tail is suppressed. At sf0.01 the ladder is
+    // demonstrably non-vacuous: 52 rows release at width 10, 123 at
+    // width 50, and the 73-row tail (small-language val/test cells
+    // under 8) releases STARRED on the lang → '*' rung — rows the
+    // numeric ladder alone would have suppressed. One call remains
+    // the product surface; the oracle
+    // recomputes the ENTIRE pipeline — all five q121 stages from raw
+    // text, then the unrolled four-rung ladder.
+    "q145_training_release" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val heldout = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"), col("text"))
+      TrainingSet.build(q121Corpus(t), heldout, "doc_id", "text", "lang",
+          minQuality = 7.0, budgets = Map("en" -> 4000L), defaultBudget = 1500L,
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16,
+          decontaminateN = 5,
+          precleanedIds = Some(s.read.parquet(ensureQ121CleanFixture(s, dir))),
+          release = Some(TrainingSet.Release(
+            quasiCols = Seq("lang", "split"), valueCol = "n_tokens",
+            widths = Seq(10L, 50L, 200L), k = 8L,
+            starLadder = Seq("lang"))))
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("bucket_lo"), col("bucket_width"))
     })
   )
 
@@ -1660,6 +1690,88 @@ object LlmQueries {
          SELECT *, ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
          FROM sims) t WHERE rank <= 5"""
+
+  // q121's full five-stage oracle pipeline as a reusable CTE block
+  // (stages 1-5 recomputed from raw text) — shared by the q121 twin and
+  // q145's release twin, which appends the ladder rungs after it.
+  private def sqlQ121Ctes: String =
+    s"""RECURSIVE corpus AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 != 0
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1)), lang
+            FROM documents WHERE doc_id % 20 != 0),
+          kept0 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+          kcorpus AS (
+            SELECT c.doc_id, c.text, c.lang FROM corpus c
+            JOIN kept0 k ON c.doc_id = k.doc_id),
+          ${sqlPairCtes("kcorpus")},
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id),
+          clean AS (
+            SELECT k.doc_id, k.text, k.lang FROM kcorpus k
+            LEFT JOIN comp c ON c.id = k.doc_id
+            WHERE c.id IS NULL OR c.keep = k.doc_id),
+          tokc AS (SELECT doc_id, text, lang, $sqlToks AS toks FROM clean),
+          sh5 AS (SELECT doc_id,
+              CASE WHEN len(toks) < 5 THEN []
+                   ELSE list_transform(range(0, len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END AS sh
+            FROM tokc),
+          bench AS (
+            SELECT DISTINCT unnest(
+              CASE WHEN len(toks) < 5 THEN []
+                   ELSE list_transform(range(0, len(toks) - 4),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END) AS g
+            FROM (SELECT $sqlToks AS toks FROM documents WHERE doc_id % 20 = 0)),
+          contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM (SELECT doc_id, unnest(sh) AS g FROM sh5) t
+            JOIN bench b ON t.g = b.g),
+          gated AS (
+            SELECT doc_id, text, lang, toks FROM tokc
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+                 + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                          / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+                 + CASE WHEN len(toks) > 0
+                         AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                        THEN 3 ELSE 0 END) >= 7),
+          grouped AS (SELECT doc_id, lang, text, md5(text) AS grp,
+                             CAST(len(toks) AS BIGINT) AS n_tokens FROM gated),
+          groups AS (SELECT grp, MIN(lang) AS rl FROM grouped GROUP BY 1),
+          ranked AS (
+            SELECT grp, rl, ROW_NUMBER() OVER (PARTITION BY rl ORDER BY grp) AS rn,
+                   COUNT(*) OVER (PARTITION BY rl) AS n
+            FROM groups),
+          assigned AS (
+            SELECT grp, CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                             WHEN rn * 10 <= n * 9 THEN 'val'
+                             ELSE 'test' END AS split
+            FROM ranked),
+          sp AS (
+            SELECT g.doc_id, g.lang, g.text, g.n_tokens, a.split
+            FROM grouped g JOIN assigned a USING (grp)),
+          run AS (
+            SELECT doc_id, lang, split, n_tokens,
+              COALESCE(CAST(SUM(CASE WHEN split = 'train' THEN n_tokens END) OVER (
+                PARTITION BY lang ORDER BY md5(text), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prior
+            FROM sp)"""
+
+  private val sqlQ121Select: String =
+    """SELECT doc_id, lang, split, n_tokens,
+               (split != 'train' OR
+                prior < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) AS admitted
+        FROM run"""
 
   def oracleSql: Map[String, String] = Map(
     "q26_ann_ivf" -> sqlCosineTop5,
@@ -2275,81 +2387,8 @@ object LlmQueries {
     // ≥ 7 bar, q105's grouped integer-rank split, q98's md5-order
     // prior-tokens budget cut with the straddle rule.
     "q121_training_set" ->
-      s"""WITH RECURSIVE corpus AS (
-            SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 != 0
-            UNION ALL
-            SELECT doc_id + 1000000,
-                   substring(text, 1, greatest(length(text) - 10, 1)), lang
-            FROM documents WHERE doc_id % 20 != 0),
-          kept0 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
-          kcorpus AS (
-            SELECT c.doc_id, c.text, c.lang FROM corpus c
-            JOIN kept0 k ON c.doc_id = k.doc_id),
-          ${sqlPairCtes("kcorpus")},
-          edges AS (
-            SELECT id_a AS a, id_b AS b FROM pairs
-            UNION ALL
-            SELECT id_b, id_a FROM pairs),
-          lbl(id, k) AS (
-            SELECT a, LEAST(a, b) FROM edges
-            UNION
-            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
-          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id),
-          clean AS (
-            SELECT k.doc_id, k.text, k.lang FROM kcorpus k
-            LEFT JOIN comp c ON c.id = k.doc_id
-            WHERE c.id IS NULL OR c.keep = k.doc_id),
-          tokc AS (SELECT doc_id, text, lang, $sqlToks AS toks FROM clean),
-          sh5 AS (SELECT doc_id,
-              CASE WHEN len(toks) < 5 THEN []
-                   ELSE list_transform(range(0, len(toks) - 4),
-                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END AS sh
-            FROM tokc),
-          bench AS (
-            SELECT DISTINCT unnest(
-              CASE WHEN len(toks) < 5 THEN []
-                   ELSE list_transform(range(0, len(toks) - 4),
-                     i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END) AS g
-            FROM (SELECT $sqlToks AS toks FROM documents WHERE doc_id % 20 = 0)),
-          contaminated AS (
-            SELECT DISTINCT t.doc_id
-            FROM (SELECT doc_id, unnest(sh) AS g FROM sh5) t
-            JOIN bench b ON t.g = b.g),
-          gated AS (
-            SELECT doc_id, text, lang, toks FROM tokc
-            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-              AND (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
-                 + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
-                          / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
-                 + CASE WHEN len(toks) > 0
-                         AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
-                             / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
-                        THEN 3 ELSE 0 END) >= 7),
-          grouped AS (SELECT doc_id, lang, text, md5(text) AS grp,
-                             CAST(len(toks) AS BIGINT) AS n_tokens FROM gated),
-          groups AS (SELECT grp, MIN(lang) AS rl FROM grouped GROUP BY 1),
-          ranked AS (
-            SELECT grp, rl, ROW_NUMBER() OVER (PARTITION BY rl ORDER BY grp) AS rn,
-                   COUNT(*) OVER (PARTITION BY rl) AS n
-            FROM groups),
-          assigned AS (
-            SELECT grp, CASE WHEN rn * 10 <= n * 8 THEN 'train'
-                             WHEN rn * 10 <= n * 9 THEN 'val'
-                             ELSE 'test' END AS split
-            FROM ranked),
-          sp AS (
-            SELECT g.doc_id, g.lang, g.text, g.n_tokens, a.split
-            FROM grouped g JOIN assigned a USING (grp)),
-          run AS (
-            SELECT doc_id, lang, split, n_tokens,
-              COALESCE(CAST(SUM(CASE WHEN split = 'train' THEN n_tokens END) OVER (
-                PARTITION BY lang ORDER BY md5(text), doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prior
-            FROM sp)
-        SELECT doc_id, lang, split, n_tokens,
-               (split != 'train' OR
-                prior < CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) AS admitted
-        FROM run""",
+      s"""WITH $sqlQ121Ctes
+        $sqlQ121Select""",
 
     // BPE ground truth: DuckDB replays the ~50k-merge PRODUCTION
     // table from the SAME persisted merges parquet the broadcast
@@ -2899,6 +2938,64 @@ object LlmQueries {
                ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9) + 0.0 AS mean_sim_new,
                ROUND(ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9)
                      - ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9), 9) + 0.0 AS drift
-        FROM ts LEFT JOIN bs ON bs.cid = ts.cid"""
+        FROM ts LEFT JOIN bs ON bs.cid = ts.cid""",
+
+    // Release twin: the FULL q121 pipeline recomputed from raw text
+    // (shared CTE block), then the four-rung ladder unrolled in the
+    // q122/q132 style. The pipeline/ladder CTEs are MATERIALIZED —
+    // DuckDB inlines plain CTEs per reference, and the rem/j chain
+    // references its parent twice per rung, which re-ran the whole
+    // five-stage pipeline (recursive CC included) ~16 times — numeric widths 10/50/200 over (lang, split),
+    // then lang → '*' at the coarsest width, k = 8, sub-k tail
+    // suppressed.
+    "q145_training_release" ->
+      s"""WITH $sqlQ121Ctes,
+          ts AS MATERIALIZED ($sqlQ121Select),
+          adm AS MATERIALIZED (
+            SELECT doc_id, lang, split, n_tokens FROM ts WHERE admitted),
+          n1 AS (SELECT lang, split, n_tokens // 10 * 10 AS cell, COUNT(*) AS n
+                 FROM adm GROUP BY 1, 2, 3),
+          j1 AS MATERIALIZED (SELECT b.*, n1.n FROM adm b
+                 JOIN n1 ON b.lang = n1.lang AND b.split = n1.split
+                        AND b.n_tokens // 10 * 10 = n1.cell),
+          r1 AS (SELECT doc_id, lang, split,
+                        CAST(n_tokens // 10 * 10 AS BIGINT) AS bucket_lo,
+                        CAST(10 AS BIGINT) AS bucket_width
+                 FROM j1 WHERE n >= 8),
+          rem1 AS MATERIALIZED (
+            SELECT doc_id, lang, split, n_tokens FROM j1 WHERE n < 8),
+          n2 AS (SELECT lang, split, n_tokens // 50 * 50 AS cell, COUNT(*) AS n
+                 FROM rem1 GROUP BY 1, 2, 3),
+          j2 AS MATERIALIZED (SELECT b.*, n2.n FROM rem1 b
+                 JOIN n2 ON b.lang = n2.lang AND b.split = n2.split
+                        AND b.n_tokens // 50 * 50 = n2.cell),
+          r2 AS (SELECT doc_id, lang, split,
+                        CAST(n_tokens // 50 * 50 AS BIGINT) AS bucket_lo,
+                        CAST(50 AS BIGINT) AS bucket_width
+                 FROM j2 WHERE n >= 8),
+          rem2 AS MATERIALIZED (
+            SELECT doc_id, lang, split, n_tokens FROM j2 WHERE n < 8),
+          n3 AS (SELECT lang, split, n_tokens // 200 * 200 AS cell, COUNT(*) AS n
+                 FROM rem2 GROUP BY 1, 2, 3),
+          j3 AS MATERIALIZED (SELECT b.*, n3.n FROM rem2 b
+                 JOIN n3 ON b.lang = n3.lang AND b.split = n3.split
+                        AND b.n_tokens // 200 * 200 = n3.cell),
+          r3 AS (SELECT doc_id, lang, split,
+                        CAST(n_tokens // 200 * 200 AS BIGINT) AS bucket_lo,
+                        CAST(200 AS BIGINT) AS bucket_width
+                 FROM j3 WHERE n >= 8),
+          rem3 AS MATERIALIZED (
+            SELECT doc_id, lang, split, n_tokens FROM j3 WHERE n < 8),
+          n4 AS (SELECT split, n_tokens // 200 * 200 AS cell, COUNT(*) AS n
+                 FROM rem3 GROUP BY 1, 2),
+          j4 AS MATERIALIZED (SELECT b.*, n4.n FROM rem3 b
+                 JOIN n4 ON b.split = n4.split
+                        AND b.n_tokens // 200 * 200 = n4.cell),
+          r4 AS (SELECT doc_id, '*' AS lang, split,
+                        CAST(n_tokens // 200 * 200 AS BIGINT) AS bucket_lo,
+                        CAST(200 AS BIGINT) AS bucket_width
+                 FROM j4 WHERE n >= 8)
+        SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4"""
   )
 }

@@ -78,4 +78,28 @@ class TrainingSetSpec extends SparkSpec {
     assert(perLang.exists { case (_, adm, _, all) => adm < all },
       "no language's budget bound — fixture too small for the assertion")
   }
+
+  test("release stage: k-anonymous export, starred tail, admitted-set partition") {
+    val k = 4L
+    val rel = TrainingSet.build(
+      docs.repartition(5), heldout.repartition(3),
+      "doc_id", "text", "lang", minQuality = 0.3,
+      budgets = Map("en" -> 3000L), defaultBudget = 1200L,
+      release = Some(TrainingSet.Release(
+        Seq("lang", "split"), "n_tokens", widths = Seq(10L, 50L, 200L),
+        k = k, starLadder = Seq("lang")))).cache()
+    val admitted = out.filter(col("admitted"))
+    // released ⊆ admitted (ids), each id at most once
+    val relIds = rel.select("doc_id").collect().map(_.getLong(0))
+    assert(relIds.length == relIds.distinct.length)
+    val admIds = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(relIds.forall(admIds), "released a non-admitted doc")
+    // every released cell satisfies >= k under its OWN generalization
+    val cells = rel.groupBy(col("lang"), col("split"),
+        col("bucket_lo"), col("bucket_width"))
+      .agg(count(lit(1)).as("n")).collect()
+    cells.foreach(r => assert(r.getLong(4) >= k,
+      s"cell ${r.toSeq} released under k"))
+    rel.unpersist()
+  }
 }
