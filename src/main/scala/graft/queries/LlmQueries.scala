@@ -1510,8 +1510,40 @@ object LlmQueries {
             starLadder = Seq("lang"))))
         .select(col("doc_id"), col("lang"), col("split"),
           col("bucket_lo"), col("bucket_width"))
+    }),
+
+    // BM25 RANKED RETRIEVAL — the lexical retriever a RAG pipeline
+    // runs next to the embedding ANN family (Okapi BM25, k1=1.2,
+    // b=0.75): "more-like-this" top-10 per query document over exact
+    // tf/df/length statistics. One tokenize pass builds the vocab ×
+    // doc tf table; the idf side is a TABLE join (vocabularies outgrow
+    // driver memory at 100 TB — q101's rule), persisted once per
+    // corpus because ln is the one transcendental in BM25 and Java's
+    // Math.log differs from other engines' libm at the ulp level —
+    // the q97/q119 shared-fixture pattern: both engines read the SAME
+    // idf parquet, the ln formula is spec-pinned, and everything
+    // downstream (tf part, decimal fold, ranking) is cross-checked.
+    "q146_bm25" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Bm25.topK(t.documents,
+        t.documents.filter(pmod(col("doc_id"), lit(101)) === 1),
+        s.read.parquet(ensureBm25IdfFixture(s, dir)), k = 10)
     })
   )
+
+  // bump when idfTable's formula changes — part of the fixture path key
+  private val bm25IdfVersion = 1
+
+  /** Build-once persisted BM25 idf table for q146 (term, df, idf). */
+  private def ensureBm25IdfFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"bm25_idf_${sfName}_v$bm25IdfVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      graft.llm.Bm25.idfTable(Tables(s, dir).documents).coalesce(1)
+    }
+    path
+  }
 
   /** q142/q143's deterministic new-embedding batch: fresh ids, vectors
     * = the corpus vectors REVERSED (different geometry, no float
@@ -2996,6 +3028,48 @@ object LlmQueries {
                         CAST(200 AS BIGINT) AS bucket_width
                  FROM j4 WHERE n >= 8)
         SELECT * FROM r1 UNION ALL SELECT * FROM r2
-        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4"""
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4""",
+
+    // BM25 twin: exact tf/len/avgdl recomputed from raw text; idf read
+    // from the SAME persisted parquet the q146 run wrote (ln is the
+    // one cross-engine-unsafe op — spec-pinned, shared-fixture
+    // pattern). Float literals in e-notation (plain 1.2 is DECIMAL in
+    // DuckDB); k1+1 and 1−b are written as the same ARITHMETIC Spark's
+    // lit(k1+1)/lit(1−b) performs, and every product/quotient is
+    // parenthesized to Spark's association, so each IEEE op sees
+    // identical operands; per-term round-9 contributions sum in
+    // DECIMAL (order-independent).
+    "q146_bm25" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bm25_idf_$oracleSfName" + s"_v$bm25IdfVersion/*.parquet"
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                   FROM tf GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          tot AS (SELECT CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+          idf AS (SELECT term, idf FROM read_parquet('$fixture')),
+          qt AS (SELECT DISTINCT doc_id AS query_id, unnest($sqlToks) AS term
+                 FROM documents WHERE doc_id % 101 = 1),
+          scored AS (
+            SELECT q.query_id, f.doc_id,
+              CAST(SUM(CAST(ROUND(
+                i.idf * ((f.tf * (1.2e0 + 1e0)) /
+                  (f.tf + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * l.len) /
+                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9)
+                AS DECIMAL(30,15))) AS DOUBLE) AS s
+            FROM qt q
+            JOIN tf f USING (term)
+            JOIN lens l ON l.doc_id = f.doc_id
+            JOIN idf i ON i.term = q.term
+            CROSS JOIN nn CROSS JOIN tot
+            WHERE f.doc_id != q.query_id
+            GROUP BY 1, 2)
+        SELECT query_id, doc_id, ROUND(s, 9) + 0.0 AS score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(s, 9) DESC, doc_id) AS rank
+          FROM scored) t
+        WHERE rank <= 10"""
+    }
   )
 }
