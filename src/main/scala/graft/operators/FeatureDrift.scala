@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group feature-drift audit by TOTAL VARIATION DISTANCE over
+  * fixed-width value bins — the ingest-gate twin of q143's embedding
+  * drift and q101's χ² source drift, chosen over PSI/KL because TVD is
+  * a pure RATIONAL of exact counts (PSI's ln is the cross-engine
+  * hazard BM25's idf fixture works around; TVD needs no fixture):
+  *
+  *   TVD(P, Q) = ½ Σ_b |p_b − q_b|
+  *             = Σ_b |n_b·M − m_b·N| / (2·N·M)
+  *
+  * with n/m the per-bin counts and N/M the group totals — exact
+  * integer arithmetic up to ONE final double division (round-9).
+  *
+  * Scale shape: two map-side-combined (group, bin) aggregates, one
+  * (group, bin)-keyed full outer join (absent bins count 0 on the
+  * other side), one group-keyed fold. Bin-count per group is bounded
+  * by the value range / binWidth — metadata-sized; nothing corpus-
+  * scale crosses the driver. The per-bin integer cross products stay
+  * in BIGINT while N·M < 2⁶³ and sum in DECIMAL(30,0) (HugeInt on the
+  * oracle side); the denominator is formed in doubles (exact while
+  * N·M < 2⁵³ — the tested regime; a 100 TB deployment lifts both to
+  * DECIMAL(38,0)).
+  */
+object FeatureDrift {
+
+  /** (groupCols…, n_train, n_new, tvd) — one row per group present in
+    * EITHER side (a group absent from one side has TVD 1 by
+    * definition; the join keeps it with zero counts).
+    */
+  def tvd(train: DataFrame, batch: DataFrame, groupCols: Seq[String],
+          valueCol: String, binWidth: Double): DataFrame = {
+    require(groupCols.nonEmpty && binWidth > 0)
+    val g = groupCols.map(col)
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy((g :+ floor(col(valueCol) / lit(binWidth)).cast("long")
+          .as("__bin")): _*)
+        .agg(count(lit(1)).as(cnt))
+    val t = binned(train, "__nt")
+    val b = binned(batch, "__nb")
+    val joined = t.join(b, groupCols :+ "__bin", "full_outer")
+      .select((g :+ col("__bin") :+
+        coalesce(col("__nt"), lit(0L)).as("__nt") :+
+        coalesce(col("__nb"), lit(0L)).as("__nb")): _*)
+    val totals = joined.groupBy(g: _*)
+      .agg(sum(col("__nt")).as("n_train"), sum(col("__nb")).as("n_new"))
+    joined.join(totals, groupCols)
+      .groupBy(g: _*)
+      .agg(first(col("n_train")).as("n_train"), first(col("n_new")).as("n_new"),
+        sum(abs(col("__nb") * col("n_train") - col("__nt") * col("n_new"))
+          .cast(DecimalType(30, 0))).as("__num"))
+      .select((g :+ col("n_train") :+ col("n_new") :+
+        // a group empty on one side has moved ALL its mass: TVD = 1
+        // (also the ANSI div-by-zero guard — the playbook rule)
+        when(col("n_train") === 0 || col("n_new") === 0, lit(1.0))
+          .otherwise(round(col("__num").cast("double") /
+            (col("n_train").cast("double") * col("n_new").cast("double") * lit(2.0)),
+            9)).as("tvd")): _*)
+  }
+}

@@ -1528,8 +1528,56 @@ object LlmQueries {
       graft.llm.Bm25.topK(t.documents,
         t.documents.filter(pmod(col("doc_id"), lit(101)) === 1),
         s.read.parquet(ensureBm25IdfFixture(s, dir)), k = 10)
+    }),
+
+    // PII SCRUB — the redaction pass every shared corpus runs before
+    // release (emails / NANP phones / IPv4 literals → typed
+    // placeholders): a zero-shuffle scan projection, counts measured
+    // independently on the original text, redaction chained email →
+    // phone → ip, the redacted text anchored cross-engine by md5.
+    // Patterns use only Java-regex ∩ RE2 constructs (no lookaround,
+    // no backreferences), so both engines match identically. The
+    // corpus carries no PII, so deterministic plants (every 7th doc an
+    // email built from its id, every 11th a phone, every 13th an ip)
+    // make all three detectors demonstrably non-vacuous — and the
+    // unplanted rows prove the false-positive rate is zero.
+    "q147_pii_scrub" -> ((s, dir) =>
+      graft.llm.PiiScrub.scrub(piiCorpus(Tables(s, dir)))),
+
+    // FEATURE-DRIFT AUDIT (TVD) — the ingest gate's numeric-feature
+    // twin of q143's embedding drift: per event type, the total
+    // variation distance between the training value distribution and
+    // a batch whose values scaled by 1.25 (the planted covariate
+    // shift), over fixed-width bins. TVD is a pure RATIONAL of exact
+    // counts — Σ|n_b·M − m_b·N| / (2·N·M) with ONE final double
+    // division — chosen over PSI/KL precisely because ln is the
+    // cross-engine hazard (q146's fixture device exists for when ln is
+    // unavoidable; here it is avoidable). Two map-side (type, bin)
+    // aggregates, one keyed outer join, one fold — bins are metadata-
+    // sized, nothing corpus-scale reaches the driver.
+    "q148_feature_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.FeatureDrift.tvd(
+        t.events.select(col("event_type"), col("value")),
+        t.events.select(col("event_type"), (col("value") * lit(1.25)).as("value")),
+        Seq("event_type"), "value", binWidth = 50.0)
     })
   )
+
+  /** q147's corpus with deterministic PII plants (id-derived, so the
+    * oracle rebuilds the exact same text).
+    */
+  private def piiCorpus(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" call 555-123-4567")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".42"))).otherwise(lit(""))).as("text"))
 
   // bump when idfTable's formula changes — part of the fixture path key
   private val bm25IdfVersion = 1
@@ -3070,6 +3118,65 @@ object LlmQueries {
             ORDER BY ROUND(s, 9) DESC, doc_id) AS rank
           FROM scored) t
         WHERE rank <= 10"""
-    }
+    },
+
+    // PII twin: the same planted corpus rebuilt from ids, the same
+    // three patterns through RE2 (regexp_extract_all counts,
+    // 'g'-flagged sequential replaces), md5 over the identical
+    // redacted text.
+    "q147_pii_scrub" -> {
+      import graft.llm.PiiScrub.{EmailRe, PhoneRe, IpRe}
+      s"""WITH pii AS (
+            SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 7 = 0
+                   THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42'
+                   ELSE '' END AS text
+            FROM documents),
+          red AS (
+            SELECT doc_id, text,
+              regexp_replace(regexp_replace(regexp_replace(
+                text, '$EmailRe', '<EMAIL>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g'),
+                '$IpRe', '<IP>', 'g') AS rt
+            FROM pii)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+          CAST(length(rt) AS BIGINT) AS clean_len,
+          md5(rt) AS clean_md5
+        FROM red"""
+    },
+
+    // TVD twin: identical binning arithmetic (FLOOR of the same double
+    // divisions, 1.25e0 scale), exact integer cross products summed in
+    // HUGEINT, one final double division, div-by-zero branch mirrored.
+    "q148_feature_drift" ->
+      """WITH tr AS (SELECT event_type, CAST(FLOOR(value / 5e1) AS BIGINT) AS bin,
+                            COUNT(*) AS nt
+                     FROM events GROUP BY 1, 2),
+          bt AS (SELECT event_type, CAST(FLOOR((value * 1.25e0) / 5e1) AS BIGINT) AS bin,
+                        COUNT(*) AS nb
+                 FROM events GROUP BY 1, 2),
+          j AS (SELECT COALESCE(tr.event_type, bt.event_type) AS event_type,
+                       COALESCE(tr.bin, bt.bin) AS bin,
+                       COALESCE(nt, 0) AS nt, COALESCE(nb, 0) AS nb
+                FROM tr FULL OUTER JOIN bt
+                  ON tr.event_type = bt.event_type AND tr.bin = bt.bin),
+          tot AS (SELECT event_type, CAST(SUM(nt) AS BIGINT) AS n_train,
+                         CAST(SUM(nb) AS BIGINT) AS n_new
+                  FROM j GROUP BY 1)
+        SELECT j.event_type, t.n_train, t.n_new,
+          CASE WHEN t.n_train = 0 OR t.n_new = 0 THEN 1e0 ELSE
+            ROUND(CAST(SUM(ABS(nb * t.n_train - nt * t.n_new)) AS DOUBLE)
+              / (CAST(t.n_train AS DOUBLE) * CAST(t.n_new AS DOUBLE) * 2e0), 9) + 0.0
+          END AS tvd
+        FROM j JOIN tot t USING (event_type)
+        GROUP BY 1, 2, 3"""
   )
 }

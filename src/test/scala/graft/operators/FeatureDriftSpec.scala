@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TVD drift against hand-computable distributions: exact values on
+  * known bins, the identical-distribution zero, the disjoint-support
+  * one, the empty-side convention, and partitioning determinism.
+  */
+class FeatureDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def audit(train: Seq[(String, Double)], batch: Seq[(String, Double)],
+                    w: Double = 10.0): Map[String, (Long, Long, Double)] =
+    FeatureDrift.tvd(
+        train.toDF("g", "v").repartition(5), batch.toDF("g", "v").repartition(3),
+        Seq("g"), "v", w)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("exact TVD on known bins; identical distributions give 0") {
+    // train a: bins 0->2, 1->2 ; batch a: bins 0->3, 1->1
+    // TVD = 1/2 (|2/4-3/4| + |2/4-1/4|) = 1/4
+    val got = audit(
+      train = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 11.0, "a" -> 12.0,
+        "b" -> 5.0, "b" -> 15.0),
+      batch = Seq("a" -> 3.0, "a" -> 4.0, "a" -> 5.0, "a" -> 13.0,
+        "b" -> 6.0, "b" -> 16.0))
+    assert(got("a") == ((4L, 4L, 0.25)))
+    assert(got("b") == ((2L, 2L, 0.0)), "identical dist must be 0")
+  }
+
+  test("disjoint support gives 1; empty side gives 1; unequal sizes exact") {
+    val got = audit(
+      train = Seq("a" -> 1.0, "a" -> 2.0, "c" -> 1.0),
+      batch = Seq("a" -> 95.0, "a" -> 99.0, "b" -> 1.0))
+    assert(got("a")._3 == 1.0, "disjoint bins")
+    assert(got("b") == ((0L, 1L, 1.0)), "train-empty group")
+    assert(got("c") == ((1L, 0L, 1.0)), "batch-empty group")
+    // unequal sizes: train {bin0: 2}, batch {bin0: 1, bin1: 2}
+    // TVD = 1/2 (|1 - 1/3| + |0 - 2/3|) = 2/3; integer form
+    // Σ|n_b·M − m_b·N| = |1·2−2·3| + |2·2−0·3| = 8, / (2·2·3)
+    val g2 = audit(
+      train = Seq("x" -> 1.0, "x" -> 2.0),
+      batch = Seq("x" -> 3.0, "x" -> 11.0, "x" -> 12.0))
+    val want = BigDecimal(8.0 / (2.0 * 3.0 * 2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g2("x") == ((2L, 3L, want)))
+  }
+
+  test("deterministic under partitioning") {
+    val rng = new scala.util.Random(7)
+    val tr = (0 until 500).map(_ => (s"g${rng.nextInt(3)}", rng.nextDouble() * 100))
+    val bt = (0 until 400).map(_ => (s"g${rng.nextInt(3)}", rng.nextDouble() * 120))
+    val a = FeatureDrift.tvd(tr.toDF("g", "v").repartition(7),
+      bt.toDF("g", "v").repartition(2), Seq("g"), "v", 10.0)
+      .collect().map(_.toSeq).toSet
+    val b = FeatureDrift.tvd(tr.toDF("g", "v").repartition(1),
+      bt.toDF("g", "v").repartition(9), Seq("g"), "v", 10.0)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
