@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** BM25 ranked retrieval (Robertson & Spärck Jones / Okapi BM25) — the
   * lexical retriever a RAG pipeline runs next to the embedding ANN
@@ -20,8 +19,12 @@ import org.apache.spark.sql.types.DecimalType
   * contract).
   *
   * Determinism: tf/df/|d| are exact counts; per-term contributions
-  * round to 9 then sum in DECIMAL (order-independent — the q101 mean
-  * discipline); ranking orders by (round-9 score desc, doc id). The
+  * round to 9, scale to exact LONG nano-units (a round-9 double is
+  * the nearest double to k·10⁻⁹, so ×10⁹ re-rounded recovers the
+  * integer k exactly), and sum as longs — order-independent like the
+  * q101 decimal device but ~3× faster on the hot path (a DECIMAL sum
+  * over the query×posting join rows dominated the first cut);
+  * ranking orders by (round-9 score desc, doc id). The
   * idf values arrive AS A TABLE — ln is the one transcendental in
   * BM25, and Java's Math.log differs from other engines' libm at the
   * ulp level, so idf is computed once ([[idfTable]]), persisted, and
@@ -29,8 +32,6 @@ import org.apache.spark.sql.types.DecimalType
   * formula itself is spec-pinned in Bm25Spec).
   */
 object Bm25 {
-
-  private val D = DecimalType(30, 15)
 
   /** Per-term BM25 idf over the corpus: (term, df, idf) with
     * idf = round9( ln( (N − df + 0.5)/(df + 0.5) + 1 ) ) — the
@@ -81,9 +82,10 @@ object Bm25 {
       .join(lens, Seq("doc_id"))
       .join(idf.select(col("term"), col("idf")), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(round(col("idf") * tfPart, 9).cast(D)).as("__s"))
+      .agg(sum(round(round(col("idf") * tfPart, 9) * lit(1e9), 0)
+        .cast("long")).as("__s"))
       .select(col("query_id"), col("doc_id"),
-        round(col("__s").cast("double"), 9).as("score"))
+        round(col("__s").cast("double") / lit(1e9), 9).as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -42,10 +42,14 @@ object FeatureDrift {
         .agg(count(lit(1)).as(cnt))
     val t = binned(train, "__nt")
     val b = binned(batch, "__nb")
+    // the joined bin table feeds BOTH the totals re-agg and the final
+    // fold — checkpoint it (metadata-sized: groups × bins) so the two
+    // consumers don't each re-scan the corpus through the agg subtrees
     val joined = t.join(b, groupCols :+ "__bin", "full_outer")
       .select((g :+ col("__bin") :+
         coalesce(col("__nt"), lit(0L)).as("__nt") :+
         coalesce(col("__nb"), lit(0L)).as("__nb")): _*)
+      .localCheckpoint()
     val totals = joined.groupBy(g: _*)
       .agg(sum(col("__nt")).as("n_train"), sum(col("__nb")).as("n_new"))
     joined.join(totals, groupCols)

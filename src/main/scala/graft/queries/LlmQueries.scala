@@ -1526,7 +1526,7 @@ object LlmQueries {
     "q146_bm25" -> ((s, dir) => {
       val t = Tables(s, dir)
       graft.llm.Bm25.topK(t.documents,
-        t.documents.filter(pmod(col("doc_id"), lit(101)) === 1),
+        t.documents.filter(pmod(col("doc_id"), lit(251)) === 1),
         s.read.parquet(ensureBm25IdfFixture(s, dir)), k = 10)
     }),
 
@@ -3098,14 +3098,14 @@ object LlmQueries {
           tot AS (SELECT CAST(SUM(len) AS BIGINT) AS tl FROM lens),
           idf AS (SELECT term, idf FROM read_parquet('$fixture')),
           qt AS (SELECT DISTINCT doc_id AS query_id, unnest($sqlToks) AS term
-                 FROM documents WHERE doc_id % 101 = 1),
+                 FROM documents WHERE doc_id % 251 = 1),
           scored AS (
             SELECT q.query_id, f.doc_id,
-              CAST(SUM(CAST(ROUND(
+              CAST(SUM(CAST(ROUND(ROUND(
                 i.idf * ((f.tf * (1.2e0 + 1e0)) /
                   (f.tf + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * l.len) /
-                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9)
-                AS DECIMAL(30,15))) AS DOUBLE) AS s
+                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9) * 1e9, 0)
+                AS BIGINT)) AS BIGINT) AS s
             FROM qt q
             JOIN tf f USING (term)
             JOIN lens l ON l.doc_id = f.doc_id
@@ -3113,9 +3113,10 @@ object LlmQueries {
             CROSS JOIN nn CROSS JOIN tot
             WHERE f.doc_id != q.query_id
             GROUP BY 1, 2)
-        SELECT query_id, doc_id, ROUND(s, 9) + 0.0 AS score, rank FROM (
+        SELECT query_id, doc_id,
+          ROUND(CAST(s AS DOUBLE) / 1e9, 9) + 0.0 AS score, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY ROUND(s, 9) DESC, doc_id) AS rank
+            ORDER BY ROUND(CAST(s AS DOUBLE) / 1e9, 9) DESC, doc_id) AS rank
           FROM scored) t
         WHERE rank <= 10"""
     },
