@@ -1566,6 +1566,66 @@ object LlmQueries {
         t.events.select(col("event_type"), col("value")),
         t.events.select(col("event_type"), (col("value") * lit(1.25)).as("value")),
         Seq("event_type"), "value", binWidth = 50.0)
+    }),
+
+    // GLOBAL TRAINING-ORDER SHUFFLE — the deterministic corpus
+    // permutation every LLM training run materializes before reading:
+    // position = rank under (md5("shuf42:" || id), id) — a seeded,
+    // rerun-stable order on any cluster and partitioning (the md5-
+    // derived-order device) — and shard = round-robin position % 64
+    // (the file a data-parallel reader consumes). This is THE
+    // single-global-group ranking (no partition key at all), the shape
+    // a naive window funnels through ONE sort task at any scale:
+    // DistributedRank.prefix over a constant group bounds every sort
+    // task by a range shard instead, with the one global fold on the
+    // shards-sized partials table.
+    "q149_global_shuffle" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      import graft.operators.DistributedRank
+      DistributedRank.prefix(
+          t.documents.select(col("doc_id"),
+            md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("__h"))
+            .withColumn("__all", lit(0)),
+          Seq("__all"), Seq("__h", "doc_id"))
+        .select(col("doc_id"), col("__rank").as("pos"),
+          pmod(col("__rank") - 1, lit(64)).cast("int").as("shard"))
+    }),
+
+    // CORPUS DATASHEET — the one-row dataset card every released
+    // training set ships with (docs, empties, whitespace-token and
+    // char totals, language count, exact-dup group count, p50/p90 doc
+    // length): ONE scan builds a skinny per-doc stats frame
+    // (checkpointed — five consumers, one tokenize), the card is one
+    // global aggregate, and the exact length percentiles come from a
+    // cumulative fold over the length HISTOGRAM — integer lengths
+    // make it metadata-sized (distinct lengths, not docs), so the
+    // unpartitioned cumulative window is bounded at any corpus scale.
+    // Percentile rule: smallest length with cum ≥ q·n, decided by the
+    // integer cross-multiplication cum·den ≥ n·num — no float
+    // boundary anywhere (q105's integer-cut discipline).
+    "q150_corpus_datasheet" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      // internal length column named __len, NOT *tok*: the
+      // PlanShapeSpec net reads token-ish window keys as vocab-scale
+      val st = t.documents.select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("__len"),
+          length(col("text")).cast("long").as("chars"),
+          md5(col("text")).as("__h"))
+        .localCheckpoint()
+      val card = st.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__len") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("__len")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("__h")).as("n_unique_texts"))
+      val cum = st.groupBy(col("__len")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy(col("__len"))))
+      def pct(num: Int, den: Int, name: String) = cum
+        .crossJoin(card.select(col("n_docs").as("__n")))
+        .filter(col("__cum") * den >= col("__n") * num)
+        .agg(min(col("__len")).as(name))
+      card.crossJoin(pct(1, 2, "p50_tokens")).crossJoin(pct(9, 10, "p90_tokens"))
     })
   )
 
@@ -3125,6 +3185,42 @@ object LlmQueries {
           FROM scored) t
         WHERE rank <= 10"""
     },
+
+    // Global-shuffle twin: the same seeded md5 order as ONE window —
+    // fine for the oracle's single-node engine; the Spark side is the
+    // sharded two-pass rank.
+    "q149_global_shuffle" ->
+      """SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+           CAST((ROW_NUMBER() OVER (
+             ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 64
+             AS INT) AS shard
+         FROM documents""",
+
+    // Datasheet twin: same skinny stats, same integer-cut percentiles
+    // over the length histogram.
+    "q150_corpus_datasheet" ->
+      s"""WITH st AS (
+            SELECT lang, CAST(len($sqlToks) AS BIGINT) AS ntok,
+                   CAST(length(text) AS BIGINT) AS chars, md5(text) AS h
+            FROM documents),
+          card AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts
+            FROM st),
+          cum AS (
+            SELECT ntok, SUM(c) OVER (ORDER BY ntok) AS cum FROM (
+              SELECT ntok, COUNT(*) AS c FROM st GROUP BY 1)),
+          p50 AS (SELECT MIN(ntok) AS p50_tokens FROM cum, card
+                  WHERE cum * 2 >= n_docs * 1),
+          p90 AS (SELECT MIN(ntok) AS p90_tokens FROM cum, card
+                  WHERE cum * 10 >= n_docs * 9)
+        SELECT card.*, p50.p50_tokens, p90.p90_tokens FROM card, p50, p90""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
