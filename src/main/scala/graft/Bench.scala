@@ -62,7 +62,8 @@ object Bench {
     Seq("q32_multimodal", "q42_bucketed_join", "q48_ivfpq_probe",
         "q54_zorder_scan", "q57_manifest_scan",
         "q64_daily_quantile_sketch", "q89_partition_prune",
-        "q97_pca_project", "q119_phash_image_neardup").foreach { q =>
+        "q97_pca_project", "q119_phash_image_neardup",
+        "q121_training_set", "q143_ivf_drift", "q146_bm25").foreach { q =>
       SparkEntry.queries.get(q).foreach { fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }

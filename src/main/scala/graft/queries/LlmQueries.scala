@@ -1626,6 +1626,36 @@ object LlmQueries {
         .filter(col("__cum") * den >= col("__n") * num)
         .agg(min(col("__len")).as(name))
       card.crossJoin(pct(1, 2, "p50_tokens")).crossJoin(pct(9, 10, "p90_tokens"))
+    }),
+
+    // PER-SOURCE QUALITY REPORT — the crawl-triage table ("which
+    // sources are junk"): per source, doc count, exact mean quality
+    // (Σq·c / n on integers, one round-9 division), exact median
+    // quality, and the sub-threshold fraction (q22's integer score,
+    // gate < 7 = q121's admission floor). Everything re-aggregates
+    // from ONE (source, score) histogram — scores are 0..10 integers,
+    // so the histogram and its per-source cumulative window are
+    // metadata-sized at any corpus scale (the q150 device, keyed).
+    "q151_source_quality" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val st = t.documents.select(col("source"),
+        TextOps.qualityScore(col("text")).cast("long").as("q"))
+      val hist = st.groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("__c")).localCheckpoint()
+      val tot = hist.groupBy(col("source")).agg(
+        sum(col("__c")).as("n_docs"),
+        sum(col("__c") * col("q")).as("__sq"),
+        sum(when(col("q") < 7, col("__c")).otherwise(0L)).as("__junk"))
+      val cum = hist.withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("source")).orderBy(col("q"))))
+      val p50 = cum.join(tot.select(col("source"), col("n_docs")), Seq("source"))
+        .filter(col("__cum") * 2 >= col("n_docs"))
+        .groupBy(col("source")).agg(min(col("q")).as("p50_quality"))
+      tot.join(p50, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          round(col("__sq").cast("double") / col("n_docs"), 9).as("mean_quality"),
+          col("p50_quality"),
+          round(col("__junk").cast("double") / col("n_docs"), 9).as("junk_frac"))
     })
   )
 
@@ -3221,6 +3251,36 @@ object LlmQueries {
           p90 AS (SELECT MIN(ntok) AS p90_tokens FROM cum, card
                   WHERE cum * 10 >= n_docs * 9)
         SELECT card.*, p50.p50_tokens, p90.p90_tokens FROM card, p50, p90""",
+
+    // Source-quality twin: q22's integer score, the same histogram
+    // re-aggregation and integer-cut median.
+    "q151_source_quality" ->
+      s"""WITH tok AS (SELECT source, $sqlToks AS toks FROM documents),
+          qs AS (
+            SELECT source, CAST(
+              CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 4 ELSE 0 END
+            + CASE WHEN len(toks) > 0 AND CAST(${sqlHits(sqlStopwords)} AS DOUBLE)
+                     / CAST(len(toks) AS DOUBLE) >= 0.02 THEN 3 ELSE 0 END
+            + CASE WHEN len(toks) > 0
+                    AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                   THEN 3 ELSE 0 END AS BIGINT) AS q
+            FROM tok),
+          hist AS (SELECT source, q, COUNT(*) AS c FROM qs GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+                         CAST(SUM(c * q) AS BIGINT) AS sq,
+                         CAST(SUM(CASE WHEN q < 7 THEN c ELSE 0 END) AS BIGINT) AS junk
+                  FROM hist GROUP BY 1),
+          cum AS (SELECT source, q, SUM(c) OVER (
+                    PARTITION BY source ORDER BY q) AS cum FROM hist),
+          p50 AS (SELECT c.source, MIN(c.q) AS p50_quality
+                  FROM cum c JOIN tot USING (source)
+                  WHERE c.cum * 2 >= tot.n_docs GROUP BY 1)
+        SELECT t.source, t.n_docs,
+               ROUND(CAST(t.sq AS DOUBLE) / t.n_docs, 9) + 0.0 AS mean_quality,
+               p50.p50_quality,
+               ROUND(CAST(t.junk AS DOUBLE) / t.n_docs, 9) + 0.0 AS junk_frac
+        FROM tot t JOIN p50 USING (source)""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
