@@ -136,8 +136,13 @@ class PlanShapeSpec extends SparkSpec {
     //   q88 — window input pre-trimmed by TopK.perPartitionSmallestByKey
     //         to ≤ k × partitions rows per lang (HashSampleSpec pins it);
     //   q64 — window input is the persisted (event_type, day, bin)
-    //         sketch parquet: bins fixed, rows grow with time span only.
-    val boundedOk = Set("q88_hash_sample", "q64_daily_quantile_sketch")
+    //         sketch parquet: bins fixed, rows grow with time span only;
+    //   q151 — window input is the checkpointed (source, score)
+    //          histogram: scores are 0..10 integers, ≤ 11 rows per
+    //          source forever (the checkpoint hides the reducing
+    //          Aggregate from rule (c)).
+    val boundedOk = Set("q88_hash_sample", "q64_daily_quantile_sketch",
+      "q151_source_quality")
     // names that grow with the data: ids/keys/hashes/docs/users/queries,
     // vocabulary tokens/terms/words, md5 groups, day buckets. Low-card
     // names (priority, type, lang, source, split, flag…) deliberately
