@@ -28,6 +28,44 @@ import org.apache.spark.sql.types.DecimalType
   */
 object FeatureDrift {
 
+  /** Day-over-day drift timeline: TVD between each (group, day) value
+    * distribution and the SAME group's previous day — the monitoring
+    * series an ops dashboard plots (vs [[tvd]]'s one-shot batch-vs-
+    * train audit). One (group, day, bin) histogram self-joins against
+    * its day+1 shift (histograms are metadata-sized: groups × days ×
+    * bins); boundary days without a previous day are dropped. Same
+    * exact-integer arithmetic as [[tvd]]. `epochCol` must be integral
+    * seconds; output (groupCols…, day, n_prev, n_cur, tvd).
+    */
+  def tvdTimeline(df: DataFrame, groupCols: Seq[String], epochCol: String,
+                  valueCol: String, binWidth: Double): DataFrame = {
+    require(groupCols.nonEmpty && binWidth > 0)
+    val g = groupCols.map(col)
+    val hist = df
+      .groupBy((g :+ expr(s"$epochCol div 86400L").as("day") :+
+        floor(col(valueCol) / lit(binWidth)).cast("long").as("__bin")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds both sides of the day-shift self-join
+    val prev = hist.select((g :+ (col("day") + 1).as("day") :+
+      col("__bin") :+ col("__c").as("__p")): _*)
+    val joined = hist.join(prev, groupCols :+ "day" :+ "__bin", "full_outer")
+      .select((g :+ col("day") :+ col("__bin") :+
+        coalesce(col("__c"), lit(0L)).as("__c") :+
+        coalesce(col("__p"), lit(0L)).as("__p")): _*)
+    val totals = joined.groupBy((g :+ col("day")): _*)
+      .agg(sum(col("__c")).as("n_cur"), sum(col("__p")).as("n_prev"))
+    joined.join(totals, groupCols :+ "day")
+      .filter(col("n_cur") > 0 && col("n_prev") > 0) // boundary days out
+      .groupBy((g :+ col("day")): _*)
+      .agg(first(col("n_prev")).as("n_prev"), first(col("n_cur")).as("n_cur"),
+        sum(abs(col("__c") * col("n_prev") - col("__p") * col("n_cur"))
+          .cast(DecimalType(30, 0))).as("__num"))
+      .select((g :+ col("day") :+ col("n_prev") :+ col("n_cur") :+
+        round(col("__num").cast("double") /
+          (col("n_prev").cast("double") * col("n_cur").cast("double") * lit(2.0)),
+          9).as("tvd")): _*)
+  }
+
   /** (groupCols…, n_train, n_new, tvd) — one row per group present in
     * EITHER side (a group absent from one side has TVD 1 by
     * definition; the join keeps it with zero counts).

@@ -1656,8 +1656,61 @@ object LlmQueries {
           round(col("__sq").cast("double") / col("n_docs"), 9).as("mean_quality"),
           col("p50_quality"),
           round(col("__junk").cast("double") / col("n_docs"), 9).as("junk_frac"))
+    }),
+
+    // INCREMENTAL VOCABULARY STATS — the corpus-statistics merge a
+    // daily-ingest pipeline maintains instead of re-scanning its
+    // history (the q68/q142 incremental discipline on the df table
+    // BM25/TF-IDF consume): per term, the base corpus's document
+    // frequency merged with a new batch's by one term-keyed outer join
+    // — df counts are ADDITIVE, so the merge is exact and the base is
+    // summarized once. The batch plants both kinds of term: unchanged
+    // copies (df bumps) and per-token 'nv'-prefixed rewrites (brand-new
+    // vocabulary, is_new = true) — regexp token prefixing, not case
+    // mapping, because upper/lower differ across engines on ß-class
+    // codepoints.
+    "q152_incremental_df" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def dfOf(d: DataFrame) = d
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      dfOf(t.documents).select(col("term"), col("df").as("df_base"))
+        .join(dfOf(incrementalBatch(t)).select(col("term"), col("df").as("__b")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("df_base"), lit(0L)).as("df_base"),
+          coalesce(col("__b"), lit(0L)).as("df_batch"),
+          (coalesce(col("df_base"), lit(0L)) + coalesce(col("__b"), lit(0L)))
+            .as("df_total"),
+          col("df_base").isNull.as("is_new"))
+    }),
+
+    // DRIFT TIMELINE — q148's one-shot audit turned into the
+    // monitoring SERIES an ops dashboard plots: day-over-day TVD of
+    // the value distribution per event type (real drift from the data
+    // itself, no planted shift). One (type, day, bin) histogram
+    // self-joins against its day+1 shift — histograms are
+    // metadata-sized (types × days × bins), so the whole series costs
+    // one corpus aggregate; boundary days without a predecessor drop.
+    "q153_drift_timeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.operators.FeatureDrift.tvdTimeline(
+        t.events.select(col("event_type"),
+          unix_timestamp(col("ts")).as("epoch"), col("value")),
+        Seq("event_type"), "epoch", "value", binWidth = 50.0)
     })
   )
+
+  /** q152's deterministic ingest batch: every 6th doc an unchanged
+    * copy (df bumps), every (6k+3)rd doc with all tokens 'nv'-prefixed
+    * (new vocabulary) — same regex semantics in Java and RE2.
+    */
+  private def incrementalBatch(t: Tables): DataFrame =
+    t.documents.filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .unionByName(t.documents.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 910000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
 
   /** q147's corpus with deterministic PII plants (id-derived, so the
     * oracle rebuilds the exact same text).
@@ -3281,6 +3334,56 @@ object LlmQueries {
                p50.p50_quality,
                ROUND(CAST(t.junk AS DOUBLE) / t.n_docs, 9) + 0.0 AS junk_frac
         FROM tot t JOIN p50 USING (source)""",
+
+    // Incremental-df twin: same batch recipe (RE2 replacement syntax
+    // \\1 vs Java's $1 — same semantics), same additive merge.
+    "q152_incremental_df" ->
+      s"""WITH batch AS (
+            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3),
+          bdf AS (
+            SELECT term, COUNT(*) AS df FROM (
+              SELECT DISTINCT doc_id, unnest($sqlToks) AS term FROM documents)
+            GROUP BY 1),
+          ndf AS (
+            SELECT term, COUNT(*) AS df FROM (
+              SELECT DISTINCT doc_id, unnest($sqlToks) AS term FROM batch)
+            GROUP BY 1)
+        SELECT COALESCE(b.term, n.term) AS term,
+               CAST(COALESCE(b.df, 0) AS BIGINT) AS df_base,
+               CAST(COALESCE(n.df, 0) AS BIGINT) AS df_batch,
+               CAST(COALESCE(b.df, 0) + COALESCE(n.df, 0) AS BIGINT) AS df_total,
+               b.term IS NULL AS is_new
+        FROM bdf b FULL OUTER JOIN ndf n ON b.term = n.term""",
+
+    // Drift-timeline twin: identical day/bin integer arithmetic, the
+    // same day-shift outer join and exact cross products.
+    "q153_drift_timeline" ->
+      """WITH hist AS (
+            SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(FLOOR(value / 5e1) AS BIGINT) AS bin, COUNT(*) AS c
+            FROM events GROUP BY 1, 2, 3),
+          j AS (
+            SELECT COALESCE(h.event_type, p.event_type) AS event_type,
+                   COALESCE(h.day, p.day + 1) AS day,
+                   COALESCE(h.bin, p.bin) AS bin,
+                   COALESCE(h.c, 0) AS c, COALESCE(p.c, 0) AS pc
+            FROM hist h FULL OUTER JOIN hist p
+              ON h.event_type = p.event_type AND h.day = p.day + 1
+                 AND h.bin = p.bin),
+          tot AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n_cur,
+                         CAST(SUM(pc) AS BIGINT) AS n_prev
+                  FROM j GROUP BY 1, 2)
+        SELECT j.event_type, j.day, t.n_prev, t.n_cur,
+          ROUND(CAST(SUM(ABS(c * t.n_prev - pc * t.n_cur)) AS DOUBLE)
+            / (CAST(t.n_prev AS DOUBLE) * CAST(t.n_cur AS DOUBLE) * 2e0), 9) + 0.0
+            AS tvd
+        FROM j JOIN tot t USING (event_type, day)
+        WHERE t.n_cur > 0 AND t.n_prev > 0
+        GROUP BY 1, 2, 3, 4""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

@@ -60,4 +60,22 @@ class FeatureDriftSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("tvdTimeline: exact day-over-day values, boundary days dropped") {
+    // day 0 (epochs 0..86399): g bins {0:2, 1:1}; day 1: {0:1, 1:2};
+    // day 2: {0:3}. TVD(day1 vs day0) = 1/2(|2/3-1/3| + |1/3-2/3|) = 1/3
+    // TVD(day2 vs day1) = 1/2(|1/3-1| + |2/3-0|) = 2/3
+    val rows = Seq(
+      ("g", 0L, 1.0), ("g", 10L, 2.0), ("g", 20L, 11.0),
+      ("g", 86400L, 3.0), ("g", 86410L, 12.0), ("g", 86420L, 13.0),
+      ("g", 172800L, 1.0), ("g", 172810L, 2.0), ("g", 172820L, 3.0))
+    val got = FeatureDrift.tvdTimeline(
+        rows.toDF("g", "epoch", "v").repartition(4), Seq("g"), "epoch", "v", 10.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L), s"boundary days must drop: $got")
+    assert(got(1L) == ((3L, 3L, r9(6.0 / 18.0))))
+    assert(got(2L) == ((3L, 3L, r9(12.0 / 18.0))))
+  }
 }
