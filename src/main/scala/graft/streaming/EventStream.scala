@@ -491,6 +491,65 @@ object EventStream {
       }
   }
 
+  final case class DriftPoint(event_type: String, day: Long,
+      n_prev: Long, n_cur: Long, tvd: Double)
+  final case class DriftState(curDay: Long, cur: Map[Long, Long],
+      prevDay: Long, prev: Map[Long, Long])
+
+  /** Streaming twin of q153 (FeatureDrift.tvdTimeline): day-over-day
+    * TVD of the value distribution per event type, emitted as a live
+    * monitoring series. State per type = the OPEN day's bin histogram
+    * plus the last CLOSED day's — histograms only (bins × 2 entries),
+    * never events. A day's drift point emits when its successor opens
+    * (the first strictly-later-day row arrives), exactly when its
+    * histogram is complete under the replay contract; the final,
+    * still-open day has no point yet — so the stream equals the batch
+    * series restricted to closed days (EventStreamSpec pins it).
+    * Replay contract: per type, rows arrive day-monotonically across
+    * micro-batches (same epoch-granular contract as
+    * [[rollingFeatures]], coarsened to days). Arithmetic mirrors the
+    * batch plan: exact long bin counts, exact integer cross products,
+    * one double division, round-9.
+    */
+  def driftTimeline(events: Dataset[Event], binWidth: Double = 50.0): Dataset[DriftPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def tvdOf(prev: Map[Long, Long], cur: Map[Long, Long]): (Long, Long, Double) = {
+      val m = prev.values.sum; val n = cur.values.sum
+      val num = (prev.keySet ++ cur.keySet).toSeq.map { b =>
+        math.abs(cur.getOrElse(b, 0L) * m - prev.getOrElse(b, 0L) * n)
+      }.sum
+      (m, n, java.math.BigDecimal.valueOf(
+        num.toDouble / (m.toDouble * n.toDouble * 2.0))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftState, DriftPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[DriftState]) =>
+          val out = Seq.newBuilder[DriftPoint]
+          var st = state.getOption.getOrElse(
+            DriftState(Long.MinValue, Map.empty, Long.MinValue, Map.empty))
+          rows.toArray.map(e => (Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L),
+              math.floor(e.value / binWidth).toLong))
+            .sortBy(_._1)
+            .foreach { case (day, bin) =>
+              if (st.curDay == Long.MinValue) st = st.copy(curDay = day)
+              else if (day > st.curDay) {
+                // the open day closes: emit its point if its predecessor closed
+                if (st.prevDay == st.curDay - 1 && st.prev.nonEmpty) {
+                  val (m, n, tvd) = tvdOf(st.prev, st.cur)
+                  out += DriftPoint(typ, st.curDay, m, n, tvd)
+                }
+                st = DriftState(day, Map.empty, st.curDay, st.cur)
+              }
+              st = st.copy(cur = st.cur.updated(bin, st.cur.getOrElse(bin, 0L) + 1L))
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** The batch consumer of [[transitions]]' stored pair rows: exact
     * (from, to) counts and the row-normalized transition probability —
     * q115's output shape over the incremental cells.

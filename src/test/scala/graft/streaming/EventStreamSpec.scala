@@ -689,4 +689,43 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.length === rows.length)
     assert(streamed === batch)
   }
+
+  test("driftTimeline: streamed day-over-day TVD equals batch q153 on closed days") {
+    implicit val sq = spark.sqlContext
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.events.orderBy("ts", "event_id").as[Event].collect()
+    // replay contract (day-granular): rows sharing a DAY stay in one
+    // batch run order; split near thirds at day boundaries
+    val days = rows.map(e => Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L))
+    def cutAfter(i0: Int): Int = {
+      var i = i0
+      while (i < rows.length - 1 && days(i + 1) == days(i)) i += 1
+      i + 1
+    }
+    val c1 = cutAfter(rows.length / 3); val c2 = cutAfter(2 * rows.length / 3)
+    val chunks = Seq(rows.slice(0, c1), rows.slice(c1, c2), rows.slice(c2, rows.length))
+    val src = MemoryStream[Event]
+    val q = EventStream.driftTimeline(src.toDS()).writeStream
+      .format("memory").queryName("driftpts").outputMode("append").start()
+    chunks.foreach { chunk =>
+      src.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("driftpts").as[DriftPoint].collect()
+      .map(p => (p.event_type, p.day, p.n_prev, p.n_cur, p.tvd)).toSeq.sorted
+    // batch twin: the exact q153 plan, restricted to CLOSED days (the
+    // final open day per type has no streamed point yet)
+    val lastDay = rows.groupBy(_.event_type).view
+      .mapValues(es => es.map(e =>
+        Math.floorDiv(Math.floorDiv(e.ts.getTime, 1000L), 86400L)).max).toMap
+    val batch = graft.operators.FeatureDrift.tvdTimeline(
+        rows.toSeq.toDF().select(col("event_type"),
+          unix_timestamp(col("ts")).as("epoch"), col("value")),
+        Seq("event_type"), "epoch", "value", binWidth = 50.0)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .filter { case (typ, day, _, _, _) => day < lastDay(typ) }
+      .toSeq.sorted
+    assert(streamed.nonEmpty && streamed === batch)
+  }
 }
