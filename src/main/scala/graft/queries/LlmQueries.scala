@@ -1698,6 +1698,32 @@ object LlmQueries {
         t.events.select(col("event_type"),
           unix_timestamp(col("ts")).as("epoch"), col("value")),
         Seq("event_type"), "epoch", "value", binWidth = 50.0)
+    }),
+
+    // ANN RECALL CURVE — the accuracy-vs-cost table an IVF deployment
+    // actually tunes on: recall@5 of the pinned-quantizer IVF (q76's
+    // fully-SQL-recomputable device) against the exact top-5, swept
+    // over nProbe ∈ {1,2,4,8,16}. Honest accuracy measurement as a
+    // first-class query: the exact side is computed ONCE
+    // (checkpointed), each probe setting re-ranks only its probed
+    // candidate lists, and recall is exact integer hits over 5·|Q|.
+    "q154_ann_recall_curve" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val emb = t.embeddings
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = emb.filter(col("vec_id") < 16)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val nQ = queries.count()
+      Seq(1, 2, 4, 8, 16).map { np =>
+        Similarity.ivfTopKWithCentroids(emb, queries, cents, k = 5,
+            centroidIdCol = "vec_id", nProbe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("n_probe"), col("n_hits"),
+            round(col("n_hits").cast("double") / lit(5.0 * nQ), 9).as("recall"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -3384,6 +3410,65 @@ object LlmQueries {
         FROM j JOIN tot t USING (event_type, day)
         WHERE t.n_cur > 0 AND t.n_prev > 0
         GROUP BY 1, 2, 3, 4""",
+
+    // Recall-curve twin: q76's pinned assignment/probe/re-rank program
+    // per nProbe setting + the exact top-5 (each a MATERIALIZED CTE —
+    // five branches would otherwise re-expand the scans per reference),
+    // hits by an exact (query, neighbor) equi-join.
+    "q154_ann_recall_curve" -> {
+      val cosQ = "ROUND(list_dot_product(q.qv, corp.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(corp.v, corp.v))), 9)"
+      def branch(np: Int): String =
+        s"""probes$np AS (SELECT qid, cid FROM pranked WHERE rn <= $np),
+          cand$np AS (SELECT p.qid, a.nid FROM probes$np p
+                      JOIN asgn a ON p.cid = a.cid WHERE p.qid != a.nid),
+          top$np AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+              SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY c.qid
+                  ORDER BY $cosQ DESC, c.nid) AS rank
+              FROM cand$np c JOIN q ON c.qid = q.qid
+              JOIN corp ON c.nid = corp.nid) t
+            WHERE rank <= 5),
+          hit$np AS (SELECT COUNT(*) AS n_hits FROM top$np t
+                     JOIN exact e USING (query_id, neighbor_id))"""
+      val branches = Seq(1, 2, 4, 8, 16).map(branch).mkString(",\n          ")
+      val rows = Seq(1, 2, 4, 8, 16).map(np =>
+        s"""SELECT $np AS n_probe, CAST(n_hits AS BIGINT) AS n_hits,
+               ROUND(CAST(n_hits AS DOUBLE) / (5e0 * nq.n), 9) + 0.0 AS recall
+            FROM hit$np, nq""").mkString("\n          UNION ALL\n          ")
+      s"""WITH cents AS MATERIALIZED (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 16),
+          corp AS MATERIALIZED (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          q AS MATERIALIZED (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+          asgn AS MATERIALIZED (
+            SELECT nid, cid FROM (
+              SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY
+                ROUND(list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                cid ASC) AS rn
+              FROM corp, cents) t WHERE rn = 1),
+          pranked AS MATERIALIZED (
+            SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+              ROUND(list_dot_product(qv, cv)
+                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+              cid ASC) AS rn
+            FROM q, cents),
+          exact AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.qid AS query_id, corp.nid AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.qid
+                  ORDER BY $cosQ DESC, corp.nid) AS rk
+              FROM q, corp WHERE q.qid != corp.nid) t
+            WHERE rk <= 5),
+          nq AS (SELECT COUNT(*) AS n FROM q),
+          $branches
+        $rows"""
+    },
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
