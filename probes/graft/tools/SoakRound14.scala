@@ -21,7 +21,8 @@ object SoakRound14 {
       "q143_ivf_drift", "q144_truss_decomposition",
       "q145_training_release", "q146_bm25", "q147_pii_scrub",
       "q148_feature_drift", "q149_global_shuffle", "q150_corpus_datasheet",
-      "q151_source_quality", "q152_incremental_df", "q153_drift_timeline")
+      "q151_source_quality", "q152_incremental_df", "q153_drift_timeline",
+      "q154_ann_recall_curve", "q155_benchmark_leaks")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

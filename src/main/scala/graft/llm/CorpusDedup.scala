@@ -213,6 +213,39 @@ object CorpusDedup {
       .agg(countDistinct(col("__gram")).as("n_overlap_grams"))
   }
 
+  /** BENCHMARK-side leak report — [[decontaminate]] looked at from the
+    * eval owner's seat: for every benchmark item, how much of it has
+    * leaked into the training corpus (leaked-gram coverage) and how
+    * many distinct train documents touch it — the table that decides
+    * which eval items are compromised and must be retired, not merely
+    * which train docs to drop. Scale shape mirrors decontaminate's:
+    * both sides explode to (id, gram) rows, the join is gram-keyed,
+    * and the (bench, gram, train) row count is bounded by actual
+    * leakage (the benchmark side is tiny by contract). Items with no
+    * leak are kept with zeros — an all-clean report must say so
+    * explicitly, not by absence.
+    */
+  def benchmarkLeaks(train: DataFrame, bench: DataFrame,
+                     idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val bg = bench.select(col(idCol).as("bench_id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val tg = train.select(col(idCol).as("train_id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val sizes = bg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_grams"))
+    val leaks = bg.join(tg, Seq("__gram"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("__gram")).as("n_leaked"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    sizes.join(leaks, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        round(coalesce(col("n_leaked"), lit(0L)).cast("double")
+          / col("n_grams"), 9).as("leak_frac"))
+  }
+
   /** Contamination FRACTION scoring — [[decontaminate]]'s boolean
     * flag, graduated: real decontamination pipelines set removal
     * thresholds on the contaminated share of a document, not on "any

@@ -1724,6 +1724,21 @@ object LlmQueries {
           .select(lit(np).as("n_probe"), col("n_hits"),
             round(col("n_hits").cast("double") / lit(5.0 * nQ), 9).as("recall"))
       }.reduce(_ unionByName _)
+    }),
+
+    // BENCHMARK LEAK REPORT — decontamination from the eval owner's
+    // seat (q41's reverse direction): per heldout item, the fraction
+    // of its 5-grams present anywhere in the training corpus and the
+    // number of distinct train docs touching it — the table that
+    // retires compromised eval items. Same gram-keyed join shape as
+    // q41; zero-leak items report zeros explicitly.
+    "q155_benchmark_leaks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bench = t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"), col("text"))
+      val train = t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      CorpusDedup.benchmarkLeaks(train, bench, "doc_id", "text", n = 5)
     })
   )
 
@@ -3469,6 +3484,37 @@ object LlmQueries {
           $branches
         $rows"""
     },
+
+    // Benchmark-leak twin: the q121 5-gram arms, gram-keyed join,
+    // distinct leaked grams / touching train docs per heldout item.
+    "q155_benchmark_leaks" ->
+      s"""WITH bt AS (SELECT doc_id, $sqlToks AS toks FROM documents
+                      WHERE doc_id % 20 = 0),
+          tt AS (SELECT doc_id, $sqlToks AS toks FROM documents
+                 WHERE doc_id % 20 != 0),
+          bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(
+                   CASE WHEN len(toks) < 5 THEN []
+                        ELSE list_transform(range(0, len(toks) - 4),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END)
+                   AS g
+                 FROM bt),
+          tg AS (SELECT DISTINCT doc_id AS train_id, unnest(
+                   CASE WHEN len(toks) < 5 THEN []
+                        ELSE list_transform(range(0, len(toks) - 4),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END)
+                   AS g
+                 FROM tt),
+          sizes AS (SELECT bench_id, COUNT(*) AS n_grams FROM bg GROUP BY 1),
+          leaks AS (SELECT b.bench_id,
+                           COUNT(DISTINCT b.g) AS n_leaked,
+                           COUNT(DISTINCT t.train_id) AS n_train_docs
+                    FROM bg b JOIN tg t ON t.g = b.g GROUP BY 1)
+        SELECT s.bench_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+               CAST(COALESCE(l.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+               ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / s.n_grams, 9) + 0.0
+                 AS leak_frac
+        FROM sizes s LEFT JOIN leaks l USING (bench_id)""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
