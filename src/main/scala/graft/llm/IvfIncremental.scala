@@ -60,20 +60,28 @@ object IvfIncremental {
 
   /** Per-centroid drift audit: the new batch's mean assigned
     * similarity vs the frozen train-time mean. A centroid no new
-    * vector chose keeps NULL batch stats (its lists only age). Output:
-    * (centroid_id, n_train, n_new, mean_sim_train, mean_sim_new,
-    * drift = round9(mean_train − mean_new)) — positive drift = the
-    * batch sits farther from the quantizer than the training data did,
-    * the re-train signal.
+    * vector chose keeps NULL batch stats (its lists only age); a
+    * centroid with NO train members (absent from `stats`) still
+    * surfaces with n_train = 0 and NULL mean_sim_train — the
+    * FULL outer join keeps the re-train signal exactly where drift is
+    * largest (round-15 advice fix: a left join silently dropped those
+    * batch assignments). Output: (centroid_id, n_train, n_new,
+    * mean_sim_train, mean_sim_new, drift = round9(mean_train −
+    * mean_new)) — positive drift = the batch sits farther from the
+    * quantizer than the training data did, the re-train signal.
     */
   def driftAudit(assignedBatch: DataFrame, stats: DataFrame): DataFrame = {
     val newStats = assignedBatch.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_new"), sum(col("cos_sim").cast(D)).as("__sum_new"))
+    // NULL-by-NULL division yields NULL means on the absent side; no
+    // ANSI zero-division is reachable (n_train/n_new are ≥ 1 when
+    // present, NULL when not)
     val meanTrain = round(
       col("__sum_train").cast("double") / col("n_train"), 9)
     val meanNew = round(col("__sum_new").cast("double") / col("n_new"), 9)
-    stats.join(newStats, Seq("centroid_id"), "left")
-      .select(col("centroid_id"), col("n_train"),
+    stats.join(newStats, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         meanTrain.as("mean_sim_train"),
         meanNew.as("mean_sim_new"),

@@ -23,7 +23,24 @@ import org.apache.spark.sql.functions._
 object PiiScrub {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Digit-boundary contract (round-15 advice fix): a phone must not
+    * sit inside a longer digit run — '4155-123-4567' is NOT a phone
+    * (the old unanchored pattern matched its tail and partially
+    * redacted it). Anchoring uses ONLY zero-width `\b` (identical
+    * ASCII semantics in Java regex and RE2; consuming guards like
+    * `(^|[^0-9])` would eat the separator between ADJACENT phones and
+    * desync counts from redaction), which forces two alternatives:
+    * bare `ddd-ddd-dddd` gets `\b` on both ends (a neighboring digit
+    * or word char kills the boundary), while the parenthesized form
+    * anchors on the literal '(' itself (zero-width `\b` cannot sit
+    * between two non-word chars) plus a trailing `\b`. Unbalanced
+    * parens now redact only the digits ('(555-123-4567' →
+    * '(<PHONE>'; the old pattern swallowed the stray paren), the
+    * correct reading of the NANP format.
+    */
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b|" +
+    "\\([0-9]{3}\\)[-. ][0-9]{3}[-. ][0-9]{4}\\b"
   val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** Per-document scrub report: (idCol, n_emails, n_phones, n_ips,

@@ -41,8 +41,14 @@ object FeatureDrift {
                   valueCol: String, binWidth: Double): DataFrame = {
     require(groupCols.nonEmpty && binWidth > 0)
     val g = groupCols.map(col)
+    // FLOOR division (not `div`'s truncate-toward-zero): pre-1970
+    // epochs must land in the same day bucket as the streaming twin
+    // (Math.floorDiv) and the DuckDB oracle (`//`, floor) — exact at
+    // full long range via subtract-pmod, unlike floor(a/86400.0)
+    // which loses exactness past 2^53 (round-15 advice fix).
     val hist = df
-      .groupBy((g :+ expr(s"$epochCol div 86400L").as("day") :+
+      .groupBy((g :+ expr(s"($epochCol - pmod($epochCol, 86400L)) div 86400L")
+        .as("day") :+
         floor(col(valueCol) / lit(binWidth)).cast("long").as("__bin")): _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // feeds both sides of the day-shift self-join

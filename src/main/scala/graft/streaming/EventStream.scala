@@ -516,8 +516,11 @@ object EventStream {
     import spark.implicits._
     def tvdOf(prev: Map[Long, Long], cur: Map[Long, Long]): (Long, Long, Double) = {
       val m = prev.values.sum; val n = cur.values.sum
+      // numerator in BigInt, mirroring the batch twin's DECIMAL(30,0)
+      // sum: Σ|cur_b·M − prev_b·N| is bounded by 2·N·M, which clears
+      // Long past ~2^31 events per (type, day) (round-15 advice fix)
       val num = (prev.keySet ++ cur.keySet).toSeq.map { b =>
-        math.abs(cur.getOrElse(b, 0L) * m - prev.getOrElse(b, 0L) * n)
+        (BigInt(cur.getOrElse(b, 0L)) * m - BigInt(prev.getOrElse(b, 0L)) * n).abs
       }.sum
       (m, n, java.math.BigDecimal.valueOf(
         num.toDouble / (m.toDouble * n.toDouble * 2.0))

@@ -83,4 +83,23 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(nTrain1 == 1 && nNew1 == 0 && meanNew1.isEmpty,
       "never-chosen centroid must keep NULL batch stats")
   }
+
+  test("drift audit keeps a centroid ABSENT from train stats (advice fix)") {
+    // round-15 advice fix: a left join onto stats silently dropped the
+    // batch assignments of a zero-train-member centroid — losing the
+    // re-train signal exactly where drift is largest
+    val cents = Seq((0L, vec(1, 0)), (1L, vec(0, 1))).toDF("centroid_id", "cvec")
+    val train = Seq((1L, vec(1, 0))).toDF("vec_id", "embedding") // only cid 0
+    val stats = IvfIncremental.trainStats(IvfIncremental.assignBatch(train, cents))
+    val batch = Seq((10L, vec(0, 1))).toDF("vec_id", "embedding") // chooses cid 1
+    val audit = IvfIncremental
+      .driftAudit(IvfIncremental.assignBatch(batch, cents), stats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(audit.contains(1L), "batch-only centroid dropped from the audit")
+    val (nTrain, nNew, meanTrain, meanNew) = audit(1L)
+    assert(nTrain == 0 && nNew == 1)
+    assert(meanTrain.isEmpty, "mean_sim_train must be NULL when n_train = 0")
+    assert(meanNew.contains(1.0))
+  }
 }

@@ -51,4 +51,25 @@ class PiiScrubSpec extends SparkSpec {
     assert(got(20L)._3 == 1)
     assert(got(20L)._4.contains("<IP> is"))
   }
+
+  test("phone digit-boundary contract: longer digit runs excluded, adjacency kept") {
+    // round-15 advice fix: the old unanchored pattern matched
+    // '155-123-4567' inside '4155-123-4567' and partially redacted it;
+    // the \b-anchored pattern must reject digit-flanked candidates
+    // while keeping adjacent phones (a consuming (^|[^0-9]) guard
+    // would eat the separator and miss the second one)
+    val got = run(
+      30L -> "ref 4155-123-4567 and 555-123-45678 stay",
+      31L -> "555-123-4567 555-123-4567",
+      32L -> "fax (555) 123-4567 end",
+      33L -> "odd (555-123-4567 here")
+    assert(got(30L)._2 == 0, "digit-flanked runs are not phones")
+    assert(got(30L)._4 == "ref 4155-123-4567 and 555-123-45678 stay",
+      "no partial redaction of digit runs")
+    assert(got(31L)._2 == 2 && got(31L)._4 == "<PHONE> <PHONE>",
+      "adjacent phones both detected and redacted")
+    assert(got(32L)._2 == 1 && got(32L)._4 == "fax <PHONE> end")
+    assert(got(33L)._2 == 1 && got(33L)._4 == "odd (<PHONE> here",
+      "unbalanced paren left intact, digits redacted")
+  }
 }

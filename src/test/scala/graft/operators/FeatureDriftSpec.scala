@@ -78,4 +78,21 @@ class FeatureDriftSpec extends SparkSpec {
     assert(got(1L) == ((3L, 3L, r9(6.0 / 18.0))))
     assert(got(2L) == ((3L, 3L, r9(12.0 / 18.0))))
   }
+
+  test("tvdTimeline buckets pre-1970 epochs by FLOOR division (advice fix)") {
+    // day -1 = epochs [-86400, -1]; day 0 = [0, 86399]. Truncating
+    // `div` put epoch -1 into day 0 — merging histograms across the
+    // 1970 boundary and diverging from the streaming twin
+    // (Math.floorDiv) and the DuckDB oracle (`//`).
+    val rows = Seq(
+      ("g", -86400L, 1.0), ("g", -1L, 11.0), // day -1: bins {0:1, 1:1}
+      ("g", 0L, 1.0), ("g", 10L, 2.0))       // day  0: bins {0:2}
+    val got = FeatureDrift.tvdTimeline(
+        rows.toDF("g", "epoch", "v").repartition(3), Seq("g"), "epoch", "v", 10.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // TVD(day0 vs day-1) = 1/2 (|1 − 1/2| + |0 − 1/2|) = 0.5
+    assert(got == Map(0L -> ((2L, 2L, 0.5))),
+      s"floor bucketing across the 1970 boundary broken: $got")
+  }
 }
