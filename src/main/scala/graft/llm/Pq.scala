@@ -125,9 +125,9 @@ object Pq {
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
             (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
           lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window (the q88
+    // discipline — the query batch is contract-bounded)
+    graft.operators.TopK.rankedTopKDesc(scored, "query_id", "adc_sim", "neighbor_id", k)
   }
 
   /** IVF-PQ — the full production ANN architecture at 10^10 vectors:
@@ -197,9 +197,9 @@ object Pq {
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
             (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
           lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window (the q88
+    // discipline — the query batch is contract-bounded)
+    graft.operators.TopK.rankedTopKDesc(scored, "query_id", "adc_sim", "neighbor_id", k)
   }
 
   /** Build the IVF-PQ index table in ONE zero-shuffle scan: coarse

@@ -54,9 +54,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window: the query
+    // batch is contract-bounded (low cardinality), so a bare window
+    // would sort each query's full candidate set in one task at scale
+    graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Exact re-ranking of an ANN shortlist — the second stage every
@@ -87,9 +88,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window: the query
+    // batch is contract-bounded (low cardinality), so a bare window
+    // would sort each query's full candidate set in one task at scale
+    graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
@@ -191,9 +193,10 @@ object Similarity {
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window: the query
+    // batch is contract-bounded (low cardinality), so a bare window
+    // would sort each query's full candidate set in one task at scale
+    graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Lloyd's k-means over an embedding column — trains the IVF coarse
@@ -406,9 +409,10 @@ object Similarity {
       .join(cv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sim.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // bounded-heap pre-trim below the per-query rank window: the query
+    // batch is contract-bounded (low cardinality), so a bare window
+    // would sort each query's full candidate set in one task at scale
+    graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join

@@ -86,6 +86,35 @@ object TopK {
     * the classic combiner bound. Project to the key + order + carried
     * columns BEFORE calling (the heap holds whole rows).
     */
+  /** Exact per-key top-k by (`scoreCol` DESC, `idCol` ASC) with the
+    * bounded-heap pre-trim BELOW the key-partitioned rank window — the
+    * q88 discipline packaged for the retrieval family (BM25, ANN
+    * re-rank, ADC scans), where the key is a CONTRACT-BOUNDED query
+    * batch: low cardinality at any corpus scale, so without the trim
+    * each key's full candidate set (a posting union or probed list
+    * that approaches corpus scale for common terms) sorts in ONE task.
+    * After the trim the window input is ≤ k × partitions rows per key.
+    *
+    * Exact by [[perPartitionSmallestByKey]]'s superset argument;
+    * IEEE negation is exact and maps Spark's double total order
+    * (-0.0 < 0.0, same as Double.compareTo in the heap) onto itself
+    * reversed, so (−score asc, id asc) ≡ (score desc, id asc) in both
+    * the trim and the window. Output: the input columns + `rank` ∈
+    * [1, k]. Works for integral scores too (long negation — callers
+    * keep scores strictly above Long.MinValue).
+    */
+  def rankedTopKDesc(scored: DataFrame, keyCol: String, scoreCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val trimmed = perPartitionSmallestByKey(
+      scored.withColumn("__neg", negate(col(scoreCol))),
+      Seq(keyCol), Seq("__neg", idCol), k).drop("__neg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    trimmed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def perPartitionSmallestByKey(df: DataFrame, keyCols: Seq[String],
                                 orderCols: Seq[String], k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

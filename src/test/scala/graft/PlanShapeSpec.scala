@@ -163,24 +163,39 @@ class PlanShapeSpec extends SparkSpec {
   private def isScaling(n: String): Boolean =
     n == "__part" || n == "__chunk" || highCard.findFirstIn(n).isDefined
 
+  // CONTRACT-BOUNDED keys (round-15 item 7): columns that NAME-match
+  // the high-cardinality rule but are bounded batches by operator
+  // contract — retrieval query/probe batches are ~5 ids at any corpus
+  // scale, so a window keyed by one is the last-reducer shape unless
+  // its input was pre-trimmed. The net does NOT trust the name for
+  // these: rule (b) skips them, and instead the window must read a
+  // bounded-heap pre-trim (a MapPartitions below it — the
+  // TopK.rankedTopKDesc discipline) or qualify via the other rules.
+  private val boundedKeys = Set("query_id")
+
   private def windowViolations(
       name: String,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       emptyOk: Set[String] = Set.empty,
       boundedOk: Set[String] = Set.empty): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, MapPartitions, Window => LWindow}
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     plan.foreach {
       case w: LWindow =>
         val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
         lazy val childAgg = w.child.collectFirst { case a: Aggregate =>
           a.groupingExpressions.flatMap(_.references.map(_.name)).distinct }
+        // (e) a contract-bounded batch key counts ONLY with the
+        // bounded-heap pre-trim feeding the window (q88 discipline)
+        lazy val hasPreTrim =
+          w.child.collectFirst { case m: MapPartitions => m }.isDefined
         val ok =
           (w.partitionSpec.isEmpty && emptyOk.contains(name)) ||
-          keys.exists(isScaling) ||                                  // (a)+(b)
+          keys.filterNot(boundedKeys).exists(isScaling) ||           // (a)+(b)
           childAgg.exists(g => g.contains("__part") ||               // (c)
             (g.nonEmpty && !g.exists(isScaling))) ||
-          boundedOk.contains(name)                                   // (d)
+          boundedOk.contains(name) ||                                // (d)
+          (keys.exists(boundedKeys) && hasPreTrim)                   // (e)
         if (!ok)
           bad += s"$name: Window over low-cardinality keys " +
             s"[${keys.mkString(",")}] on a non-metadata input " +
@@ -214,7 +229,28 @@ class PlanShapeSpec extends SparkSpec {
         .withColumn("__n", count(lit(1)).over(
           Window.partitionBy(col("rep_lang"))))
     }
-    for ((nm, df) <- Seq("old_q73" -> oldQ73, "old_q105" -> oldQ105)) {
+    // round-15 negative control: the EXACT round-14 q146 tail — the
+    // per-query top-k window directly on the scored (query, doc) table
+    // (no pre-trim). `query_id` name-matches the high-cardinality rule
+    // but is contract-bounded at 5, so rule (b) must NOT rescue it.
+    val oldQ146 = {
+      val docs = t.documents
+      val tf = docs.select(col("doc_id"),
+          explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val qterms = docs.filter(col("doc_id").isin(1L, 7L))
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(graft.llm.TextOps.tokens(col("text")))).as("term"))
+      val scored = qterms.join(tf, Seq("term"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tf")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    }
+    for ((nm, df) <- Seq("old_q73" -> oldQ73, "old_q105" -> oldQ105,
+        "old_q146" -> oldQ146)) {
       val v = windowViolations(nm, df.queryExecution.optimizedPlan)
       assert(v.nonEmpty, s"net failed to flag the naive $nm plan")
     }

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 /** Pins BM25 against an independent driver-side reference on a
   * hand-shaped corpus (the textbook formula, computed with plain Scala
   * doubles mirroring the operator's rounding points), the idf fixture
-  * formula (the ln device the cross-engine oracle cannot check), and
-  * self-exclusion / partitioning determinism.
+  * formula (the ln device the cross-engine oracle cannot check),
+  * self-exclusion / partitioning determinism, and the round-15
+  * retrieval-shape contract: the per-query rank window reads the
+  * bounded-heap pre-trim, and `topK` fires ZERO driver actions (all
+  * corpus-scale work happens at index build).
   */
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
@@ -39,11 +42,22 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("buildIndex: exact postings/lens and corpus constants incl. empty docs") {
+    val idx = Bm25.buildIndex(corpus.toDF("doc_id", "text"))
+    assert(idx.nDocs == 6, "empty docs count toward N")
+    assert(idx.totLen == corpus.map(d => tokens(d._2).size).sum)
+    val lens = idx.lens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens == corpus.filter(_._2.nonEmpty)
+      .map(d => d._1 -> tokens(d._2).size.toLong).toMap)
+    assert(idx.avgdl == idx.totLen.toDouble / 6)
+  }
+
   test("topK equals an independent reference; self excluded; ties by doc id") {
     val docs = corpus.toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs)
     val idfDf = Bm25.idfTable(docs)
     val queries = docs.filter(col("doc_id") === 1 || col("doc_id") === 4)
-    val got = Bm25.topK(docs, queries, idfDf, k = 3)
+    val got = Bm25.topK(idx, queries, idfDf, k = 3)
       .collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
       .toMap
@@ -82,10 +96,66 @@ class Bm25Spec extends SparkSpec {
     val docs = corpus.toDF("doc_id", "text")
     val idfDf = Bm25.idfTable(docs)
     val q = docs.filter(col("doc_id") === 1)
-    val a = Bm25.topK(docs.repartition(7), q, idfDf, k = 5)
+    val a = Bm25.topK(Bm25.buildIndex(docs.repartition(7)), q, idfDf, k = 5)
       .collect().map(_.toSeq).toSet
-    val c = Bm25.topK(docs.repartition(2), q, idfDf, k = 5)
+    val c = Bm25.topK(Bm25.buildIndex(docs.repartition(2)), q, idfDf, k = 5)
       .collect().map(_.toSeq).toSet
     assert(a == c)
+  }
+
+  test("the rank window reads the bounded-heap pre-trim (round-15 shape fix)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val df = Bm25.topK(Bm25.buildIndex(docs),
+      docs.filter(col("doc_id") === 1), Bm25.idfTable(docs), k = 3)
+    val lines = df.queryExecution.executedPlan.toString.split("\n")
+    val window = lines.indexWhere(_.contains("Window"))
+    val trim = lines.indexWhere(_.contains("MapPartitions"))
+    assert(window >= 0 && trim >= 0, s"missing node:\n${lines.mkString("\n")}")
+    // plans print root-first: upstream (scan-side) nodes appear later,
+    // so the trim must sit BELOW the window (the q88 discipline) — the
+    // window shuffles ≤ k × partitions rows per query, never the full
+    // posting union
+    assert(window < trim,
+      s"pre-trim is not upstream of the rank window:\n${lines.mkString("\n")}")
+  }
+
+  test("topK fires ZERO driver actions (index carries the corpus constants)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(docs)       // corpus-scale actions live HERE
+    val idfDf = Bm25.idfTable(docs)
+    // count only jobs tagged with the probe group, which wraps ONLY
+    // the topK call — the index build's still-queued events and the
+    // sentinel's own (multi-)job count stay out of the tally
+    val probeJobs = new java.util.concurrent.atomic.AtomicInteger
+    val sentinelJobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = if (js.properties == null) null
+          else js.properties.getProperty("spark.jobGroup.id")
+        if (g == "bm25probe") probeJobs.incrementAndGet()
+        if (g == "bm25sentinel") sentinelJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("bm25probe", "bm25 zero-action probe")
+      Bm25.topK(idx, docs.filter(col("doc_id") === 1), idfDf, k = 3)
+      // sentinel action: listener events deliver in order, so once the
+      // sentinel's start is visible, any job topK had fired would be too
+      spark.sparkContext.setJobGroup("bm25sentinel", "bm25 probe sentinel")
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (sentinelJobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(sentinelJobs.get() >= 1, "sentinel job never observed")
+      assert(probeJobs.get() == 0,
+        s"topK fired ${probeJobs.get()} driver action(s); the old shape ran " +
+          "docs.count() + an avgdl head() per retrieval call")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

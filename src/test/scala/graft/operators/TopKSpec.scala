@@ -99,6 +99,36 @@ class TopKSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("rankedTopKDesc equals the naive per-key window on random scores") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(42)
+    // ties on purpose (scores drawn from a small set), incl. 0.0
+    val rows = (0 until 3000).map(i =>
+      (i.toLong % 7, rng.nextInt(40) / 8.0, i.toLong))
+    val df = rows.toDF("key", "score", "id").repartition(9)
+    val got = TopK.rankedTopKDesc(df, "key", "score", "id", 5)
+      .select("key", "score", "id", "rank").as[(Long, Double, Long, Int)]
+      .collect().toSet
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("key", "score", "id", "rank").as[(Long, Double, Long, Int)]
+      .collect().toSet
+    assert(got == want)
+    // long scores too (the Bm25 scaled-long path)
+    val dfl = rows.map { case (k, s, i) => (k, (s * 8).toLong - 20, i) }
+      .toDF("key", "score", "id").repartition(4)
+    val gotL = TopK.rankedTopKDesc(dfl, "key", "score", "id", 3)
+      .select("key", "score", "id", "rank").as[(Long, Long, Long, Int)]
+      .collect().toSet
+    val wantL = dfl.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("key", "score", "id", "rank").as[(Long, Long, Long, Int)]
+      .collect().toSet
+    assert(gotL == wantL)
+  }
+
   test("tie-break makes duplicate ranks deterministic on both paths") {
     val ties = spark.range(0, 1000)
       .select(col("id"), (col("id") % 10).as("r")).cache()
