@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring (span-level) deduplication — the
+  * cross-document repeated-SPAN removal modern LLM pipelines run
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better"): find every maximal token span covered by some
+  * L-gram that appears VERBATIM in ≥ 2 distinct documents, and emit a
+  * cut list (doc_id, start_word, span_len) — the spans a cleaning pass
+  * removes, leaving the rest of each document intact. This closes the
+  * dedup-family gap between whole-document hashing (q19), similarity
+  * near-dup (q27/q28), paragraph dedup (q62) and n-gram
+  * contamination (q41/q63): those drop or flag DOCUMENTS; this cuts
+  * the shared boilerplate/licence/navigation SPANS inside otherwise
+  * unique documents.
+  *
+  * Semantics (position-level, the standard suffix-array formulation
+  * restated in L-gram form): token window [i, i+L) of a document is
+  * DUPLICATED iff its exact L-token sequence occurs in at least two
+  * distinct documents (same-document repeats are NOT duplicated by
+  * this contract — a deliberate choice that keeps the operator a
+  * cross-corpus dedup, not an intra-document compressor). The cut
+  * list is the per-document UNION of duplicated windows, merged into
+  * maximal contiguous regions: duplicated starts s₁ ≤ s₂ merge while
+  * s₂ ≤ s₁ + L (their [s, s+L) coverages overlap or touch), and a
+  * merged run s..e yields (start_word = s, span_len = e − s + L) —
+  * every token inside is covered by some duplicated window, and the
+  * tokens flanking it are not. 1-based token positions.
+  *
+  * Scale shape: gram construction is a pure per-row PROJECTION
+  * (transform + slice over the token array — zero shuffle, no
+  * corpus × corpus anything); duplicate detection is ONE map-side
+  * combinable aggregate on the gram key (min(doc_id) ≠ max(doc_id) ⟺
+  * ≥ 2 distinct docs — deliberately NOT a countDistinct, which would
+  * expand to two shuffles); hits come back by a gram-keyed LEFT SEMI
+  * join (vocab-of-grams scale, shuffle join by contract — the gram
+  * table outgrows any driver); island-merge is one window per
+  * DOCUMENT key (parallelism grows with the corpus). Gram keys are
+  * md5 of the separator-joined tokens — a fixed-width 128-bit
+  * fingerprint both engines compute identically (the q38/q41 device;
+  * at 2⁶⁴ grams the collision bound is the usual 2⁻⁶⁴-ish tail,
+  * documented here as the exactness caveat of the fingerprint form —
+  * joining raw gram STRINGS recovers bit-exactness at ~L× the shuffle
+  * width).
+  */
+object ExactSubstr {
+
+  private val Sep = "\u0001" // cannot appear in whitespace-split tokens
+
+  /** (doc_id, start, gram) — md5 fingerprints of every L-token window.
+    * Pure projection; docs shorter than L tokens contribute no rows.
+    */
+  def gramTable(docs: DataFrame, L: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(L >= 2, s"span threshold L must be >= 2 tokens, got $L")
+    docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        // sequence(1, n) DESCENDS when n < 1 — guard short docs
+        when(size(col("__t")) < L, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__t")) - L + 1),
+            i => md5(concat_ws(Sep, slice(col("__t"), i, lit(L)))))).as("__g"))
+      .select(col("doc_id"), posexplode(col("__g")).as(Seq("__p", "gram")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("start"),
+        col("gram"))
+  }
+
+  /** The cut list: (doc_id, start_word, span_len) — maximal spans of
+    * tokens covered by a cross-document duplicated L-gram.
+    */
+  def cutList(docs: DataFrame, L: Int, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val grams = gramTable(docs, L, idCol, textCol)
+    // ≥ 2 distinct docs ⟺ min ≠ max — one map-side combinable agg
+    val dup = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("gram"))
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    // gaps-and-islands (the q103 device) per document, gap-tolerant up
+    // to L: starts whose window coverages overlap or touch share an
+    // island (break when the gap to the previous start exceeds L) —
+    // one doc-keyed shuffle serves both window functions and the agg
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    hits
+      .withColumn("__brk",
+        when(col("start") - lag(col("start"), 1).over(w) > L, 1)
+          .otherwise(0)) // first row: NULL comparison -> otherwise(0)
+      .withColumn("__isl", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("start")).as("start_word"),
+        (max(col("start")) - min(col("start")) + L).as("span_len"))
+      .select(col("doc_id"), col("start_word"), col("span_len"))
+  }
+
+  /** Apply a cut list: re-emit each document's text with every cut
+    * span removed (tokens re-joined by single spaces — the whitespace
+    * tokenizer's canonical form). Documents without cuts pass through
+    * with their token sequence intact. Pure projection after one
+    * doc-keyed aggregate of the (metadata-sized) cut list.
+    */
+  def applyCuts(docs: DataFrame, cuts: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spans = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_word"), col("span_len"))).as("__cuts"))
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          filter(col("__t"), (tok, i) =>
+            col("__cuts").isNull ||
+              !exists(col("__cuts"), c =>
+                i + 1 >= c.getField("start_word") &&
+                i + 1 < c.getField("start_word") + c.getField("span_len"))))
+          .as("clean_text"))
+  }
+}

@@ -1748,7 +1748,23 @@ object LlmQueries {
       val train = t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
         .select(col("doc_id"), col("text"))
       CorpusDedup.benchmarkLeaks(train, bench, "doc_id", "text", n = 5)
-    })
+    }),
+
+    // EXACT REPEATED-SUBSTRING DEDUP (round-15 verdict item 2; Lee et
+    // al. 2022) — the span-level cut list the document-level dedup
+    // family (q19/q27/q62) cannot produce: maximal token spans covered
+    // by an 8-gram shared VERBATIM across ≥ 2 distinct documents.
+    // Gram build is a zero-shuffle projection; duplicate detection is
+    // one map-side min≠max aggregate on the md5 gram key (not a
+    // countDistinct); hits return by a gram-keyed semi join; islands
+    // merge in one doc-keyed window. Plants make both sides of the
+    // contract non-vacuous: every 9th doc shares a 12-token
+    // boilerplate (MUST cut, span_len 12), every doc ≡ 17 (mod 57)
+    // carries a same-doc-only triple repeat (must NOT cut —
+    // cross-document semantics; ExactSubstrSpec pins both against
+    // brute force).
+    "q156_exact_substr" -> ((s, dir) =>
+      graft.llm.ExactSubstr.cutList(substrCorpus(Tables(s, dir)), L = 8))
   )
 
   /** q152's deterministic ingest batch: every 6th doc an unchanged
@@ -1761,6 +1777,27 @@ object LlmQueries {
       .unionByName(t.documents.filter(pmod(col("doc_id"), lit(6)) === 3)
         .select((col("doc_id") + 910000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
+
+  /** q156's corpus with planted repeated spans: every 9th doc appends
+    * the same 12-token boilerplate (a cross-document shared span that
+    * MUST be cut), every doc ≡ 17 (mod 57) appends a SAME-DOC-ONLY
+    * triple repeat of an id-derived 4-token unit — its windows repeat
+    * only within that one document, so the cross-document contract
+    * must NOT cut them.
+    */
+  private def substrCorpus(t: Tables): DataFrame = {
+    val u = concat(lit(" p"), col("doc_id").cast("string"),
+      lit("a q"), col("doc_id").cast("string"),
+      lit("b r"), col("doc_id").cast("string"),
+      lit("c s"), col("doc_id").cast("string"), lit("d"))
+    t.documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" the quick shared boilerplate sentence that repeats " +
+            "verbatim across many documents now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(57)) === 17, concat(u, u, u))
+          .otherwise(lit(""))).as("text"))
+  }
 
   /** q147's corpus with deterministic PII plants (id-derived, so the
     * oracle rebuilds the exact same text).
@@ -3554,6 +3591,45 @@ object LlmQueries {
                ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / s.n_grams, 9) + 0.0
                  AS leak_frac
         FROM sizes s LEFT JOIN leaks l USING (bench_id)""",
+
+    // ExactSubstr twin: identical plants rebuilt from ids, identical
+    // md5-of-chr(1)-joined 8-gram keys, min≠max cross-doc rule, and
+    // the same gap-tolerant (≤ L) gaps-and-islands merge. LAG's NULL
+    // first row falls to ELSE 0 in both engines.
+    "q156_exact_substr" ->
+      s"""WITH corp AS (SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 9 = 0
+                   THEN ' the quick shared boilerplate sentence that repeats verbatim across many documents now'
+                   ELSE '' END
+              || CASE WHEN doc_id % 57 = 17
+                   THEN repeat(' p' || CAST(doc_id AS VARCHAR) || 'a q'
+                     || CAST(doc_id AS VARCHAR) || 'b r'
+                     || CAST(doc_id AS VARCHAR) || 'c s'
+                     || CAST(doc_id AS VARCHAR) || 'd', 3)
+                   ELSE '' END AS text
+            FROM documents),
+          tk AS (SELECT doc_id, $sqlToks AS t FROM corp),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM tk WHERE len(t) >= 8) x),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING MIN(doc_id) <> MAX(doc_id)),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM dup)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk)
+        SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start_word,
+               CAST(MAX(start) - MIN(start) + 8 AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

@@ -1,0 +1,94 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins ExactSubstr against a brute-force reference (enumerate every
+  * L-token window, count distinct docs per exact token sequence, merge
+  * duplicated runs) on planted fixtures: cross-doc shared spans of
+  * several shapes, adjacent islands merging into one maximal span,
+  * SAME-document repeats excluded by contract, sub-L docs, and the
+  * applyCuts round trip.
+  */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(t: String): Vector[String] =
+    t.trim.split("\\s+").filter(_.nonEmpty).toVector
+
+  /** brute-force cut list: (doc_id, start_word 1-based, span_len) */
+  private def ref(corpus: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+    val tk = corpus.map { case (id, t) => id -> toks(t) }
+    val occ = scala.collection.mutable.Map.empty[Vector[String], Set[Long]]
+    for ((id, ts) <- tk; i <- 0 to ts.length - L)
+      occ.updateWith(ts.slice(i, i + L).toVector)(o => Some(o.getOrElse(Set.empty) + id))
+    tk.flatMap { case (id, ts) =>
+      val dup = (0 to ts.length - L).filter(i => occ(ts.slice(i, i + L).toVector).size >= 2)
+      // merge starts whose coverages overlap or touch (gap <= L)
+      dup.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, i) if i <= e + L => (s, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }.map { case (s, e) => (id, (s + 1).toLong, (e - s + L).toLong) }
+    }.toSet
+  }
+
+  private val L = 4
+  private val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens
+  private val corpus = Seq(
+    1L -> s"one two three $shared four five",
+    2L -> s"$shared completely different middle words here",
+    3L -> "one two three unrelated tail of doc three runs long",
+    // same-doc repeat only: must NOT be cut (cross-doc contract)
+    4L -> "p4a q4b r4c s4d p4a q4b r4c s4d p4a q4b r4c s4d",
+    5L -> "tiny doc", // shorter than L
+    // two disjoint shared spans in one doc -> two islands
+    6L -> s"$shared gap1 gap2 gap3 one two three unrelated tail of",
+    7L -> "unrelated tail of doc zzz")
+
+  test("cutList equals the brute-force reference on the planted corpus") {
+    val got = ExactSubstr.cutList(corpus.toDF("doc_id", "text").repartition(5), L)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = ref(corpus, L)
+    assert(got == want, s"got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+    assert(want.nonEmpty, "planted fixture must be non-vacuous")
+    // the contract checks, independent of the reference:
+    assert(!got.exists(_._1 == 4L), "same-document repeat must not be cut")
+    assert(!got.exists(_._1 == 5L), "sub-L docs have no windows")
+    assert(got.count(_._1 == 6L) == 2, "disjoint spans stay separate islands")
+    // doc 1's island covers the full 6-token shared run: span_len = 6
+    assert(got.contains((1L, 4L, 6L)), s"maximal merged span wrong: $got")
+  }
+
+  test("adjacent islands from DIFFERENT partners merge into one maximal span") {
+    // doc 10 holds A++B; doc 11 shares only A, doc 12 shares only B —
+    // the duplicated windows of A and B are adjacent in doc 10 and must
+    // merge into ONE span there even though no single partner holds it
+    val a = "a1 a2 a3 a4"; val b = "b1 b2 b3 b4"
+    val c2 = Seq(10L -> s"x $a $b y", 11L -> s"left $a right", 12L -> s"up $b down")
+    val got = ExactSubstr.cutList(c2.toDF("doc_id", "text"), L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ref(c2, L), "reference mismatch")
+    assert(got.contains((10L, 2L, 8L)), s"A+B must merge in doc 10: $got")
+  }
+
+  test("applyCuts removes exactly the cut spans and nothing else") {
+    val df = corpus.toDF("doc_id", "text")
+    val cleaned = ExactSubstr.applyCuts(df, ExactSubstr.cutList(df, L))
+      .as[(Long, String)].collect().toMap
+    val cuts = ref(corpus, L).groupBy(_._1)
+    for ((id, t) <- corpus) {
+      val ts = toks(t)
+      val cut = cuts.getOrElse(id, Set.empty)
+      val keep = ts.zipWithIndex.collect { case (tok, i)
+        if !cut.exists(c => i + 1 >= c._2 && i + 1 < c._2 + c._3) => tok }
+      assert(cleaned(id) == keep.mkString(" "), s"doc $id")
+    }
+  }
+
+  test("deterministic under partitioning") {
+    val df7 = corpus.toDF("doc_id", "text").repartition(7)
+    val df1 = corpus.toDF("doc_id", "text").coalesce(1)
+    assert(ExactSubstr.cutList(df7, L).collect().map(_.toSeq).toSet ==
+      ExactSubstr.cutList(df1, L).collect().map(_.toSeq).toSet)
+  }
+}
