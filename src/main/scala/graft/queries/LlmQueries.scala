@@ -1764,7 +1764,36 @@ object LlmQueries {
     // cross-document semantics; ExactSubstrSpec pins both against
     // brute force).
     "q156_exact_substr" -> ((s, dir) =>
-      graft.llm.ExactSubstr.cutList(substrCorpus(Tables(s, dir)), L = 8))
+      graft.llm.ExactSubstr.cutList(substrCorpus(Tables(s, dir)), L = 8)),
+
+    // INCREMENTAL PQ ENCODE (round-15 verdict item 3) — the
+    // product-quantization half of q142: a new embedding batch encodes
+    // per subspace against the FROZEN persisted codebooks (subvectors
+    // of the pinned vec_id < 16 rows — engine-independent), rounded-
+    // cosine argmax with smallest-code ties, one row per (vector,
+    // subspace). The base corpus is never re-read (PqIncrementalSpec
+    // pins the plan).
+    "q157_pq_append" -> ((s, dir) => {
+      val (cbPath, _) = ensurePqIncFixture(s, dir)
+      graft.llm.PqIncremental.encodeBatch(
+          ivfBatch(Tables(s, dir)), s.read.parquet(cbPath), dim = 64, m = 8)
+        .select(col("vec_id"), col("subspace"), col("code"),
+          (col("cos_sim") + 0.0).as("cos_sim"), (col("qerr") + 0.0).as("qerr"))
+    }),
+
+    // PQ QUANTIZATION-ERROR DRIFT (q157's other half, mirroring
+    // q143): per subspace, the batch's mean round-9 quantization error
+    // vs the train-time stats persisted WITH the index (decimal sums,
+    // round-9 means); drift = mean_new − mean_train > 0 ⇒ the batch
+    // sits farther from the frozen codebooks than the training corpus
+    // did — the re-train signal. The reversed-vector batch lands far
+    // from the per-subspace geometry, so drift is materially nonzero.
+    "q158_pq_drift" -> ((s, dir) => {
+      val (cbPath, statsPath) = ensurePqIncFixture(s, dir)
+      val enc = graft.llm.PqIncremental.encodeBatch(
+        ivfBatch(Tables(s, dir)), s.read.parquet(cbPath), dim = 64, m = 8)
+      graft.llm.PqIncremental.driftAudit(enc, s.read.parquet(statsPath))
+    })
   )
 
   /** q152's deterministic ingest batch: every 6th doc an unchanged
@@ -1891,6 +1920,34 @@ object LlmQueries {
           t.embeddings, s.read.parquet(centPath))).coalesce(1)
     }
     (centPath, statsPath)
+  }
+
+  // bump when the PQ incremental index recipe changes
+  private val pqIncVersion = 1
+
+  /** Build-once persisted incremental-PQ index for q157/q158: pinned
+    * per-subspace codebooks (subvectors of the vec_id < 16 base rows —
+    * the q142 geometric device applied per subspace) and the
+    * per-subspace train-time quantization-error stats from encoding
+    * the FULL base corpus once. Every batch append reads ONLY these
+    * two parquets.
+    */
+  private def ensurePqIncFixture(s: SparkSession, dir: String): (String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val cbPath = s"$fixDir/pqinc_codebooks_${sfName}_v$pqIncVersion"
+    val statsPath = s"$fixDir/pqinc_stats_${sfName}_v$pqIncVersion"
+    val t = Tables(s, dir)
+    graft.llm.Multimodal.materializeOnce(s, cbPath) {
+      graft.llm.PqIncremental.pinnedCodebooks(t.embeddings, dim = 64, m = 8,
+        kCent = 16).coalesce(1)
+    }
+    graft.llm.Multimodal.materializeOnce(s, statsPath) {
+      graft.llm.PqIncremental.trainStats(
+        graft.llm.PqIncremental.encodeBatch(
+          t.embeddings, s.read.parquet(cbPath), dim = 64, m = 8)).coalesce(1)
+    }
+    (cbPath, statsPath)
   }
 
   /** q121's doubled corpus (non-heldout docs + truncated near-twins). */
@@ -3630,6 +3687,83 @@ object LlmQueries {
         SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start_word,
                CAST(MAX(start) - MIN(start) + 8 AS BIGINT) AS span_len
         FROM isl GROUP BY doc_id, island""",
+
+    // Incremental-PQ twin: the frozen index recomputed from first
+    // principles (per-subspace codewords = slices of the pinned
+    // vec_id < 16 rows), q142's rounded-cosine smallest-code argmax
+    // per (vector, subspace) over the reversed-vector batch.
+    "q157_pq_append" ->
+      """WITH idx AS (SELECT unnest(range(0, 8)) AS j),
+          cents AS MATERIALIZED (
+            SELECT j, vec_id AS code,
+                   list_slice(CAST(embedding AS DOUBLE[]), j*8 + 1, j*8 + 8) AS cv
+            FROM embeddings, idx WHERE vec_id < 16),
+          bsv AS (SELECT vec_id + 100000 AS vid, j,
+                    list_slice(CAST(list_reverse(embedding) AS DOUBLE[]),
+                      j*8 + 1, j*8 + 8) AS sv
+                  FROM embeddings, idx)
+        SELECT vid AS vec_id, j AS subspace, code, d + 0.0 AS cos_sim,
+               ROUND(1e0 - d, 9) + 0.0 AS qerr
+        FROM (
+          SELECT b.vid, b.j, c.code,
+            ROUND(list_dot_product(sv, cv)
+              / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+            ROW_NUMBER() OVER (PARTITION BY b.vid, b.j ORDER BY
+              ROUND(list_dot_product(sv, cv)
+                / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+              c.code ASC) AS rn
+          FROM bsv b JOIN cents c ON c.j = b.j) t
+        WHERE rn = 1""",
+
+    // PQ-drift twin: train stats recomputed by encoding the BASE
+    // corpus against the same frozen codebooks, batch stats from the
+    // q157 encoding, decimal qerr sums → round-9 means, drift =
+    // mean_new − mean_train (error grows ⇒ positive ⇒ re-train).
+    "q158_pq_drift" ->
+      """WITH idx AS (SELECT unnest(range(0, 8)) AS j),
+          cents AS MATERIALIZED (
+            SELECT j, vec_id AS code,
+                   list_slice(CAST(embedding AS DOUBLE[]), j*8 + 1, j*8 + 8) AS cv
+            FROM embeddings, idx WHERE vec_id < 16),
+          tsv AS (SELECT vec_id AS vid, j,
+                    list_slice(CAST(embedding AS DOUBLE[]), j*8 + 1, j*8 + 8) AS sv
+                  FROM embeddings, idx),
+          bsv AS (SELECT vec_id + 100000 AS vid, j,
+                    list_slice(CAST(list_reverse(embedding) AS DOUBLE[]),
+                      j*8 + 1, j*8 + 8) AS sv
+                  FROM embeddings, idx),
+          tasgn AS MATERIALIZED (
+            SELECT vid, j, ROUND(1e0 - d, 9) AS qerr FROM (
+              SELECT t.vid, t.j,
+                ROUND(list_dot_product(sv, cv)
+                  / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+                ROW_NUMBER() OVER (PARTITION BY t.vid, t.j ORDER BY
+                  ROUND(list_dot_product(sv, cv)
+                    / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                  c.code ASC) AS rn
+              FROM tsv t JOIN cents c ON c.j = t.j) x WHERE rn = 1),
+          basgn AS MATERIALIZED (
+            SELECT vid, j, ROUND(1e0 - d, 9) AS qerr FROM (
+              SELECT b.vid, b.j,
+                ROUND(list_dot_product(sv, cv)
+                  / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) AS d,
+                ROW_NUMBER() OVER (PARTITION BY b.vid, b.j ORDER BY
+                  ROUND(list_dot_product(sv, cv)
+                    / (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                  c.code ASC) AS rn
+              FROM bsv b JOIN cents c ON c.j = b.j) x WHERE rn = 1),
+          ts AS (SELECT j, COUNT(*) AS n_train,
+                        SUM(CAST(qerr AS DECIMAL(30,15))) AS st
+                 FROM tasgn GROUP BY j),
+          bs AS (SELECT j, COUNT(*) AS n_new,
+                        SUM(CAST(qerr AS DECIMAL(30,15))) AS sn
+                 FROM basgn GROUP BY j)
+        SELECT ts.j AS subspace, ts.n_train, bs.n_new,
+               ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9) + 0.0 AS mean_qerr_train,
+               ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9) + 0.0 AS mean_qerr_new,
+               ROUND(ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9)
+                     - ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9), 9) + 0.0 AS drift
+        FROM ts JOIN bs USING (j)""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
