@@ -1793,6 +1793,48 @@ object LlmQueries {
       val enc = graft.llm.PqIncremental.encodeBatch(
         ivfBatch(Tables(s, dir)), s.read.parquet(cbPath), dim = 64, m = 8)
       graft.llm.PqIncremental.driftAudit(enc, s.read.parquet(statsPath))
+    }),
+
+    // HYBRID RETRIEVAL FUSION (RRF, round-15 verdict item 4) — the
+    // query every RAG deployment actually runs on top of the two
+    // retrievers the repo has: q146's BM25 top-10 (from the persisted
+    // lexical index) fused with q76's pinned-IVF dense top-10 over the
+    // SAME 5-document query batch by reciprocal-rank fusion
+    // (Cormack et al. 2009): score = Σ_lists 1/(60 + rank) — a pure
+    // rational of the two integer ranks, summed in a FIXED order
+    // (bm25 term + ivf term), so the fusion is exactly oracle-able.
+    // The fused candidate table is ≤ 20 rows per query; the final
+    // ranking still goes through the pre-trimmed rankedTopKDesc — the
+    // same bounded-key window discipline as every retriever.
+    "q159_hybrid_rrf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val qIds = Seq(1L, 7L, 19L, 29L, 41L)
+      val (idfP, postP, lensP, statsP) = ensureBm25IndexFixture(s, dir)
+      val st = s.read.parquet(statsP).head()
+      val bm = graft.llm.Bm25.topK(
+          graft.llm.Bm25Index(s.read.parquet(postP), s.read.parquet(lensP),
+            st.getAs[Long]("n_docs"), st.getAs[Long]("tot_len")),
+          t.documents.filter(col("doc_id").isin(qIds: _*)),
+          s.read.parquet(idfP), k = 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("bm25_rank"))
+      val emb = t.embeddings
+      val ivf = graft.llm.Similarity.ivfTopKWithCentroids(emb,
+          emb.filter(col("vec_id").isin(qIds: _*)),
+          centroids = emb.filter(col("vec_id") < 16),
+          k = 10, centroidIdCol = "vec_id", nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("ivf_rank"))
+      val fused = bm.join(ivf, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), col("bm25_rank"), col("ivf_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("ivf_rank")), lit(0.0)),
+            9).as("rrf_score"))
+      graft.operators.TopK.rankedTopKDesc(fused, "query_id", "rrf_score",
+          "doc_id", 10)
+        .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+          col("ivf_rank"), (col("rrf_score") + 0.0).as("rrf_score"), col("rank"))
     })
   )
 
@@ -3764,6 +3806,97 @@ object LlmQueries {
                ROUND(ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9)
                      - ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9), 9) + 0.0 AS drift
         FROM ts JOIN bs USING (j)""",
+
+    // Hybrid-RRF twin: the q146 BM25 program (shared idf fixture,
+    // scaled-long fold — ranking by the exact long sum s is the same
+    // order as the round-9 score) and the q76 pinned-IVF program
+    // (rounded-cosine routing/probing/scan), both at k = 10 over the
+    // same 5-query batch, fused by the fixed-order rational
+    // 1/(60+rank) sum. Heavy CTEs MATERIALIZED (plain CTEs inline per
+    // reference).
+    "q159_hybrid_rrf" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bm25_idf_$oracleSfName" + s"_v$bm25IdfVersion/*.parquet"
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+          tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+                              FROM tok GROUP BY 1, 2),
+          lens AS MATERIALIZED (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                                FROM tf GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          tot AS (SELECT CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+          idf AS (SELECT term, idf FROM read_parquet('$fixture')),
+          qt AS (SELECT DISTINCT doc_id AS query_id, unnest($sqlToks) AS term
+                 FROM documents WHERE doc_id IN (1, 7, 19, 29, 41)),
+          scored AS (
+            SELECT q.query_id, f.doc_id,
+              CAST(SUM(CAST(ROUND(ROUND(
+                i.idf * ((f.tf * (1.2e0 + 1e0)) /
+                  (f.tf + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * l.len) /
+                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9) * 1e9, 0)
+                AS BIGINT)) AS BIGINT) AS s
+            FROM qt q
+            JOIN tf f USING (term)
+            JOIN lens l ON l.doc_id = f.doc_id
+            JOIN idf i ON i.term = q.term
+            CROSS JOIN nn CROSS JOIN tot
+            WHERE f.doc_id != q.query_id
+            GROUP BY 1, 2),
+          bm AS MATERIALIZED (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS bm25_rank FROM (
+              SELECT query_id, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+              FROM scored) t
+            WHERE rank <= 10),
+          cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 16),
+          corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+          qq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id IN (1, 7, 19, 29, 41)),
+          asgn AS MATERIALIZED (
+            SELECT nid, cid FROM (
+              SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY
+                ROUND(list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                cid ASC) AS rn
+              FROM corp, cents) t WHERE rn = 1),
+          probes AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                ROUND(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                cid ASC) AS rn
+              FROM qq, cents) t WHERE rn <= 4),
+          cand AS (
+            SELECT p.qid, a.nid FROM probes p JOIN asgn a ON p.cid = a.cid
+            WHERE p.qid != a.nid),
+          sims AS (
+            SELECT c.qid AS query_id, c.nid AS doc_id,
+              ROUND(list_dot_product(qq.qv, corp.v)
+                / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(corp.v, corp.v))), 9)
+                AS cos_sim
+            FROM cand c JOIN qq ON c.qid = qq.qid JOIN corp ON c.nid = corp.nid),
+          ivf AS MATERIALIZED (
+            SELECT query_id, doc_id, CAST(rank AS BIGINT) AS ivf_rank FROM (
+              SELECT query_id, doc_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rank
+              FROM sims) t
+            WHERE rank <= 10),
+          fused AS (
+            SELECT COALESCE(b.query_id, i.query_id) AS query_id,
+                   COALESCE(b.doc_id, i.doc_id) AS doc_id,
+                   b.bm25_rank, i.ivf_rank,
+                   ROUND(COALESCE(1e0 / (60 + b.bm25_rank), 0e0)
+                         + COALESCE(1e0 / (60 + i.ivf_rank), 0e0), 9) AS rrf_score
+            FROM bm b FULL OUTER JOIN ivf i
+              ON b.query_id = i.query_id AND b.doc_id = i.doc_id)
+        SELECT query_id, doc_id, bm25_rank, ivf_rank,
+               rrf_score + 0.0 AS rrf_score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused) t
+        WHERE rank <= 10"""
+    },
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
