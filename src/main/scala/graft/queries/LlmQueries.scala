@@ -1835,6 +1835,24 @@ object LlmQueries {
           "doc_id", 10)
         .select(col("query_id"), col("doc_id"), col("bm25_rank"),
           col("ivf_rank"), (col("rrf_score") + 0.0).as("rrf_score"), col("rank"))
+    }),
+
+    // INCREMENTAL CORPUS DATASHEET (round-15 verdict item 6) — q150's
+    // card WITHOUT the corpus re-scan: the base corpus is summarized
+    // ONCE into four persisted mergeable tables (additive scalars +
+    // length histogram, set-union langs + exact md5 hash-set — not an
+    // HLL, so n_unique_texts stays exact and oracle-checkable), and
+    // each ingest batch produces the updated card by MERGE
+    // (CorpusStatsSpec pins that the base is never re-read). The batch
+    // plants dup hashes (unchanged copies) and a brand-new 'nv'
+    // language, so both set-union components are demonstrably live.
+    "q160_incremental_datasheet" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val (sc, hi, la, ha) = ensureCorpusStatsFixture(s, dir)
+      val base = graft.llm.CorpusStatsState(s.read.parquet(sc),
+        s.read.parquet(hi), s.read.parquet(la), s.read.parquet(ha))
+      graft.llm.CorpusStats.card(graft.llm.CorpusStats.merge(base,
+        graft.llm.CorpusStats.summarize(datasheetBatch(t))))
     })
   )
 
@@ -1991,6 +2009,43 @@ object LlmQueries {
     }
     (cbPath, statsPath)
   }
+
+  // bump when the datasheet summary recipe changes
+  private val corpusStatsVersion = 1
+
+  /** Build-once persisted datasheet stats for q160: the four mergeable
+    * tables of [[graft.llm.CorpusStats]] over the base corpus. Every
+    * incremental card run reads ONLY these parquets plus the new
+    * batch.
+    */
+  private def ensureCorpusStatsFixture(
+      s: SparkSession, dir: String): (String, String, String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val fixDir = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val p = Seq("scalars", "hist", "langs", "hashes")
+      .map(k => s"$fixDir/corpstats_${k}_${sfName}_v$corpusStatsVersion")
+    // lazy: the one-scan summarize runs at most once, and only when a
+    // part is actually missing — otherwise q160 never touches the base
+    lazy val st = graft.llm.CorpusStats.summarize(Tables(s, dir).documents)
+    graft.llm.Multimodal.materializeOnce(s, p(0)) { st.scalars.coalesce(1) }
+    graft.llm.Multimodal.materializeOnce(s, p(1)) { st.hist.coalesce(1) }
+    graft.llm.Multimodal.materializeOnce(s, p(2)) { st.langs.coalesce(1) }
+    graft.llm.Multimodal.materializeOnce(s, p(3)) { st.hashes.coalesce(1) }
+    (p(0), p(1), p(2), p(3))
+  }
+
+  /** q160's ingest batch — q152's shape but datasheet-complete: every
+    * 6th doc an unchanged copy (dup hashes — n_unique_texts must NOT
+    * grow for these), every (6k+3)rd doc all-'nv'-prefixed under a
+    * brand-new 'nv' language (the langs set-union must grow by exactly
+    * one).
+    */
+  private def datasheetBatch(t: Tables): DataFrame =
+    t.documents.filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("lang"), col("text"))
+      .unionByName(t.documents.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 910000L).as("doc_id"), lit("nv").as("lang"),
+          regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
 
   /** q121's doubled corpus (non-heldout docs + truncated near-twins). */
   private def q121Corpus(t: Tables): DataFrame = {
@@ -3897,6 +3952,39 @@ object LlmQueries {
           FROM fused) t
         WHERE rank <= 10"""
     },
+
+    // Incremental-datasheet twin: the MERGE's exactness is proven by
+    // recomputing q150's card directly over base ∪ batch — if any
+    // mergeable component (additive scalars/histogram, set-union
+    // langs/hashes) were wrong, the card would hash-mismatch.
+    "q160_incremental_datasheet" ->
+      s"""WITH corp AS (
+            SELECT lang, text FROM documents
+            UNION ALL
+            SELECT lang, text FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT 'nv' AS lang, regexp_replace(text, '(\\S+)', 'nv\\1', 'g') AS text
+            FROM documents WHERE doc_id % 6 = 3),
+          st AS (
+            SELECT lang, CAST(len($sqlToks) AS BIGINT) AS ntok,
+                   CAST(length(text) AS BIGINT) AS chars, md5(text) AS h
+            FROM corp),
+          card AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts
+            FROM st),
+          cum AS (
+            SELECT ntok, SUM(c) OVER (ORDER BY ntok) AS cum FROM (
+              SELECT ntok, COUNT(*) AS c FROM st GROUP BY 1)),
+          p50 AS (SELECT MIN(ntok) AS p50_tokens FROM cum, card
+                  WHERE cum * 2 >= n_docs * 1),
+          p90 AS (SELECT MIN(ntok) AS p90_tokens FROM cum, card
+                  WHERE cum * 10 >= n_docs * 9)
+        SELECT card.*, p50.p50_tokens, p90.p90_tokens FROM card, p50, p90""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

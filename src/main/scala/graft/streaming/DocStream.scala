@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.llm.TextOps
 
@@ -140,5 +141,68 @@ object DocStream {
         size(collect_set(col("corpus_id"))).cast("long").as("n_matches"))
       .select(col("doc_id"), col("win.start").as("window_start"),
         col("dup_of"), col("max_jaccard"), col("n_matches"))
+  }
+
+  final case class QualityPoint(source: String, day: Long, n_docs: Long,
+      mean_quality: Double, p50_quality: Long, junk_frac: Double)
+  final case class QualityState(curDay: Long, hist: Map[Long, Long])
+
+  /** Streaming twin of q151 (the per-source quality triage report,
+    * round-15 verdict item 8): per source, the CUMULATIVE report as of
+    * each closed day — doc count, exact integer-fed mean quality,
+    * integer-cut median, sub-7 junk fraction — emitted live when the
+    * day closes (the first strictly-later-day row for that source
+    * arrives, the [[EventStream.driftTimeline]] device). State per
+    * source is the quality-score histogram: scores are 0..10 integers,
+    * so ELEVEN longs per source forever — document text never enters
+    * state. Arithmetic mirrors the batch plan exactly: Σq·c and
+    * Σ_{q<7}c over exact longs, ONE double division each (round-9),
+    * median = smallest q with cum·2 ≥ n. Replay contract: per source,
+    * rows arrive day-monotonically across micro-batches (the
+    * driftTimeline contract); the final open day has no report yet, so
+    * the stream equals the batch report series restricted to closed
+    * days (DocStreamSpec pins it).
+    */
+  def sourceQualityTimeline(docs: DataFrame): Dataset[QualityPoint] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    docs
+      .select(col("source"), unix_timestamp(col("ts")).as("epoch"),
+        TextOps.qualityScore(col("text")).cast("long").as("q"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QualityState, QualityPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[QualityState]) =>
+          var st = state.getOption.getOrElse(QualityState(Long.MinValue, Map.empty))
+          val out = Seq.newBuilder[QualityPoint]
+          def report(day: Long, hist: Map[Long, Long]): QualityPoint = {
+            val n = hist.values.sum
+            val sq = hist.iterator.map { case (q, c) => q * c }.sum
+            val junk = hist.iterator.collect { case (q, c) if q < 7 => c }.sum
+            val p50 = hist.keys.toSeq.sorted
+              .foldLeft((0L, Option.empty[Long])) { case ((cum, found), q) =>
+                val c2 = cum + hist(q)
+                (c2, found.orElse(if (c2 * 2 >= n) Some(q) else None))
+              }._2.get
+            QualityPoint(src, day, n, r9(sq.toDouble / n), p50,
+              r9(junk.toDouble / n))
+          }
+          rows.map(r => (Math.floorDiv(r._2, 86400L), r._3)).toArray
+            .sortBy(_._1)
+            .foreach { case (day, q) =>
+              if (st.curDay == Long.MinValue) st = QualityState(day, st.hist)
+              else if (day > st.curDay) {
+                out += report(st.curDay, st.hist)
+                st = QualityState(day, st.hist)
+              }
+              st = st.copy(hist = st.hist.updated(q, st.hist.getOrElse(q, 0L) + 1L))
+            }
+          state.update(st)
+          out.result().iterator
+      }
   }
 }

@@ -248,4 +248,66 @@ class DocStreamSpec extends SparkSpec {
       .select(col("window_start")).distinct().count() === 3,
       "fixture must actually exercise several windows")
   }
+
+  test("sourceQualityTimeline: stream equals the batch q151 report on closed days") {
+    implicit val sq = spark.sqlContext
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // real sf0.001 docs, synthetic day-spread timestamps. Day modulus
+    // 3 is COPRIME to the source modulus (20), so every source spans
+    // all three days — a day-aligned modulus would leave each source
+    // on a single day and nothing would ever close.
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val rows = t.documents.select("doc_id", "text", "source").collect()
+      .map(r => SDoc(r.getLong(0), r.getString(1), r.getString(2),
+        new Timestamp(((r.getLong(0) % 3) * 86400L + r.getLong(0) % 7) * 1000L)))
+      .sortBy(d => (d.ts.getTime, d.doc_id))
+    def dayOf(d: SDoc): Long = Math.floorDiv(d.ts.getTime / 1000L, 86400L)
+    val days = rows.map(dayOf)
+    // replay contract (day-granular): rows sharing a DAY stay in one
+    // micro-batch run; split near thirds at day boundaries
+    def cutAfter(i0: Int): Int = {
+      var i = i0
+      while (i < rows.length - 1 && days(i + 1) == days(i)) i += 1
+      i + 1
+    }
+    val c1 = cutAfter(rows.length / 3); val c2 = cutAfter(2 * rows.length / 3)
+    val chunks = Seq(rows.slice(0, c1), rows.slice(c1, c2), rows.slice(c2, rows.length))
+    val source = MemoryStream[SDoc]
+    val q = DocStream.sourceQualityTimeline(source.toDF()).writeStream
+      .format("memory").queryName("srcquality").outputMode("append").start()
+    chunks.foreach { c => source.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("srcquality")
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq.sorted
+    // batch reference: the SAME quality scores (both sides consume
+    // TextOps.qualityScore), q151's exact integer report arithmetic
+    // over each source's cumulative histogram at each CLOSED day
+    val scored = rows.toSeq.toDF()
+      .select(col("source"), col("ts"),
+        graft.llm.TextOps.qualityScore(col("text")).cast("long").as("q"))
+      .collect().map(r => (r.getString(0),
+        Math.floorDiv(r.getTimestamp(1).getTime / 1000L, 86400L), r.getLong(2)))
+    def report(src: String, d: Long): (String, Long, Long, Double, Long, Double) = {
+      val qs = scored.filter(x => x._1 == src && x._2 <= d).map(_._3)
+      val n = qs.length.toLong
+      val sq = qs.sum
+      val junk = qs.count(_ < 7).toLong
+      val hist = qs.groupBy(identity).view.mapValues(_.length.toLong)
+      val p50 = hist.keys.toSeq.sorted
+        .foldLeft((0L, Option.empty[Long])) { case ((cum, found), qv) =>
+          val c2 = cum + hist(qv)
+          (c2, found.orElse(if (c2 * 2 >= n) Some(qv) else None))
+        }._2.get
+      (src, d, n, r9(sq.toDouble / n), p50, r9(junk.toDouble / n))
+    }
+    val batch = scored.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      val ds = xs.map(_._2).distinct.sorted
+      ds.dropRight(1).map(d => report(src, d)) // the final open day has no point
+    }.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.map(_._1).distinct.size > 1 &&
+      streamed.map(_._2).distinct.size > 1,
+      "fixture must exercise several sources and several closed days")
+  }
 }
