@@ -80,11 +80,41 @@ object ExactSubstr {
       .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
       .filter(col("__lo") =!= col("__hi"))
       .select(col("gram"))
-    val hits = grams.join(dup, Seq("gram"), "left_semi")
-    // gaps-and-islands (the q103 device) per document, gap-tolerant up
-    // to L: starts whose window coverages overlap or touch share an
-    // island (break when the gap to the previous start exceeds L) —
-    // one doc-keyed shuffle serves both window functions and the agg
+    mergeIslands(grams.join(dup, Seq("gram"), "left_semi"), L)
+  }
+
+  /** Incremental cut list — the q68/q142/q157 discipline applied to
+    * span dedup: a NEW batch's spans against a PERSISTED corpus gram
+    * index (the distinct gram set of everything ingested so far),
+    * never re-reading the corpus. A batch window is duplicated iff its
+    * gram exists in the index OR in ≥ 2 distinct batch documents —
+    * exactly [[cutList]] over (corpus ∪ batch) restricted to the batch
+    * docs (batch ids are fresh by ingest contract), which is what the
+    * oracle recomputes. Two gram-keyed semi joins + a batch-sized
+    * dedup; the index side never moves per batch beyond the join
+    * shuffle of its gram column.
+    */
+  def cutListIncremental(batch: DataFrame, gramIndex: DataFrame, L: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val bg = gramTable(batch, L, idCol, textCol)
+    val batchDup = bg.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .select(col("gram"))
+    val hits = bg.join(gramIndex.select(col("gram")), Seq("gram"), "left_semi")
+      .unionByName(bg.join(batchDup, Seq("gram"), "left_semi"))
+      .dropDuplicates("doc_id", "start")
+    mergeIslands(hits, L)
+  }
+
+  /** gaps-and-islands (the q103 device) per document, gap-tolerant up
+    * to L: duplicated starts whose window coverages overlap or touch
+    * share an island (break when the gap to the previous start exceeds
+    * L) — one doc-keyed shuffle serves both window functions and the
+    * aggregate.
+    */
+  private def mergeIslands(hits: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     hits
       .withColumn("__brk",

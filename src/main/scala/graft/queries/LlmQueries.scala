@@ -1853,6 +1853,47 @@ object LlmQueries {
         s.read.parquet(hi), s.read.parquet(la), s.read.parquet(ha))
       graft.llm.CorpusStats.card(graft.llm.CorpusStats.merge(base,
         graft.llm.CorpusStats.summarize(datasheetBatch(t))))
+    }),
+
+    // SPAN-CUT IMPACT REPORT — the triage table q156's cut lists feed:
+    // per source, how much of the corpus the repeated-span dedup would
+    // remove (docs touched, cut tokens, exact cut fraction). Cut spans
+    // never overlap within a doc (maximal merged islands), so
+    // Σ span_len IS the exact cut token count.
+    "q161_span_cut_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = substrCorpus(t)
+      val cuts = graft.llm.ExactSubstr.cutList(corpus, L = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("__cut"))
+      corpus
+        .select(col("doc_id"),
+          graft.llm.TextOps.tokenCount(col("text")).cast("long").as("__ntok"))
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(cuts, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("docs_with_cuts"),
+          coalesce(sum(col("__cut")), lit(0L)).as("cut_tokens"),
+          sum(col("__ntok")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("docs_with_cuts"),
+          col("cut_tokens"), col("total_tokens"),
+          when(col("total_tokens") === 0, lit(0.0))
+            .otherwise(round(col("cut_tokens").cast("double") /
+              col("total_tokens"), 9)).as("cut_frac"))
+    }),
+
+    // INCREMENTAL SPAN DEDUP — q156 at ingest time (the q68/q142/q157
+    // incremental discipline): a new batch's cut list against the
+    // PERSISTED corpus gram index, never re-reading the corpus
+    // (ExactSubstrSpec pins the plan); a batch window is duplicated if
+    // its gram is in the index OR shared by ≥ 2 batch docs — provably
+    // ≡ the full cutList over corpus ∪ batch restricted to the batch
+    // (which is exactly what the oracle recomputes).
+    "q162_incremental_spans" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.ExactSubstr.cutListIncremental(spanBatch(t),
+        s.read.parquet(ensureGramIndexFixture(s, dir)), L = 8)
     })
   )
 
@@ -1886,6 +1927,44 @@ object LlmQueries {
             "verbatim across many documents now")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(57)) === 17, concat(u, u, u))
           .otherwise(lit(""))).as("text"))
+  }
+
+  // bump when the gram-index recipe changes
+  private val gramIndexVersion = 1
+
+  /** Build-once persisted corpus gram index for q162: the distinct
+    * 8-gram md5 set of the base documents — the span-dedup state an
+    * ingest pipeline maintains. Batch appends read ONLY this parquet.
+    */
+  private def ensureGramIndexFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"gram_index_${sfName}_v$gramIndexVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      graft.llm.ExactSubstr.gramTable(Tables(s, dir).documents, L = 8)
+        .select(col("gram")).distinct()
+    }
+    path
+  }
+
+  /** q162's ingest batch, all ids fresh: every 11th doc a VERBATIM
+    * copy (every window already in the corpus index — full-doc cut),
+    * every (11k+5)th all-'nv'-prefixed (brand-new text, no cuts), and
+    * every (11k+2)nd TWICE under two fresh ids with 'vb'-prefixed
+    * tokens (absent from the index but shared between two batch docs —
+    * exercises the batch-internal duplicate path specifically).
+    */
+  private def spanBatch(t: Tables): DataFrame = {
+    val d = t.documents
+    def pref(p: String) = regexp_replace(col("text"), "(\\S+)", p + "$1")
+    d.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 5)
+        .select((col("doc_id") + 960000L).as("doc_id"), pref("nv").as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 2)
+        .select((col("doc_id") + 980000L).as("doc_id"), pref("vb").as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 2)
+        .select((col("doc_id") + 990000L).as("doc_id"), pref("vb").as("text")))
   }
 
   /** q147's corpus with deterministic PII plants (id-derived, so the
@@ -3985,6 +4064,96 @@ object LlmQueries {
           p90 AS (SELECT MIN(ntok) AS p90_tokens FROM cum, card
                   WHERE cum * 10 >= n_docs * 9)
         SELECT card.*, p50.p50_tokens, p90.p90_tokens FROM card, p50, p90""",
+
+    // Span-cut report twin: the q156 program (same plants, same md5
+    // gram keys, same island merge) aggregated per source with exact
+    // cut-token sums.
+    "q161_span_cut_stats" ->
+      s"""WITH corp AS (SELECT doc_id, source,
+              text
+              || CASE WHEN doc_id % 9 = 0
+                   THEN ' the quick shared boilerplate sentence that repeats verbatim across many documents now'
+                   ELSE '' END
+              || CASE WHEN doc_id % 57 = 17
+                   THEN repeat(' p' || CAST(doc_id AS VARCHAR) || 'a q'
+                     || CAST(doc_id AS VARCHAR) || 'b r'
+                     || CAST(doc_id AS VARCHAR) || 'c s'
+                     || CAST(doc_id AS VARCHAR) || 'd', 3)
+                   ELSE '' END AS text
+            FROM documents),
+          tk AS (SELECT doc_id, source, $sqlToks AS t FROM corp),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM tk WHERE len(t) >= 8) x),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING MIN(doc_id) <> MAX(doc_id)),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM dup)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS (SELECT doc_id,
+                     CAST(SUM(span_len) AS BIGINT) AS cut FROM (
+                       SELECT doc_id, MAX(start) - MIN(start) + 8 AS span_len
+                       FROM isl GROUP BY doc_id, island) s
+                   GROUP BY doc_id)
+        SELECT tk.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cut IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_cuts,
+               CAST(COALESCE(SUM(c.cut), 0) AS BIGINT) AS cut_tokens,
+               CAST(SUM(len(tk.t)) AS BIGINT) AS total_tokens,
+               CASE WHEN SUM(len(tk.t)) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(SUM(c.cut), 0) AS DOUBLE)
+                      / SUM(len(tk.t)), 9) END + 0.0 AS cut_frac
+        FROM tk LEFT JOIN cuts c USING (doc_id)
+        GROUP BY tk.source""",
+
+    // Incremental-span twin: the full q156 program over corpus ∪
+    // batch, restricted to the batch's fresh ids — exactly the
+    // equivalence the incremental operator claims.
+    "q162_incremental_spans" ->
+      s"""WITH batch AS (
+            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2
+            UNION ALL
+            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2),
+          allc AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM batch),
+          tk AS (SELECT doc_id, $sqlToks AS t FROM allc),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM tk WHERE len(t) >= 8) x),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING MIN(doc_id) <> MAX(doc_id)),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 950000),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk)
+        SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start_word,
+               CAST(MAX(start) - MIN(start) + 8 AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

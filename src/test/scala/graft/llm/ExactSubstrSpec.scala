@@ -91,4 +91,27 @@ class ExactSubstrSpec extends SparkSpec {
     assert(ExactSubstr.cutList(df7, L).collect().map(_.toSeq).toSet ==
       ExactSubstr.cutList(df1, L).collect().map(_.toSeq).toSet)
   }
+
+  test("incremental cut list == full recompute restricted to the batch; base never re-read") {
+    val tmp = java.nio.file.Files.createTempDirectory("exsub-inc-").toString
+    corpus.toDF("doc_id", "text").write.parquet(s"$tmp/base_corpus")
+    val base = spark.read.parquet(s"$tmp/base_corpus")
+    ExactSubstr.gramTable(base, L).select("gram").distinct()
+      .write.parquet(s"$tmp/gram_index")
+    val idx = spark.read.parquet(s"$tmp/gram_index")
+    val batch = Seq(
+      100L -> s"fresh head $shared fresh tail",       // corpus-index hit
+      101L -> "batch only bq1 bq2 bq3 bq4 batch tail", // shared with 102 only
+      102L -> "other intro bq1 bq2 bq3 bq4 differing end",
+      103L -> "entirely novel content nothing shared here at all")
+    val got = ExactSubstr.cutListIncremental(batch.toDF("doc_id", "text"), idx, L)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("base_corpus"),
+      s"incremental span dedup re-reads the base corpus:\n$plan")
+    val want = ref(corpus ++ batch, L).filter(_._1 >= 100L)
+    assert(got.as[(Long, Long, Long)].collect().toSet == want)
+    assert(want.exists(_._1 == 100L) && want.exists(_._1 == 101L) &&
+      want.exists(_._1 == 102L) && !want.exists(_._1 == 103L),
+      s"fixture must exercise index-hit, batch-pair and clean paths: $want")
+  }
 }
