@@ -19,7 +19,8 @@ object SoakRound15 {
     val targets = Seq("q21_cosine_topk", "q146_bm25", "q76_ann_ivf_pinned",
       "q47_pq_adc", "q77_ivfpq_pinned", "q154_ann_recall_curve",
       "q156_exact_substr", "q157_pq_append", "q158_pq_drift",
-      "q159_hybrid_rrf", "q160_incremental_datasheet")
+      "q159_hybrid_rrf", "q160_incremental_datasheet",
+      "q161_span_cut_stats", "q162_incremental_spans")
     targets.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val plan = fn(spark, dir).queryExecution.executedPlan.toString

@@ -64,7 +64,16 @@ object ExactSubstr {
           .otherwise(transform(
             sequence(lit(1), size(col("__t")) - L + 1),
             i => md5(concat_ws(Sep, slice(col("__t"), i, lit(L)))))).as("__g"))
-      .select(col("doc_id"), posexplode(col("__g")).as(Seq("__p", "gram")))
+      // posexplode_OUTER + null filter, NOT posexplode: the inner
+      // generate lets InferFiltersFromGenerate push a size(__g) > 0
+      // predicate into the parquet scan with the WHOLE md5-window
+      // expression inlined — every gram computed twice, the scan-side
+      // copy interpreted (measured 20× on the sf0.1 corpus). The outer
+      // variant implies nothing about the array, so the expression
+      // evaluates exactly once; empty docs yield one null row, dropped
+      // ABOVE the generate where nothing can push down.
+      .select(col("doc_id"), posexplode_outer(col("__g")).as(Seq("__p", "gram")))
+      .filter(col("gram").isNotNull)
       .select(col("doc_id"), (col("__p") + 1).cast("long").as("start"),
         col("gram"))
   }
