@@ -134,7 +134,10 @@ object Bench {
     println(s"""{"bench_names":$namesJson}""")
     println(s"""{"bench_runs":$runsJson}""")
     println(s"""{"bench_peak_mb":$peakJson}""")
-    println(s"""{"metric":"total","value":${j2(total)},"queries":$qs}""")
+    // the driver-contract compact line: include unit + sf so the
+    // artifact is self-describing without the driver's wrapper
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("?")
+    println(s"""{"metric":"total","value":${j2(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
     spark.stop()
   }
 }
