@@ -273,18 +273,32 @@ object CorpusDedup {
   def contaminationFraction(train: DataFrame, bench: DataFrame,
                             idCol: String, textCol: String,
                             k: Int = 8, w: Int = 4): DataFrame = {
+    // ONE winnowing pass, checkpointed: the first cut filtered on
+    // size(fps) > 0 and kept the array — the filter pushed the whole
+    // winnowing expression into the scan and each of the two consumers
+    // re-evaluated it there (the q156 generate-filter pathology, found
+    // in the round-15 plan sweep). Exploded fingerprint rows are
+    // corpus/w-sized — exactly the fingerprint index a real pipeline
+    // persists anyway. posexplode_outer so no size filter can be
+    // inferred; fingerprint-less docs drop with the null row, same
+    // contract as before.
     val fps = train.select(col(idCol),
-        TextOps.winnowingFingerprints(col(textCol), k, w).as("__fps"))
-      .filter(size(col("__fps")) > 0)
+        posexplode_outer(TextOps.winnowingFingerprints(col(textCol), k, w))
+          .as(Seq("__i", "__fp")))
+      .filter(col("__fp").isNotNull)
+      .select(col(idCol), col("__fp"))
+      .localCheckpoint()
     val benchFps = bench
-      .select(explode(TextOps.winnowingFingerprints(col(textCol), k, w)).as("__fp"))
-      .distinct()
+      .select(posexplode_outer(TextOps.winnowingFingerprints(col(textCol), k, w))
+        .as(Seq("__i", "__fp")))
+      .filter(col("__fp").isNotNull)
+      .select(col("__fp")).distinct()
     // fingerprint arrays are distinct by construction (winnowing
     // selection dedups), so one row per (doc, matching fingerprint)
-    val hits = fps.select(col(idCol), explode(col("__fps")).as("__fp"))
+    val hits = fps
       .join(benchFps, Seq("__fp"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
-    fps.select(col(idCol), size(col("__fps")).cast("long").as("n_fps"))
+    fps.groupBy(col(idCol)).agg(count(lit(1)).as("n_fps"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_fps"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -256,6 +256,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no parquet scan DataFilter carries an inlined heavy expression") {
+    // Round-15 finding, generalized into a net: a filter (explicit
+    // size(arr) > 0, or one inferred by InferFiltersFromGenerate from
+    // an explode) whose operand is an ALIAS of a heavy expression gets
+    // the whole expression INLINED into the scan's DataFilters —
+    // evaluated once per row in the scan on top of the projection's
+    // copy, interpreted (measured 8× on q156, 1.7× on q63). Heavy =
+    // any higher-order lambda or the text/vector fingerprint family;
+    // a bare md5/pmod filter is a legitimate pushed predicate and
+    // stays allowed (q45/q105 filter ON md5 semantics deliberately).
+    val heavy = Seq("lambdafunction", "winnow", "minhash", "shingle",
+      "simhash", "hyperplane")
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val scans = fn(spark, dir).queryExecution.executedPlan.toString
+        .split("\n").filter(_.contains("DataFilters"))
+      scans.filter(l => heavy.exists(h => l.toLowerCase.contains(h)))
+        .take(1).foreach(l =>
+          bad += s"$name: heavy expression inlined into a scan filter: " +
+            l.trim.take(120))
+    }
+    assert(bad.isEmpty, s"generate-filter inlining:\n${bad.mkString("\n")}")
+  }
+
   test("q84 plans unpivot as Expand; q82 plans grouping sets as Expand") {
     for (q <- Seq("q84_unpivot", "q82_grouping_sets")) {
       val plan = SparkEntry.queries(q)(spark, dir)
