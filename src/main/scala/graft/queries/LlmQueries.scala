@@ -1894,6 +1894,21 @@ object LlmQueries {
       val t = Tables(s, dir)
       graft.llm.ExactSubstr.cutListIncremental(spanBatch(t),
         s.read.parquet(ensureGramIndexFixture(s, dir)), L = 8)
+    }),
+
+    // SPAN-CLEANED CORPUS — q156's cut lists APPLIED: every duplicated
+    // span removed, the remaining tokens rejoined canonically
+    // (single spaces — the whitespace tokenizer's normal form), each
+    // document anchored cross-engine by md5 + length (the q147
+    // clean_md5 device: the exact cleaned text is checked without
+    // shipping it). Fully-cut and empty docs emit the empty string.
+    "q163_span_cleaned" -> ((s, dir) => {
+      val corpus = substrCorpus(Tables(s, dir))
+      graft.llm.ExactSubstr.applyCuts(corpus,
+          graft.llm.ExactSubstr.cutList(corpus, L = 8))
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
     })
   )
 
@@ -4154,6 +4169,60 @@ object LlmQueries {
         SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start_word,
                CAST(MAX(start) - MIN(start) + 8 AS BIGINT) AS span_len
         FROM isl GROUP BY doc_id, island""",
+
+    // Span-cleaned twin: the q156 cut program, then each doc's tokens
+    // outside every cut span re-joined in position order (parallel
+    // unnest zips token and position), md5-anchored. Fully-cut and
+    // empty docs coalesce to ''.
+    "q163_span_cleaned" ->
+      s"""WITH corp AS (SELECT doc_id,
+              text
+              || CASE WHEN doc_id % 9 = 0
+                   THEN ' the quick shared boilerplate sentence that repeats verbatim across many documents now'
+                   ELSE '' END
+              || CASE WHEN doc_id % 57 = 17
+                   THEN repeat(' p' || CAST(doc_id AS VARCHAR) || 'a q'
+                     || CAST(doc_id AS VARCHAR) || 'b r'
+                     || CAST(doc_id AS VARCHAR) || 'c s'
+                     || CAST(doc_id AS VARCHAR) || 'd', 3)
+                   ELSE '' END AS text
+            FROM documents),
+          tk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM corp),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM tk WHERE len(t) >= 8) x),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING MIN(doc_id) <> MAX(doc_id)),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM dup)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS MATERIALIZED (
+            SELECT doc_id, MIN(start) AS start_word,
+                   MAX(start) - MIN(start) + 8 AS span_len
+            FROM isl GROUP BY doc_id, island),
+          tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                            CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+                     FROM tk),
+          keep AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+                   WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                     WHERE c.doc_id = p.doc_id
+                       AND p.pos >= c.start_word
+                       AND p.pos < c.start_word + c.span_len)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                  FROM keep GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
+               md5(COALESCE(a.txt, '')) AS clean_md5
+        FROM tk t LEFT JOIN agg a USING (doc_id)""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,
