@@ -3489,8 +3489,12 @@ object LlmQueries {
 
     // Drift-audit twin: train stats recomputed by assigning the BASE
     // corpus to the same pinned centroids, batch stats from the q142
-    // assignment, decimal sums → round-9 means, LEFT JOIN keeps
-    // never-chosen centroids with NULL batch stats.
+    // assignment, decimal sums → round-9 means, FULL OUTER JOIN (the
+    // round-15 advice fix's contract): never-chosen centroids keep
+    // NULL batch stats, and a centroid absent from train stats would
+    // keep n_train = 0 with a NULL train mean (vacuous on this
+    // fixture — pinned centroids always self-assign — but the twin
+    // states the operator's real semantics).
     "q143_ivf_drift" ->
       """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                         FROM embeddings WHERE vec_id < 16),
@@ -3525,13 +3529,14 @@ object LlmQueries {
             bs AS (SELECT cid, COUNT(*) AS n_new,
                           SUM(CAST(d AS DECIMAL(30,15))) AS sn
                    FROM basgn GROUP BY cid)
-        SELECT ts.cid AS centroid_id, ts.n_train,
+        SELECT COALESCE(ts.cid, bs.cid) AS centroid_id,
+               COALESCE(ts.n_train, 0) AS n_train,
                COALESCE(bs.n_new, 0) AS n_new,
                ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9) + 0.0 AS mean_sim_train,
                ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9) + 0.0 AS mean_sim_new,
                ROUND(ROUND(CAST(ts.st AS DOUBLE) / ts.n_train, 9)
                      - ROUND(CAST(bs.sn AS DOUBLE) / bs.n_new, 9), 9) + 0.0 AS drift
-        FROM ts LEFT JOIN bs ON bs.cid = ts.cid""",
+        FROM ts FULL OUTER JOIN bs ON bs.cid = ts.cid""",
 
     // Release twin: the FULL q121 pipeline recomputed from raw text
     // (shared CTE block), then the four-rung ladder unrolled in the
