@@ -117,6 +117,19 @@ object ExactSubstr {
     mergeIslands(hits, L)
   }
 
+  /** The index-maintenance half of [[cutListIncremental]]: absorb a
+    * batch's distinct grams into the persisted index. Set union of
+    * fixed-width keys — `mergeGramIndex(gramIndex(corpus), batch) ≡
+    * distinct grams of corpus ∪ batch` (spec-pinned), so repeated
+    * batch merges reproduce exactly the index a full rebuild gives.
+    */
+  def mergeGramIndex(gramIndex: DataFrame, batch: DataFrame, L: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    gramIndex.select(col("gram"))
+      .unionByName(gramTable(batch, L, idCol, textCol).select(col("gram")))
+      .distinct()
+
   /** gaps-and-islands (the q103 device) per document, gap-tolerant up
     * to L: duplicated starts whose window coverages overlap or touch
     * share an island (break when the gap to the previous start exceeds

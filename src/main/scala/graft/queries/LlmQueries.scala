@@ -1909,6 +1909,26 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("clean_text")).cast("long").as("clean_len"),
           md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // GRAM-INDEX GROWTH REPORT — the state-update metric q162's ingest
+    // loop logs per batch (probe → cut → MERGE): index size before,
+    // the batch's distinct grams, how many are genuinely new (the
+    // left-anti survivors — the rows mergeGramIndex adds), index size
+    // after. All exact distinct counts; metadata-sized output at any
+    // corpus scale.
+    "q164_gram_index_growth" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val idx = s.read.parquet(ensureGramIndexFixture(s, dir))
+        .select(col("gram"))
+      val batchGrams = graft.llm.ExactSubstr.gramTable(spanBatch(t), L = 8)
+        .select(col("gram")).distinct()
+      val newGrams = batchGrams.join(idx, Seq("gram"), "left_anti")
+      idx.agg(count(lit(1)).as("n_index"))
+        .crossJoin(batchGrams.agg(count(lit(1)).as("n_batch_grams")))
+        .crossJoin(newGrams.agg(count(lit(1)).as("n_new_grams")))
+        .select(col("n_index"), col("n_batch_grams"), col("n_new_grams"),
+          (col("n_index") + col("n_new_grams")).as("n_index_after"))
     })
   )
 
@@ -4228,6 +4248,38 @@ object LlmQueries {
                CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
                md5(COALESCE(a.txt, '')) AS clean_md5
         FROM tk t LEFT JOIN agg a USING (doc_id)""",
+
+    // Gram-index growth twin: exact distinct gram counts of corpus /
+    // batch and the anti-joined novel set, recomputed from raw text.
+    "q164_gram_index_growth" ->
+      s"""WITH batch AS (
+            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2
+            UNION ALL
+            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2),
+          ctk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          btk AS (SELECT doc_id, $sqlToks AS t FROM batch),
+          cg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM ctk WHERE len(t) >= 8) x),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          ng AS (SELECT gram FROM bg WHERE gram NOT IN (SELECT gram FROM cg))
+        SELECT (SELECT COUNT(*) FROM cg) AS n_index,
+               (SELECT COUNT(*) FROM bg) AS n_batch_grams,
+               (SELECT COUNT(*) FROM ng) AS n_new_grams,
+               (SELECT COUNT(*) FROM cg) + (SELECT COUNT(*) FROM ng)
+                 AS n_index_after""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

@@ -113,5 +113,16 @@ class ExactSubstrSpec extends SparkSpec {
     assert(want.exists(_._1 == 100L) && want.exists(_._1 == 101L) &&
       want.exists(_._1 == 102L) && !want.exists(_._1 == 103L),
       s"fixture must exercise index-hit, batch-pair and clean paths: $want")
+    // index maintenance: merging the batch reproduces the full rebuild,
+    // and re-merging the same batch is a no-op (set-union idempotence)
+    val bdf = batch.toDF("doc_id", "text")
+    val merged = ExactSubstr.mergeGramIndex(idx, bdf, L)
+    val rebuilt = ExactSubstr
+      .gramTable((corpus ++ batch).toDF("doc_id", "text"), L)
+      .select("gram").distinct()
+    assert(merged.as[String].collect().toSet ==
+      rebuilt.as[String].collect().toSet, "merge != full rebuild")
+    assert(ExactSubstr.mergeGramIndex(merged, bdf, L).count() == merged.count(),
+      "re-merging the same batch must be a no-op")
   }
 }
