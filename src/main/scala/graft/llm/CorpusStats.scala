@@ -45,8 +45,12 @@ object CorpusStats {
         coalesce(sum(col("__len")), lit(0L)).as("total_tokens"),
         coalesce(sum(col("chars")), lit(0L)).as("total_chars")),
       st.groupBy(col("__len")).agg(count(lit(1)).as("c")),
-      st.select(col("lang")).distinct(),
-      st.select(col("h")).distinct())
+      // NULL never enters the set tables: card() counts members with
+      // count(1), and the q160 oracle's COUNT(DISTINCT lang/h) excludes
+      // NULLs — a null lang (or md5(null)=null text) in one batch would
+      // otherwise shift n_langs/n_unique_texts by one (round-15 ADVICE)
+      st.select(col("lang")).filter(col("lang").isNotNull).distinct(),
+      st.select(col("h")).filter(col("h").isNotNull).distinct())
   }
 
   /** Exact merge of two states — additive scalars/histogram, set-union

@@ -102,12 +102,26 @@ object TopK {
     * the trim and the window. Output: the input columns + `rank` ∈
     * [1, k]. Works for integral scores too (long negation — callers
     * keep scores strictly above Long.MinValue).
+    *
+    * Null/NaN scores are NOT candidates and are never returned (the
+    * [[smallestBy]] discipline): without the up-front filter the two
+    * paths diverge — the heap's compareTo on negated doubles evicts
+    * NaN first and keeps nulls first, while the window's `score desc`
+    * puts NaN first and nulls last — so one NaN (e.g. the cosine of a
+    * zero-norm vector, 0.0/0.0) would make results partition-dependent.
     */
   def rankedTopKDesc(scored: DataFrame, keyCol: String, scoreCol: String,
                      idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    val nonNull = scored.filter(col(scoreCol).isNotNull)
+    val clean = scored.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        nonNull.filter(!isnan(col(scoreCol)))
+      case _ => nonNull
+    }
     val trimmed = perPartitionSmallestByKey(
-      scored.withColumn("__neg", negate(col(scoreCol))),
+      clean.withColumn("__neg", negate(col(scoreCol))),
       Seq(keyCol), Seq("__neg", idCol), k).drop("__neg")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))

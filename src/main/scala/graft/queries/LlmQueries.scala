@@ -1990,6 +1990,10 @@ object LlmQueries {
     * exercises the batch-internal duplicate path specifically).
     */
   private def spanBatch(t: Tables): DataFrame = {
+    // Fresh-id contract: corpus doc_ids stay < 900000 at every fixture
+    // SF (FreshIdContractSpec pins this), so +950000..+990000 offsets
+    // cannot collide and the q162 oracle's `doc_id >= 950000` batch
+    // cut is exact. Move the offsets AND that threshold together.
     val d = t.documents
     def pref(p: String) = regexp_replace(col("text"), "(\\S+)", p + "$1")
     d.filter(pmod(col("doc_id"), lit(11)) === 0)

@@ -178,8 +178,26 @@ class PlanShapeSpec extends SparkSpec {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       emptyOk: Set[String] = Set.empty,
       boundedOk: Set[String] = Set.empty): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, MapPartitions, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+      MapPartitions, Project, SerializeFromObject, WindowGroupLimit,
+      Window => LWindow}
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    // The pre-trim must sit in the window child's DIRECT unary lineage
+    // (only narrow row-level ops between them) — an unrelated
+    // mapPartitions buried below a join/aggregate/window must NOT
+    // rescue an untrimmed plan (round-15 ADVICE).
+    @annotation.tailrec
+    def directPreTrim(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: MapPartitions => true
+        case n: Project => directPreTrim(n.child)
+        case n: Filter => directPreTrim(n.child)
+        case n: SerializeFromObject => directPreTrim(n.child)
+        // InferWindowGroupLimit (Spark 3.5+) wedges its own rank-limit
+        // node between the window and the trim — transparent here
+        case n: WindowGroupLimit => directPreTrim(n.child)
+        case _ => false
+      }
     plan.foreach {
       case w: LWindow =>
         val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
@@ -187,8 +205,7 @@ class PlanShapeSpec extends SparkSpec {
           a.groupingExpressions.flatMap(_.references.map(_.name)).distinct }
         // (e) a contract-bounded batch key counts ONLY with the
         // bounded-heap pre-trim feeding the window (q88 discipline)
-        lazy val hasPreTrim =
-          w.child.collectFirst { case m: MapPartitions => m }.isDefined
+        lazy val hasPreTrim = directPreTrim(w.child)
         val ok =
           (w.partitionSpec.isEmpty && emptyOk.contains(name)) ||
           keys.filterNot(boundedKeys).exists(isScaling) ||           // (a)+(b)
@@ -249,8 +266,31 @@ class PlanShapeSpec extends SparkSpec {
         .orderBy(col("score").desc, col("doc_id").asc)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
     }
+    // round-16 negative control (ADVICE): an UNRELATED mapPartitions
+    // buried below the scoring aggregate must not rescue an untrimmed
+    // bounded-key window — rule (e) demands the trim in the window
+    // child's direct unary lineage.
+    val oldQ146Masked = {
+      val docs0 = t.documents.select(col("doc_id"), col("text"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(docs0.schema)
+      val docs = docs0.mapPartitions(identity(_))(enc)
+      val tf = docs.select(col("doc_id"),
+          explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val qterms = docs.filter(col("doc_id").isin(1L, 7L))
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(graft.llm.TextOps.tokens(col("text")))).as("term"))
+      val scored = qterms.join(tf, Seq("term"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tf")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    }
     for ((nm, df) <- Seq("old_q73" -> oldQ73, "old_q105" -> oldQ105,
-        "old_q146" -> oldQ146)) {
+        "old_q146" -> oldQ146, "old_q146_masked" -> oldQ146Masked)) {
       val v = windowViolations(nm, df.queryExecution.optimizedPlan)
       assert(v.nonEmpty, s"net failed to flag the naive $nm plan")
     }

@@ -43,6 +43,27 @@ class CorpusStatsSpec extends SparkSpec {
       "in-batch and cross-batch dup texts must collapse exactly")
   }
 
+  test("null lang / null text never enter the set tables (oracle COUNT(DISTINCT) semantics)") {
+    // round-15 ADVICE: a null lang (or md5(null)=null text) kept as a
+    // set member shifts n_langs/n_unique_texts by one vs the DuckDB
+    // twin's NULL-excluding COUNT(DISTINCT).
+    val withNulls = Seq(
+      (null.asInstanceOf[String], "the quick brown fox"),
+      ("en", null.asInstanceOf[String]),
+      ("en", "the quick brown fox"),
+      ("fr", "le renard rapide"))
+    val row = CorpusStats.card(CorpusStats.summarize(df(withNulls)))
+      .collect().head
+    assert(row.getAs[Long]("n_docs") == 4)
+    assert(row.getAs[Long]("n_langs") == 2, "null lang must not count")
+    assert(row.getAs[Long]("n_unique_texts") == 2, "null text must not count")
+    // and merge keeps the exclusion (no null resurrect via union)
+    val m = CorpusStats.card(CorpusStats.merge(
+      CorpusStats.summarize(df(withNulls.take(2))),
+      CorpusStats.summarize(df(withNulls.drop(2))))).collect().head
+    assert(m.getAs[Long]("n_langs") == 2 && m.getAs[Long]("n_unique_texts") == 2)
+  }
+
   test("merge is order-insensitive and associative") {
     val s = Seq(b1, b2, b3).map(b => CorpusStats.summarize(df(b)))
     val abc = CorpusStats.card(CorpusStats.merge(CorpusStats.merge(s(0), s(1)), s(2)))

@@ -129,6 +129,33 @@ class TopKSpec extends SparkSpec {
     assert(gotL == wantL)
   }
 
+  test("rankedTopKDesc excludes null and NaN scores on every partitioning") {
+    // NaN = cosine of a zero-norm vector (0.0/0.0); null = missing
+    // score. The heap and the window order them OPPOSITE ways, so
+    // before the round-16 filter the result depended on which path a
+    // row met first — pin that both are simply never candidates.
+    val rows = (0 until 200).map { i =>
+      val s: java.lang.Double =
+        if (i % 17 == 0) Double.NaN
+        else if (i % 13 == 0) null
+        else (i % 9).toDouble
+      (i.toLong % 3, s, i.toLong)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("key", "score", "id").repartition(parts)
+      val got = TopK.rankedTopKDesc(df, "key", "score", "id", 4)
+        .select("key", "score", "id", "rank").as[(Long, Double, Long, Int)]
+        .collect().toSet
+      val want = rows.filter(r => r._2 != null && !r._2.isNaN)
+        .groupBy(_._1).toSeq.flatMap { case (k, g) =>
+          g.sortBy(r => (-r._2, r._3)).take(4).zipWithIndex
+            .map { case ((key, s, id), r) => (key, s.toDouble, id, r + 1) }
+        }.toSet
+      assert(got == want, s"parts=$parts")
+      assert(!got.exists(r => r._2.isNaN), "NaN must never rank")
+    }
+  }
+
   test("tie-break makes duplicate ranks deterministic on both paths") {
     val ties = spark.range(0, 1000)
       .select(col("id"), (col("id") % 10).as("r")).cache()
