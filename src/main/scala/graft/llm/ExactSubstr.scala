@@ -125,6 +125,34 @@ object ExactSubstr {
     mergeIslands(hits, L)
   }
 
+  /** Benchmark decontamination at SPAN granularity (round-16 verdict
+    * item 1) — the production form of the decontamination step: q41/q63
+    * DROP contaminated documents and q155 only REPORTS leaks; this
+    * cuts the contaminated spans and keeps the rest of each training
+    * document. A train window [i, i+L) is contaminated iff its exact
+    * L-token sequence occurs ANYWHERE in the benchmark corpus; the cut
+    * list is the per-document island merge of contaminated windows —
+    * exactly [[cutList]] with "≥ 2 distinct docs" replaced by "gram ∈
+    * bench gram set". Feed the result to [[applyCuts]] for the cleaned
+    * corpus.
+    *
+    * Scale shape: the benchmark side is metadata-sized by contract
+    * (eval suites are thousands of items, not corpora), so its distinct
+    * gram set BROADCASTS — the training corpus never shuffles for the
+    * probe; islands merge in the usual doc-keyed window. Train-side
+    * gram construction is the streamed zero-shuffle projection of
+    * [[gramTable]].
+    */
+  def decontaminateCuts(train: DataFrame, bench: DataFrame, L: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val benchGrams = gramTable(bench, L, idCol, textCol)
+      .select(col("gram")).distinct()
+    mergeIslands(
+      gramTable(train, L, idCol, textCol)
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi"), L)
+  }
+
   /** The index-maintenance half of [[cutListIncremental]]: absorb a
     * batch's distinct grams into the persisted index. Set union of
     * fixed-width keys — `mergeGramIndex(gramIndex(corpus), batch) ≡

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -65,6 +65,29 @@ object LlmQueries {
 
   private def sqlHits(listSql: String): String =
     s"len(list_filter(toks, t -> list_contains($listSql, t)))"
+
+  /** DuckDB twin of one q165 eval-item answer string for id expr `e`. */
+  private def sqlEvalItem(e: String): String =
+    Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      .map(sfx => s"' bm' || CAST($e AS VARCHAR) || '$sfx'")
+      .mkString(" || ")
+
+  /** The q165/q168 bench + train CTE pair — plants rebuilt from ids,
+    * byte-identical to deconBench/deconTrain.
+    */
+  private lazy val sqlDeconSides: String =
+    s"""bench AS (SELECT doc_id,
+            text || ${sqlEvalItem("doc_id")}
+                 || CASE WHEN doc_id % 40 = 0 THEN ' $deconFixedQ'
+                    ELSE '' END AS text
+          FROM documents WHERE doc_id % 20 = 0),
+          train AS (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 3 THEN ' $deconFixedQ' ELSE '' END
+            || CASE WHEN doc_id % 13 = 5
+                 THEN ${sqlEvalItem("doc_id - doc_id % 100")}
+                 ELSE '' END AS text
+          FROM documents WHERE doc_id % 20 <> 0)"""
 
   /** The embeddings-plus-perturbed-twins corpus q34 and q60 share.
     * Twin perturbation mirrors the DuckDB twin exactly: double math,
@@ -1929,6 +1952,52 @@ object LlmQueries {
         .crossJoin(newGrams.agg(count(lit(1)).as("n_new_grams")))
         .select(col("n_index"), col("n_batch_grams"), col("n_new_grams"),
           (col("n_index") + col("n_new_grams")).as("n_index_after"))
+    }),
+
+    // SPAN-LEVEL BENCHMARK DECONTAMINATION (round-16 verdict item 1) —
+    // the production decontamination step: q41/q63 DROP contaminated
+    // documents, q155 only REPORTS leaks; this emits the cut list of
+    // contaminated SPANS (train windows whose 8-gram appears verbatim
+    // anywhere in the benchmark corpus, island-merged per doc) so the
+    // host documents survive minus the quotes. The bench gram set is
+    // metadata-sized by contract and BROADCASTS — the training corpus
+    // never shuffles for the probe. q168 applies these cuts.
+    "q165_bench_decon_cuts" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.ExactSubstr.decontaminateCuts(
+        deconTrain(t), deconBench(t), L = 8)
+    }),
+
+    // INGEST-TIME SPAN-CLEANED BATCH (round-16 verdict item 2) — the
+    // operator an ingest pipeline actually runs: probe the PERSISTED
+    // gram index (never re-reading the corpus; ExactSubstrSpec pins
+    // the composed plan), cut, and emit the cleaned batch in one
+    // query — cutListIncremental ∘ applyCuts, anchored cross-engine by
+    // the q163 md5+length device.
+    "q166_ingest_span_clean" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val batch = spanBatch(t)
+      graft.llm.ExactSubstr.applyCuts(batch,
+          graft.llm.ExactSubstr.cutListIncremental(batch,
+            s.read.parquet(ensureGramIndexFixture(s, dir)), L = 8))
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // DECONTAMINATED CORPUS (q165's cuts APPLIED) — the cleaned
+    // training corpus a pipeline ships to tokenization: every
+    // benchmark-quoted span removed, host text kept, each doc anchored
+    // by md5 + length. Completes verdict item 1's "cut lists + the
+    // applyCuts-cleaned corpus".
+    "q168_decon_cleaned" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val train = deconTrain(t)
+      graft.llm.ExactSubstr.applyCuts(train,
+          graft.llm.ExactSubstr.decontaminateCuts(train, deconBench(t), L = 8))
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"))
     })
   )
 
@@ -2004,6 +2073,49 @@ object LlmQueries {
         .select((col("doc_id") + 980000L).as("doc_id"), pref("vb").as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 2)
         .select((col("doc_id") + 990000L).as("doc_id"), pref("vb").as("text")))
+  }
+
+  /** q165/q168's fixed 12-token benchmark question — appears VERBATIM
+    * in part of the benchmark corpus and is quoted by planted train
+    * docs (unique tokens: plants never manufacture accidental 8-gram
+    * bridges into the surrounding text).
+    */
+  private val deconFixedQ = (1 to 12).map(i => f"evq$i%02d").mkString(" ")
+
+  /** One benchmark item's unique 8-token answer string, id-derived so
+    * both engines rebuild it: " bm{id}a bm{id}b … bm{id}h".
+    */
+  private def deconEvalItem(id: Column): Column =
+    concat(Seq("a", "b", "c", "d", "e", "f", "g", "h").map(sfx =>
+      concat(lit(" bm"), id.cast("string"), lit(sfx))): _*)
+
+  /** q165's benchmark corpus: every 20th doc is an eval item carrying
+    * its own unique 8-token answer string; every 40th also carries the
+    * fixed benchmark question.
+    */
+  private def deconBench(t: Tables): DataFrame =
+    t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), deconEvalItem(col("doc_id")),
+          when(pmod(col("doc_id"), lit(40)) === 0, lit(" " + deconFixedQ))
+            .otherwise(lit(""))).as("text"))
+
+  /** q165's training corpus (the non-bench docs) with deterministic
+    * contamination plants: docs ≡ 3 (mod 7) quote the fixed benchmark
+    * question VERBATIM; docs ≡ 5 (mod 13) quote the answer string of
+    * bench item floor(doc_id/100)·100 (always a bench id: 100 ≡ 0 mod
+    * 20). Hosts keep their original text around the quotes — the
+    * operator must cut the quote and keep the host.
+    */
+  private def deconTrain(t: Tables): DataFrame = {
+    val b = col("doc_id") - pmod(col("doc_id"), lit(100))
+    t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 3, lit(" " + deconFixedQ))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 5, deconEvalItem(b))
+            .otherwise(lit(""))).as("text"))
   }
 
   /** q147's corpus with deterministic PII plants (id-derived, so the
@@ -4284,6 +4396,136 @@ object LlmQueries {
                (SELECT COUNT(*) FROM ng) AS n_new_grams,
                (SELECT COUNT(*) FROM cg) + (SELECT COUNT(*) FROM ng)
                  AS n_index_after""",
+
+    // Decontamination twin: identical bench/train plants rebuilt from
+    // ids, train 8-grams probed against the DISTINCT bench gram set,
+    // the same gap-tolerant island merge.
+    "q165_bench_decon_cuts" ->
+      s"""WITH $sqlDeconSides,
+          btk AS (SELECT $sqlToks AS t FROM bench),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          ttk AS (SELECT doc_id, $sqlToks AS t FROM train),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM ttk WHERE len(t) >= 8) x),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM bg)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk)
+        SELECT doc_id, CAST(MIN(start) AS BIGINT) AS start_word,
+               CAST(MAX(start) - MIN(start) + 8 AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island""",
+
+    // Ingest-clean twin: the q162 incremental cut program (full
+    // recompute over corpus ∪ batch restricted to the fresh batch
+    // ids), then the q163 keep/reconstruct over the BATCH tokens.
+    "q166_ingest_span_clean" ->
+      s"""WITH batch AS (
+            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2
+            UNION ALL
+            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            FROM documents WHERE doc_id % 11 = 2),
+          allc AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM batch),
+          tk AS (SELECT doc_id, $sqlToks AS t FROM allc),
+          btk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM batch),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM tk WHERE len(t) >= 8) x),
+          dup AS (SELECT gram FROM g GROUP BY gram
+                  HAVING MIN(doc_id) <> MAX(doc_id)),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 950000),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS MATERIALIZED (
+            SELECT doc_id, MIN(start) AS start_word,
+                   MAX(start) - MIN(start) + 8 AS span_len
+            FROM isl GROUP BY doc_id, island),
+          tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                            CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+                     FROM btk),
+          keep AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+                   WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                     WHERE c.doc_id = p.doc_id
+                       AND p.pos >= c.start_word
+                       AND p.pos < c.start_word + c.span_len)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                  FROM keep GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
+               md5(COALESCE(a.txt, '')) AS clean_md5
+        FROM btk t LEFT JOIN agg a USING (doc_id)""",
+
+    // Decon-cleaned twin: the q165 cut program, then the q163
+    // keep/reconstruct over the TRAIN tokens, md5-anchored.
+    "q168_decon_cleaned" ->
+      s"""WITH $sqlDeconSides,
+          btk AS (SELECT $sqlToks AS t FROM bench),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          ttk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM train),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM ttk WHERE len(t) >= 8) x),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM bg)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS MATERIALIZED (
+            SELECT doc_id, MIN(start) AS start_word,
+                   MAX(start) - MIN(start) + 8 AS span_len
+            FROM isl GROUP BY doc_id, island),
+          tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                            CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+                     FROM ttk),
+          keep AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+                   WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                     WHERE c.doc_id = p.doc_id
+                       AND p.pos >= c.start_word
+                       AND p.pos < c.start_word + c.span_len)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                  FROM keep GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
+               md5(COALESCE(a.txt, '')) AS clean_md5
+        FROM ttk t LEFT JOIN agg a USING (doc_id)""",
 
     // PII twin: the same planted corpus rebuilt from ids, the same
     // three patterns through RE2 (regexp_extract_all counts,

@@ -126,6 +126,61 @@ class ExactSubstrSpec extends SparkSpec {
       "re-merging the same batch must be a no-op")
   }
 
+  test("decontaminateCuts cuts a planted bench quote while the host document survives") {
+    val quote = "qa qb qc qd qe qf" // 6 tokens > L
+    val bench = Seq(
+      900L -> s"eval item intro $quote eval item outro",
+      901L -> "another eval item with nothing quoted anywhere")
+    val train = Seq(
+      1L -> s"host head one two three $quote host tail four five",
+      2L -> "a completely clean training document with no quotes at all",
+      // train-internal repeats are NOT cuts when bench lacks the gram
+      // (qa qb zz qd is no bench window) — decon probes bench only
+      3L -> "qa qb zz qd repeated qa qb zz qd but never six long")
+    val cuts = ExactSubstr.decontaminateCuts(
+      train.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), L)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: quote tokens are positions 6..11 -> windows 6,7,8 -> one
+    // island (start 6, span 6). docs 2/3: no bench gram -> no cuts.
+    assert(cuts == Set((1L, 6L, 6L)), s"got $cuts")
+    // and the host survives: applying the cuts keeps everything else
+    val cleaned = ExactSubstr.applyCuts(train.toDF("doc_id", "text"),
+        ExactSubstr.decontaminateCuts(train.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), L))
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "host head one two three host tail four five")
+    assert(cleaned(2L) == train.toMap.apply(2L))
+  }
+
+  test("the composed ingest clean (cutListIncremental + applyCuts) never re-reads the base corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("exsub-clean-").toString
+    corpus.toDF("doc_id", "text").write.parquet(s"$tmp/base_corpus")
+    val base = spark.read.parquet(s"$tmp/base_corpus")
+    ExactSubstr.gramTable(base, L).select("gram").distinct()
+      .write.parquet(s"$tmp/gram_index")
+    val idx = spark.read.parquet(s"$tmp/gram_index")
+    val batch = Seq(
+      100L -> s"fresh head $shared fresh tail",
+      103L -> "entirely novel content nothing shared here at all")
+    val bdf = batch.toDF("doc_id", "text")
+    val cleaned = ExactSubstr.applyCuts(bdf,
+      ExactSubstr.cutListIncremental(bdf, idx, L))
+    val plan = cleaned.queryExecution.executedPlan.toString
+    assert(!plan.contains("base_corpus"),
+      s"composed ingest clean re-reads the base corpus:\n$plan")
+    val got = cleaned.as[(Long, String)].collect().toMap
+    val cut = ref(corpus ++ batch, L).filter(_._1 >= 100L).groupBy(_._1)
+    for ((id, t) <- batch) {
+      val ts = toks(t)
+      val keep = ts.zipWithIndex.collect { case (tok, i)
+        if !cut.getOrElse(id, Set.empty)
+          .exists(c => i + 1 >= c._2 && i + 1 < c._2 + c._3) => tok }
+      assert(got(id) == keep.mkString(" "), s"doc $id")
+    }
+    assert(got(100L) != batch.toMap.apply(100L), "index hit must cut")
+    assert(got(103L) == batch.toMap.apply(103L), "novel doc passes through")
+  }
+
   test("applyCuts is linear: a many-cut long document matches the per-token reference") {
     // doc 200: 120 tokens where every odd 8-token block is shared with
     // a partner doc — ~15 disjoint cut islands in one document (the

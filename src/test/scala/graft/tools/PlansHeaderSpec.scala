@@ -30,4 +30,19 @@ class PlansHeaderSpec extends AnyFunSuite {
       s"PLANS.md header is stale (live surface: $n queries) — regenerate: " +
         "Test/runMain graft.tools.PlanAudit --write-header PLANS.md <benchJson>")
   }
+
+  test("a round-close bench line must cover the whole surface") {
+    // round-15 process debt: the close bench ran BEFORE the last query
+    // landed (header said 163 of a 164 surface). Mid-round headers may
+    // omit the bench line (regenerated without a bench JSON); when the
+    // line IS present, its query count must equal the live surface —
+    // so the close discipline is: last query lands -> bench -> header.
+    val n = graft.SparkEntry.queries.size
+    val benchRe = raw"Round-close bench: [0-9.]+ s / (\d+) queries".r
+    benchRe.findFirstMatchIn(plansText).foreach { m =>
+      assert(m.group(1).toInt == n,
+        s"round-close bench covered ${m.group(1)} of $n queries — run the " +
+          "close bench AFTER the final query lands, then regenerate the header")
+    }
+  }
 }
