@@ -550,25 +550,35 @@ object Similarity {
         graft.functions.ArgmaxDot(vecD, normed).as("__c"),
         pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__b"))
       .localCheckpoint() // one assignment scan feeds both join sides
-    // Triangle-blocked self-join with INLINE verify. Two forces shape
-    // this plan:
-    //  - a cell is ONE join key, so a naive self-join runs a hot
-    //    cell's entire pair space in a single task (k=1, the oracle
-    //    mode, is the extreme: every row in one cell). Each row hashes
-    //    into one of `blocks` sub-blocks and candidates join on
-    //    (cell, block-pair) over the i <= j triangle, spreading a cell
-    //    over blocks(blocks+1)/2 keys — explicitly repartitioned so
-    //    AQE's input-size heuristic (which sees the small index, not
-    //    the quadratic pair output) cannot coalesce them back into one
-    //    partition.
-    //  - the pair space is QUADRATIC in the cell size, so shipping id
-    //    pairs to a separate vector join-back shuffles O(pairs) rows;
-    //    carrying the vectors through the triangle join instead ships
-    //    (blocks+1)/2 × the LINEAR vector table and emits only the
-    //    ≥ tau survivors — cheaper whenever cells exceed a few rows.
-    // Each unordered pair survives exactly once: an (i, j) pair with
-    // i < j appears only with the i-side row on the left; i == j rows
-    // orient by id.
+    blockedCellPairs(assigned, tau, blocks)
+  }
+
+  /** Triangle-blocked within-cell pair scan with INLINE verify, shared
+    * by [[semanticPairs]] and [[semDedupClustered]]. `assigned` must
+    * carry (__id, __v, __c cell, __b block ∈ [0, blocks)). Two forces
+    * shape this plan:
+    *  - a cell is ONE join key, so a naive self-join runs a hot
+    *    cell's entire pair space in a single task (k=1, the oracle
+    *    mode, is the extreme: every row in one cell). Each row hashes
+    *    into one of `blocks` sub-blocks and candidates join on
+    *    (cell, block-pair) over the i <= j triangle, spreading a cell
+    *    over blocks(blocks+1)/2 keys — explicitly repartitioned so
+    *    AQE's input-size heuristic (which sees the small index, not
+    *    the quadratic pair output) cannot coalesce them back into one
+    *    partition.
+    *  - the pair space is QUADRATIC in the cell size, so shipping id
+    *    pairs to a separate vector join-back shuffles O(pairs) rows;
+    *    carrying the vectors through the triangle join instead ships
+    *    (blocks+1)/2 × the LINEAR vector table and emits only the
+    *    ≥ tau survivors — cheaper whenever cells exceed a few rows.
+    * Each unordered pair survives exactly once: an (i, j) pair with
+    * i < j appears only with the i-side row on the left; i == j rows
+    * orient by id. Returns (id_a, id_b, cos_sim), id_a < id_b.
+    */
+  private def blockedCellPairs(assigned: DataFrame, tau: Double,
+                               blocks: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val blockPairs = (for (i <- 0 until blocks; j <- i until blocks)
       yield (i, j)).toDF("__bi", "__bj")
     val shufflePartitions =
@@ -588,6 +598,54 @@ object Similarity {
         // cosine is symmetric, so the id orientation is irrelevant
         round(cosine(col("__va"), col("__vb")), 9).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+  }
+
+  /** SemDeDup at CLUSTER granularity with caller-supplied centroids —
+    * the published 100 TB recipe's decision table (Abbas et al. 2023):
+    * assign every vector to its nearest centroid (rounded cosine,
+    * smallest-centroid ties — the q76 pinned-quantizer device, so with
+    * centroids that are a deterministic function of the data the WHOLE
+    * decision is recomputable by an independent engine), then within
+    * each cluster drop a vector iff a SMALLER-id cluster-mate sits at
+    * rounded cosine ≥ `tau` — the deterministic keep-first
+    * representative rule (a vector is dropped iff it is the larger id
+    * of some within-cluster near-dup pair). Closes the granularity gap
+    * between doc-hash dedup (q19) and pairwise bucketed cosine (q60):
+    * the quadratic term is bounded by the CLUSTER size, never global.
+    *
+    * Scale shape: assignment is a broadcast crossJoin collapsing
+    * map-side (ids only move); the within-cluster pair scan reuses the
+    * triangle-blocked device (no one-task-per-cluster sort, no global
+    * pairing — the plan pairs per (cluster, block, block) key).
+    * Returns (vec_id, cluster_id, keep).
+    */
+  def semDedupClustered(df: DataFrame, centroids: DataFrame, tau: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        centroidIdCol: String = "centroid_id",
+                        centroidVecCol: String = "embedding",
+                        blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks must be positive")
+    val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).cast("array<double>").as("__centv"))
+    val vecD = col(vecCol).cast("array<double>")
+    val asg = df.select(col(idCol).as("vec_id"), vecD.as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
+          (-col("centroid_id")).as("nc")).as("__ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), col("__ord")).as("cluster_id"))
+      .localCheckpoint() // ids only; feeds both pair-scan sides + verdict
+    val withV = asg
+      .join(df.select(col(idCol).as("vec_id"), vecD.as("__v")), Seq("vec_id"))
+      .select(col("vec_id").as("__id"), col("__v"),
+        col("cluster_id").as("__c"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b"))
+    val dropped = blockedCellPairs(withV, tau, blocks)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
   }
 
   /** Semantic near-dup GROUPS: connected components over

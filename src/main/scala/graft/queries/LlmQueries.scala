@@ -1985,6 +1985,23 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"))
     }),
 
+    // CLUSTER-GRANULARITY SEMANTIC DEDUP (SemDeDup, round-16 verdict
+    // item 5; Abbas et al. 2023) — the published 100 TB recipe between
+    // q19's doc-hash and q60's pairwise cosine: pinned centroids (the
+    // q76 vec_id < 16 quantizer device — fully SQL-recomputable) route
+    // every vector to one cluster; within a cluster a vector is
+    // dropped iff a SMALLER-id cluster-mate sits at rounded cosine ≥
+    // 0.99 (keep-first representative rule). The planted perturbed
+    // twins (cos ≈ 0.997) land with their originals and drop; the pair
+    // scan is per-(cluster, block, block) — never global, never
+    // one-task-per-cluster.
+    "q167_semdedup_clustered" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Similarity.semDedupClustered(cosineCorpus(t),
+        t.embeddings.filter(col("vec_id") < 16), tau = 0.99,
+        centroidIdCol = "vec_id")
+    }),
+
     // DECONTAMINATED CORPUS (q165's cuts APPLIED) — the cleaned
     // training corpus a pipeline ships to tokenization: every
     // benchmark-quoted span removed, host text kept, each doc anchored
@@ -4482,6 +4499,43 @@ object LlmQueries {
                CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
                md5(COALESCE(a.txt, '')) AS clean_md5
         FROM btk t LEFT JOIN agg a USING (doc_id)""",
+
+    // SemDeDup twin: the q34/q60 twins corpus, q76's rounded-cosine
+    // smallest-cid assignment against the pinned vec_id < 16
+    // quantizer, dropped = the larger id of any within-cluster pair at
+    // rounded cosine ≥ 0.99.
+    "q167_semdedup_clustered" ->
+      """WITH corpus AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> x + CAST(0.005 AS DOUBLE)
+                       * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 16),
+          asgn AS MATERIALIZED (
+            SELECT vec_id, cid AS cluster_id FROM (
+              SELECT c.vec_id, t.cid, ROW_NUMBER() OVER (
+                PARTITION BY c.vec_id ORDER BY
+                  ROUND(list_dot_product(c.v, t.cv)
+                    / (sqrt(list_dot_product(c.v, c.v))
+                       * sqrt(list_dot_product(t.cv, t.cv))), 9) DESC,
+                  t.cid ASC) AS rn
+              FROM corpus c, cents t) x WHERE rn = 1),
+          dropped AS (
+            SELECT DISTINCT x.vec_id
+            FROM asgn x JOIN asgn y
+              ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+            JOIN corpus cx ON cx.vec_id = x.vec_id
+            JOIN corpus cy ON cy.vec_id = y.vec_id
+            WHERE ROUND(list_dot_product(cx.v, cy.v)
+                    / (sqrt(list_dot_product(cx.v, cx.v))
+                       * sqrt(list_dot_product(cy.v, cy.v))), 9) >= 0.99)
+        SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+               (d.vec_id IS NULL) AS keep
+        FROM asgn a LEFT JOIN dropped d USING (vec_id)""",
 
     // Decon-cleaned twin: the q165 cut program, then the q163
     // keep/reconstruct over the TRAIN tokens, md5-anchored.

@@ -62,6 +62,53 @@ class SemDedupSpec extends SparkSpec {
     assert(run() === got, "same seed must reproduce the same pair set")
   }
 
+  test("semDedupClustered equals the brute-force keep-first rule on pinned centroids") {
+    val tau = 0.99
+    val cents = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .filter(col("vec_id") < 16)
+    val got = Similarity.semDedupClustered(corpus, cents, tau,
+        centroidIdCol = "vec_id")
+      .select(col("vec_id").cast("long"), col("cluster_id").cast("long"),
+        col("keep"))
+      .as[(Long, Long, Boolean)].collect()
+    // brute-force reference: rounded-cosine smallest-cid assignment,
+    // then drop iff a smaller-id cluster-mate is >= tau
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val cvs = cents
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(d / (na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val wantCluster = vecs.map { case (id, v) =>
+      id -> cvs.map { case (cid, cv) => (cos(v, cv), -cid) }.zip(cvs.map(_._1))
+        .maxBy(_._1)._2
+    }
+    val byCluster = wantCluster.groupBy(_._2).map { case (c, m) =>
+      c -> m.keys.toSeq.sorted }
+    val wantKeep = vecs.keys.map { id =>
+      val mates = byCluster(wantCluster(id)).filter(_ < id)
+      id -> !mates.exists(m => cos(vecs(id), vecs(m)) >= tau)
+    }.toMap
+    assert(got.length == vecs.size)
+    got.foreach { case (id, c, k) =>
+      assert(c == wantCluster(id), s"cluster of $id")
+      assert(k == wantKeep(id), s"keep of $id")
+    }
+    // the planted twins must actually exercise the drop path
+    assert(got.count(!_._3) > 0, "fixture must drop at least one twin")
+    // per-cluster pairing only: the pair scan joins on the cluster key
+    val plan = Similarity.semDedupClustered(corpus, cents, tau,
+      centroidIdCol = "vec_id").queryExecution.optimizedPlan.toString
+    assert(plan.contains("__c"), "within-cluster pair join key missing")
+  }
+
   test("groups keep each component's min id and cover exactly the paired ids") {
     val pairs = pairSet(Similarity.semanticPairs(corpus, tau = 0.8, k = 1,
       iters = 0, dim = graft.Tables.EmbeddingDim))
