@@ -415,6 +415,75 @@ object Similarity {
     graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
+  /** The recall-curve device (round-16 verdict item 6): IVF top-k at
+    * SEVERAL probe settings from ONE assignment and ONE scoring pass.
+    * Sweeping nProbe by calling [[ivfTopKWithCentroids]] per setting
+    * re-assigns the corpus and re-scores every probed candidate once
+    * PER SETTING (the q154 drift: 5 branches × the pre-trim exchange);
+    * here the corpus assignment, the per-query centroid ranking (one
+    * ordered list, probe_rank ≤ max nProbe), and the candidate cosines
+    * are computed once — the scored table is checkpointed and each
+    * setting is a filter `probe_rank <= np` + the usual pre-trimmed
+    * rank window. Identical results to the per-setting calls: ranking
+    * within the np-restricted candidate set equals scoring that set
+    * directly (the restriction commutes with row_number).
+    *
+    * Scale: the scored table is (contract-bounded query batch) × its
+    * probed inverted lists — the same size the LARGEST single setting
+    * already scores; the checkpoint trades its recompute across
+    * settings. Returns (n_probe, query_id, neighbor_id, cos_sim, rank).
+    */
+  def ivfTopKCurve(corpus: DataFrame, queries: DataFrame,
+                   centroids: DataFrame, k: Int, nProbes: Seq[Int],
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   centroidIdCol: String = "centroid_id",
+                   centroidVecCol: String = "embedding"): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1))
+    val maxProbe = nProbes.max
+    val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("__centv"))
+    // corpus: nearest centroid only, ids move (the ivfTopKImpl device)
+    val cAssigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("neighbor_id"), col("centroid_id"),
+        struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
+          (-col("centroid_id")).as("nc")).as("__ord"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("centroid_id"), col("__ord")).as("centroid_id"))
+    // queries: ONE ordered probe list up to the largest setting —
+    // identical ordering to ivfTopKImpl's slice (d desc, cid asc)
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosine(col("__v"), col("__centv")), 9).as("__d"))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct((-col("__d")).as("nd"),
+        col("centroid_id").as("cid")))), 1, maxProbe).as("__probes"))
+      .select(col("query_id"), posexplode(col("__probes")))
+      .select(col("query_id"), (col("pos") + 1).as("probe_rank"),
+        col("col.cid").as("centroid_id"))
+    val candIds = broadcast(qProbes).join(cAssigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val sim = candIds
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        round(cosine(col("__qv"), col("__cv")), 9).as("cos_sim"))
+      .localCheckpoint() // scored once, filtered once per setting
+    nProbes.map { np =>
+      graft.operators.TopK.rankedTopKDesc(
+          sim.filter(col("probe_rank") <= np).drop("probe_rank"),
+          "query_id", "cos_sim", "neighbor_id", k)
+        .select(lit(np).as("n_probe"), col("query_id"), col("neighbor_id"),
+          col("cos_sim"), col("rank"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
     * (any shared band → candidate) with exact cosine verification at
     * `tau` — the embedding-space analog of MinHash near-dup detection

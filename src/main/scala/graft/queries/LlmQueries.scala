@@ -1744,18 +1744,27 @@ object LlmQueries {
       val emb = t.embeddings
       val queries = emb.filter(col("vec_id") < 10)
       val cents = emb.filter(col("vec_id") < 16)
-      val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val nQ = queries.count()
-      Seq(1, 2, 4, 8, 16).map { np =>
-        Similarity.ivfTopKWithCentroids(emb, queries, cents, k = 5,
-            centroidIdCol = "vec_id", nProbe = np)
-          .select(col("query_id"), col("neighbor_id"))
-          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(np).as("n_probe"), col("n_hits"),
-            round(col("n_hits").cast("double") / lit(5.0 * nQ), 9).as("recall"))
-      }.reduce(_ unionByName _)
+      // ONE assignment + ONE scoring pass shared across the sweep
+      // (round-16 verdict item 6); each setting is a probe_rank filter
+      // + its own pre-trimmed rank window over the checkpointed scores.
+      val curve = Similarity.ivfTopKCurve(emb, queries, cents, k = 5,
+          nProbes = Seq(1, 2, 4, 8, 16), centroidIdCol = "vec_id")
+        .localCheckpoint() // 5·k rows per query; feeds both sides below
+      // nProbe = 16 probes EVERY centroid, so that branch IS the exact
+      // top-5 (every corpus vector lives in some probed list; self
+      // excluded on both paths — the q26 exact-mode identity): the
+      // separate brute-force pass the old plan paid is pure recompute.
+      // The oracle still derives the exact side independently.
+      val exact = curve.filter(col("n_probe") === 16)
+        .select(col("query_id"), col("neighbor_id"))
+      curve.select(col("n_probe"), col("query_id"), col("neighbor_id"))
+        .join(exact.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("n_probe"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(col("n_probe"), col("n_hits"),
+          round(col("n_hits").cast("double") / lit(5.0 * nQ), 9).as("recall"))
     }),
 
     // BENCHMARK LEAK REPORT — decontamination from the eval owner's

@@ -205,4 +205,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rRerank >= 0.9, s"reranked recall@5 $rRerank")
     exact.unpersist(); df.unpersist()
   }
+
+  test("ivfTopKCurve equals per-setting ivfTopKWithCentroids, setting by setting") {
+    // the q154 shared-pass device: one assignment + one scoring pass
+    // must reproduce each separate sweep call row for row — and at
+    // maxProbe = numCentroids the top branch must equal brute force
+    // (every corpus vector sits in some probed list; self excluded on
+    // both paths).
+    val df = clustered(8, 25).cache()
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val cents = df.filter(col("vec_id") < 8) // pinned quantizer device
+    val probes = Seq(1, 2, 4, 8)
+    val curve = Similarity.ivfTopKCurve(df, queries, cents, k = 5,
+        nProbes = probes, centroidIdCol = "vec_id")
+      .select("n_probe", "query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Int, Long, Long, Double, Int)].collect().groupBy(_._1)
+    for (np <- probes) {
+      val want = Similarity.ivfTopKWithCentroids(df, queries, cents, k = 5,
+          centroidIdCol = "vec_id", nProbe = np)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val got = curve(np).map(r => (r._2, r._3, r._4, r._5)).toSet
+      assert(got === want, s"nProbe=$np")
+    }
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(curve(8).map(r => (r._2, r._3, r._4, r._5)).toSet === exact,
+      "maxProbe = numCentroids branch must be the exact top-k")
+    df.unpersist()
+  }
 }
