@@ -48,7 +48,9 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstr {
 
-  private val Sep = "\u0001" // cannot appear in whitespace-split tokens
+  // cannot appear in whitespace-split tokens; shared with the
+  // streaming span-probe gate (DocStream.spanProbeFlags)
+  private[graft] val Sep = "\u0001"
 
   /** (doc_id, start, gram) — md5 fingerprints of every L-token window.
     * Pure projection; docs shorter than L tokens contribute no rows.

@@ -143,6 +143,50 @@ object DocStream {
         col("dup_of"), col("max_jaccard"), col("n_matches"))
   }
 
+  /** Streaming span-probe gate (round-16 verdict item 8) — the
+    * streaming form of q162's probe half: flag each arriving document
+    * that contains ANY L-gram of the PERSISTED gram index
+    * (`ExactSubstr.gramTable(...).distinct` — the artifact
+    * q162/q164/q166 maintain batch-side), one flag row per document.
+    * The quarantine feed an ingest pipeline routes to span-cleaning
+    * (`ExactSubstr.cutListIncremental` + `applyCuts`) while unflagged
+    * documents pass straight through.
+    *
+    * Dataflow: the gram projection is STATELESS per-row work (the
+    * streamed [[graft.llm.ExactSubstr.gramTable]] shape — window
+    * starts explode, md5 per exploded row, same Sep + fingerprint
+    * formula so stream and batch agree on what "a gram" is); hits come
+    * from a stream-static LEFT SEMI join on the gram key (the index is
+    * the static side — it never moves per micro-batch); one flag per
+    * document within the watermark via dropDuplicatesWithinWatermark —
+    * doc-keyed ID-ONLY state, no window, no document text in state.
+    * Refresh the static index between Trigger.AvailableNow cycles
+    * (the [[nearDupFlags]] snapshot contract).
+    */
+  def spanProbeFlags(docs: DataFrame, gramIndex: DataFrame, L: Int,
+                     watermarkDelay: String = "1 hour"): DataFrame = {
+    require(L >= 2, s"span threshold L must be >= 2 tokens, got $L")
+    val grams = docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), TextOps.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("ts"), col("__t"),
+        when(size(col("__t")) < L, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__t")) - L + 1)).as("__s"))
+      .select(col("doc_id"), col("ts"), col("__t"),
+        explode(col("__s")).as("__p"))
+      .select(col("doc_id"), col("ts"),
+        md5(concat_ws(graft.llm.ExactSubstr.Sep,
+          slice(col("__t"), col("__p"), lit(L)))).as("gram"))
+    val flagged = grams
+      .join(gramIndex.select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("ts"))
+    // dropDuplicatesWithinWatermark rejects batch frames — in batch
+    // mode (the spec's twin) plain dropDuplicates is the same contract
+    // (per doc, every hit row carries the one source ts)
+    if (flagged.isStreaming) flagged.dropDuplicatesWithinWatermark("doc_id")
+    else flagged.dropDuplicates("doc_id")
+  }
+
   final case class QualityPoint(source: String, day: Long, n_docs: Long,
       mean_quality: Double, p50_quality: Long, junk_frac: Double)
   final case class QualityState(curDay: Long, hist: Map[Long, Long])

@@ -310,4 +310,51 @@ class DocStreamSpec extends SparkSpec {
       streamed.map(_._2).distinct.size > 1,
       "fixture must exercise several sources and several closed days")
   }
+
+  test("spanProbeFlags: stream equals the batch probe against the persisted gram index") {
+    // the 17th stream-=-batch twin (round-16 verdict item 8): base
+    // corpus -> persisted gram index; the feed plants verbatim copies
+    // (must flag), fully rewritten docs (must pass), and one doc whose
+    // only duplication is WITHIN the feed (must pass - the gate probes
+    // the index, not the live window; q162's batchDup half owns that).
+    implicit val sq = spark.sqlContext
+    val L = 8
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.llm.ExactSubstr.gramTable(base, L)
+      .select("gram").distinct().localCheckpoint()
+    def pref(p: String) = regexp_replace(col("text"), "(\\S+)", p + "$1")
+    val feed = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))       // copy: flag
+      .unionByName(base.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 600000L).as("doc_id"), pref("zz").as("text"))) // novel: pass
+      .unionByName(base.filter(col("doc_id") % 7 === 2).limit(1)
+        .select((col("doc_id") + 700000L).as("doc_id"), pref("yy").as("text"))) // feed-dup a
+      .unionByName(base.filter(col("doc_id") % 7 === 2).limit(1)
+        .select((col("doc_id") + 710000L).as("doc_id"), pref("yy").as("text"))) // feed-dup b
+      .withColumn("ts", timestamp_millis(col("doc_id") * 1000L))
+    // batch twin: the identical plan in batch mode
+    val want = DocStream.spanProbeFlags(feed, idx, L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // and the first-principles batch probe: ids whose gram hits the index
+    val direct = graft.llm.ExactSubstr.gramTable(feed, L)
+      .join(idx, Seq("gram"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(want == direct, "batch-mode gate must equal the direct probe")
+    val source = MemoryStream[DocStreamSpec.Doc]
+    val q = DocStream.spanProbeFlags(source.toDF(), idx, L)
+      .writeStream.format("memory").queryName("spanflags")
+      .outputMode("append").start()
+    source.addData(feed.select("doc_id", "text", "ts")
+      .as[DocStreamSpec.Doc].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spanflags").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(id => id >= 500000L && id < 600000L),
+      s"exactly the verbatim copies must flag: $got")
+    assert(!got.exists(_ >= 700000L),
+      "feed-internal duplicates must pass (index probe only)")
+  }
 }
