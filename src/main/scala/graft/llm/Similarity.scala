@@ -415,6 +415,74 @@ object Similarity {
     graft.operators.TopK.rankedTopKDesc(sim, "query_id", "cos_sim", "neighbor_id", k)
   }
 
+  /** Incremental SemDeDup — [[semDedupClustered]] at ingest time (the
+    * q68/q142/q157/q162 discipline): a NEW embedding batch is assigned
+    * against the FROZEN centroids and deduplicated against the
+    * PERSISTED corpus decision table without recomputing any corpus
+    * assignment. A batch vector is dropped iff
+    *   (a) some corpus vector in its cluster sits at rounded cosine ≥
+    *       `tau` (corpus ids precede fresh batch ids by the ingest
+    *       contract, so every corpus mate is a smaller id), or
+    *   (b) some SMALLER-id batch vector in its cluster does.
+    * This is provably [[semDedupClustered]] over (corpus ∪ batch)
+    * restricted to the batch ids: corpus keep-decisions only reference
+    * smaller (hence corpus) ids, so they are unchanged by the append —
+    * which is exactly what the oracle recomputes.
+    *
+    * Inputs: `corpusAsg` = the persisted (vec_id, cluster_id) table
+    * (the decision table [[semDedupClustered]] emitted); `corpusVecs`
+    * = the raw embedding table — vectors cannot be summarized away,
+    * but only mates of clusters the BATCH TOUCHES are scored (the
+    * cluster equi-join prunes the rest), and no corpus × centroid
+    * work ever re-runs. The batch side broadcasts into the mate scan.
+    * Returns (vec_id, cluster_id, keep) for the batch ids.
+    */
+  def semDedupAppend(batch: DataFrame, corpusAsg: DataFrame,
+                     corpusVecs: DataFrame, centroids: DataFrame,
+                     tau: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     centroidIdCol: String = "centroid_id",
+                     centroidVecCol: String = "embedding",
+                     blocks: Int = 8): DataFrame = {
+    val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).cast("array<double>").as("__centv"))
+    val vecD = col(vecCol).cast("array<double>")
+    // batch-only assignment against the frozen centroids (the
+    // PqIncremental.encodeBatch device); batch-sized, checkpointed —
+    // it feeds the corpus-mate scan, the in-batch scan and the verdict
+    val bAsg = batch.select(col(idCol).as("vec_id"), vecD.as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
+          (-col("centroid_id")).as("nc")).as("__ord"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), col("__ord")).as("cluster_id"))
+      .localCheckpoint()
+    val bWith = bAsg
+      .join(batch.select(col(idCol).as("vec_id"), vecD.as("__v")), Seq("vec_id"))
+    // (a) vs corpus: mates come by the cluster equi-join — the batch
+    // side broadcasts, corpus vectors move only for touched clusters
+    val cMates = corpusAsg
+      .select(col("vec_id").as("__cmid"), col("cluster_id"))
+      .join(corpusVecs.select(col(idCol).as("__cmid"), vecD.as("__cv")),
+        Seq("__cmid"))
+    val dupVsCorpus = broadcast(bWith).join(cMates, Seq("cluster_id"))
+      .filter(round(cosine(col("__v"), col("__cv")), 9) >= lit(tau))
+      .select(col("vec_id")).distinct()
+    // (b) within the batch: the triangle-blocked device; dropped = the
+    // larger id of any within-cluster pair
+    val dupInBatch = blockedCellPairs(
+      bWith.select(col("vec_id").as("__id"), col("__v"),
+        col("cluster_id").as("__c"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b")),
+      tau, blocks)
+      .select(col("id_b").as("vec_id")).distinct()
+    bAsg.join(dupVsCorpus.unionByName(dupInBatch).distinct()
+        .withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
+
   /** The recall-curve device (round-16 verdict item 6): IVF top-k at
     * SEVERAL probe settings from ONE assignment and ONE scoring pass.
     * Sweeping nProbe by calling [[ivfTopKWithCentroids]] per setting

@@ -2011,6 +2011,24 @@ object LlmQueries {
         centroidIdCol = "vec_id")
     }),
 
+    // INCREMENTAL SEMDEDUP (q167 at ingest time — the q68/q142/q157/
+    // q162 incremental discipline applied to semantic dedup): a new
+    // embedding batch assigns against the FROZEN pinned centroids and
+    // dedups against the PERSISTED corpus decision table — dropped iff
+    // a corpus cluster-mate or a smaller-id batch cluster-mate sits at
+    // rounded cosine ≥ 0.99. Provably ≡ the full q167 recompute over
+    // corpus ∪ batch restricted to the fresh batch ids (corpus
+    // decisions only reference smaller ids — exactly what the oracle
+    // recomputes). No corpus × centroid work re-runs; corpus vectors
+    // move only for clusters the batch touches.
+    "q169_semdedup_append" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Similarity.semDedupAppend(semBatch(t),
+        s.read.parquet(ensureSemDedupFixture(s, dir)), cosineCorpus(t),
+        t.embeddings.filter(col("vec_id") < 16), tau = 0.99,
+        centroidIdCol = "vec_id")
+    }),
+
     // DECONTAMINATED CORPUS (q165's cuts APPLIED) — the cleaned
     // training corpus a pipeline ships to tokenization: every
     // benchmark-quoted span removed, host text kept, each doc anchored
@@ -2142,6 +2160,51 @@ object LlmQueries {
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(13)) === 5, deconEvalItem(b))
             .otherwise(lit(""))).as("text"))
+  }
+
+  // bump when the semdedup decision recipe changes
+  private val semDedupVersion = 1
+
+  /** Build-once persisted SemDeDup decision table for q169: the
+    * (vec_id, cluster_id) assignment of the q167 corpus — the state an
+    * embedding-ingest pipeline keeps between batches.
+    */
+  private def ensureSemDedupFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"semdedup_asg_${sfName}_v$semDedupVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      val t = Tables(s, dir)
+      graft.llm.Similarity.semDedupClustered(cosineCorpus(t),
+          t.embeddings.filter(col("vec_id") < 16), tau = 0.99,
+          centroidIdCol = "vec_id")
+        .select(col("vec_id"), col("cluster_id"))
+    }
+    path
+  }
+
+  /** q169's ingest batch, ids fresh above the corpus (base + twins):
+    * every 3rd embedding lightly re-perturbed (a near-dup of its base —
+    * must drop against the corpus), every (3k+1)th reversed (novel
+    * geometry — passes unless it near-dups within the batch, which the
+    * oracle recomputes identically either way). Perturbation mirrors
+    * the cosineCorpus device: double math, 0-based Spark lambda index
+    * vs 1-based DuckDB (hence +2 here, +1 in SQL).
+    */
+  private def semBatch(t: Tables): DataFrame = {
+    val e = t.embeddings
+    val nearDup = e
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + lit(0.003) *
+            (pmod(col("vec_id") + i.cast("bigint") + 2, lit(5)) - 2).cast("double"))
+          .as("embedding"))
+      .filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val novel = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        reverse(col("embedding").cast("array<double>")).as("embedding"))
+    nearDup.unionByName(novel)
   }
 
   /** q147's corpus with deterministic PII plants (id-derived, so the
@@ -4545,6 +4608,57 @@ object LlmQueries {
         SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
                (d.vec_id IS NULL) AS keep
         FROM asgn a LEFT JOIN dropped d USING (vec_id)""",
+
+    // Incremental-SemDeDup twin: the FULL q167 program over corpus ∪
+    // batch (assignment from first principles for every vector),
+    // restricted to the fresh batch ids — exactly the equivalence the
+    // incremental operator claims.
+    "q169_semdedup_append" ->
+      """WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> x + CAST(0.005 AS DOUBLE)
+                       * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
+            FROM embeddings),
+          batch AS (
+            SELECT vec_id + 2000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> x + CAST(0.003 AS DOUBLE)
+                       * CAST((vec_id + i + 1) % 5 - 2 AS DOUBLE)) AS v
+            FROM embeddings WHERE vec_id % 3 = 0
+            UNION ALL
+            SELECT vec_id + 3000000, list_reverse(CAST(embedding AS DOUBLE[]))
+            FROM embeddings WHERE vec_id % 3 = 1),
+          allv AS MATERIALIZED (
+            SELECT vec_id, v FROM corpus
+            UNION ALL SELECT vec_id, v FROM batch),
+          cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 16),
+          asgn AS MATERIALIZED (
+            SELECT vec_id, cid AS cluster_id FROM (
+              SELECT a.vec_id, t.cid, ROW_NUMBER() OVER (
+                PARTITION BY a.vec_id ORDER BY
+                  ROUND(list_dot_product(a.v, t.cv)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(t.cv, t.cv))), 9) DESC,
+                  t.cid ASC) AS rn
+              FROM allv a, cents t) x WHERE rn = 1),
+          dropped AS (
+            SELECT DISTINCT x.vec_id
+            FROM asgn x JOIN asgn y
+              ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+            JOIN allv cx ON cx.vec_id = x.vec_id
+            JOIN allv cy ON cy.vec_id = y.vec_id
+            WHERE x.vec_id >= 2000000
+              AND ROUND(list_dot_product(cx.v, cy.v)
+                    / (sqrt(list_dot_product(cx.v, cx.v))
+                       * sqrt(list_dot_product(cy.v, cy.v))), 9) >= 0.99)
+        SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+               (d.vec_id IS NULL) AS keep
+        FROM asgn a LEFT JOIN dropped d USING (vec_id)
+        WHERE a.vec_id >= 2000000""",
 
     // Decon-cleaned twin: the q165 cut program, then the q163
     // keep/reconstruct over the TRAIN tokens, md5-anchored.

@@ -109,6 +109,49 @@ class SemDedupSpec extends SparkSpec {
     assert(plan.contains("__c"), "within-cluster pair join key missing")
   }
 
+  test("semDedupAppend equals the full recompute restricted to the batch; corpus decisions frozen") {
+    val tau = 0.99
+    val cents = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
+      .filter(col("vec_id") < 16)
+    // batch: fresh ids above the corpus — light re-perturbations of
+    // every 4th base (near-dups: must drop vs the corpus) + reversed
+    // vectors (novel geometry: pass)
+    val base = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val batch = base
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + lit(0.002) *
+            (pmod(col("vec_id") + i.cast("bigint"), lit(3)) - 1).cast("double"))
+          .as("embedding"))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(pmod(col("vec_id"), lit(4)) === 1)
+        .select((col("vec_id") + 6000000L).as("vec_id"),
+          reverse(col("embedding").cast("array<double>")).as("embedding")))
+    val corpusAsg = Similarity.semDedupClustered(corpus, cents, tau,
+      centroidIdCol = "vec_id").select("vec_id", "cluster_id")
+    val got = Similarity.semDedupAppend(batch, corpusAsg, corpus, cents,
+        tau, centroidIdCol = "vec_id")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = Similarity.semDedupClustered(corpus.unionByName(batch),
+        cents, tau, centroidIdCol = "vec_id")
+      .filter(col("vec_id") >= 5000000L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.exists(!_._3) && got.exists(_._3),
+      "fixture must exercise both the drop and the pass path")
+    // corpus decisions are untouched by the append: the full recompute
+    // over corpus ∪ batch reproduces them bit for bit (the equivalence
+    // proof's premise — keep(x) references smaller ids only)
+    val beforeC = Similarity.semDedupClustered(corpus, cents, tau,
+      centroidIdCol = "vec_id").as[(Long, Long, Boolean)].collect().toSet
+    val afterC = Similarity.semDedupClustered(corpus.unionByName(batch),
+        cents, tau, centroidIdCol = "vec_id")
+      .filter(col("vec_id") < 5000000L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(beforeC === afterC)
+  }
+
   test("groups keep each component's min id and cover exactly the paired ids") {
     val pairs = pairSet(Similarity.semanticPairs(corpus, tau = 0.8, k = 1,
       iters = 0, dim = graft.Tables.EmbeddingDim))
