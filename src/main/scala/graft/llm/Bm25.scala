@@ -112,6 +112,50 @@ object Bm25 {
     Bm25Index(p, l, st.getLong(0), st.getLong(1))
   }
 
+  /** Incremental index maintenance (the q164/q142/q157/q169 discipline
+    * for the lexical retriever): absorb a fresh-id batch into a
+    * persisted [[Bm25Index]] WITHOUT re-reading or re-tokenizing the
+    * corpus. Batch ids are fresh by the ingest contract, so postings
+    * and lens rows union disjointly and the two corpus constants add —
+    * `mergeIndex(buildIndex(corpus), batch) ≡ buildIndex(corpus ∪
+    * batch)` (Bm25Spec pins it). One tokenize pass over the BATCH only.
+    */
+  def mergeIndex(index: Bm25Index, batch: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): Bm25Index = {
+    val bp = postings(batch, idCol, textCol)
+      .localCheckpoint() // feeds the union, the lens re-agg and stats
+    val bl = docLens(bp)
+    val st = corpusStats(batch, bl, idCol).head()
+    Bm25Index(index.postings.unionByName(bp), index.lens.unionByName(bl),
+      index.nDocs + st.getLong(0), index.totLen + st.getLong(1))
+  }
+
+  /** Incremental idf maintenance: the merged corpus's (term, df, idf)
+    * from the PERSISTED (term, df) table and the batch's term→df
+    * counts — df adds per term (fresh batch ids cannot re-count a
+    * corpus doc), N' = N + |batch|, and the ln re-evaluates over the
+    * merged integers IN SPARK (the idf table stays a Spark-written
+    * fixture both engines read — the q146 ln-hazard device; merged ≡
+    * full rebuild is Bm25Spec-pinned, both sides Spark so the ulp
+    * question never arises).
+    */
+  def mergeIdf(oldIdf: DataFrame, nOld: Long, batch: DataFrame,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val nNew = nOld + batch.count()
+    val bdf = batch
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__bdf"))
+    oldIdf.select(col("term"), col("df"))
+      .join(bdf, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__bdf"), lit(0L))).as("df"))
+      .select(col("term"), col("df"),
+        round(log((lit(nNew.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+          + 1.0), 9).as("idf"))
+  }
+
   /** Top-k BM25 retrieval against a prebuilt [[Bm25Index]] for each
     * query document's distinct term set ("more-like-this";
     * self-matches excluded). `idf` is the (term, idf) table —

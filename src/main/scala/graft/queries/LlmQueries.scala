@@ -2011,6 +2011,32 @@ object LlmQueries {
         centroidIdCol = "vec_id")
     }),
 
+    // INCREMENTAL BM25 INDEX + RETRIEVAL (the index-maintenance family
+    // closed for the lexical retriever: gram q164, IVF q142, PQ q157,
+    // SemDeDup q169, now BM25): q152's ingest batch is absorbed into
+    // the PERSISTED index via Bm25.mergeIndex / Bm25.mergeIdf alone —
+    // postings/lens union disjointly (fresh ids), corpus constants
+    // add, per-term df adds and the idf ln re-evaluates over merged
+    // integers IN SPARK (the merged idf stays a Spark-written fixture
+    // both engines read — the q146 ln device; merged ≡ rebuilt is
+    // Bm25Spec-pinned). Retrieval then runs the standard topK against
+    // the merged parts for a query batch spanning base docs, a batch
+    // COPY (near-dup retrieval across the merge boundary) and two
+    // new-vocabulary batch docs.
+    "q170_bm25_merged" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val (idfP, postP, lensP, statsP) = ensureBm25MergedFixture(s, dir)
+      val st = s.read.parquet(statsP).head()
+      val index = graft.llm.Bm25Index(
+        s.read.parquet(postP), s.read.parquet(lensP),
+        st.getAs[Long]("n_docs"), st.getAs[Long]("tot_len"))
+      val qIds = Seq(1L, 7L, 900012L, 910003L, 910009L)
+      val qs = t.documents.select(col("doc_id"), col("text"))
+        .unionByName(incrementalBatch(t))
+        .filter(col("doc_id").isin(qIds: _*))
+      graft.llm.Bm25.topK(index, qs, s.read.parquet(idfP), k = 10)
+    }),
+
     // INCREMENTAL SEMDEDUP (q167 at ingest time — the q68/q142/q157/
     // q162 incremental discipline applied to semantic dedup): a new
     // embedding batch assigns against the FROZEN pinned centroids and
@@ -2160,6 +2186,46 @@ object LlmQueries {
             .otherwise(lit("")),
           when(pmod(col("doc_id"), lit(13)) === 5, deconEvalItem(b))
             .otherwise(lit(""))).as("text"))
+  }
+
+  // bump when the merged-index recipe changes
+  private val bm25MergeVersion = 1
+
+  /** Build-once MERGED BM25 fixture for q170 — the base persisted
+    * index absorbed with q152's ingest batch via the INCREMENTAL
+    * operators only (Bm25.mergeIndex / Bm25.mergeIdf): the corpus is
+    * never re-read or re-tokenized past the base fixture build. The
+    * merged idf stays a Spark-written fixture BOTH engines read (the
+    * q146 ln-hazard device). Returns (idf, postings, lens, stats).
+    */
+  private def ensureBm25MergedFixture(
+      s: SparkSession, dir: String): (String, String, String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val (idfP, postP, lensP, statsP) = ensureBm25IndexFixture(s, dir)
+    val mIdf = s"$base/bm25m_idf_${sfName}_v$bm25MergeVersion"
+    val mPost = s"$base/bm25m_postings_${sfName}_v$bm25MergeVersion"
+    val mLens = s"$base/bm25m_lens_${sfName}_v$bm25MergeVersion"
+    val mStats = s"$base/bm25m_stats_${sfName}_v$bm25MergeVersion"
+    lazy val batch = incrementalBatch(Tables(s, dir))
+    lazy val merged = {
+      val st = s.read.parquet(statsP).head()
+      graft.llm.Bm25.mergeIndex(
+        graft.llm.Bm25Index(s.read.parquet(postP), s.read.parquet(lensP),
+          st.getAs[Long]("n_docs"), st.getAs[Long]("tot_len")), batch)
+    }
+    graft.llm.Multimodal.materializeOnce(s, mPost) { merged.postings }
+    graft.llm.Multimodal.materializeOnce(s, mLens) { merged.lens.coalesce(1) }
+    graft.llm.Multimodal.materializeOnce(s, mStats) {
+      import s.implicits._
+      Seq((merged.nDocs, merged.totLen)).toDF("n_docs", "tot_len").coalesce(1)
+    }
+    graft.llm.Multimodal.materializeOnce(s, mIdf) {
+      val st = s.read.parquet(statsP).head()
+      graft.llm.Bm25.mergeIdf(s.read.parquet(idfP),
+        st.getAs[Long]("n_docs"), batch).coalesce(1)
+    }
+    (mIdf, mPost, mLens, mStats)
   }
 
   // bump when the semdedup decision recipe changes
@@ -4608,6 +4674,53 @@ object LlmQueries {
         SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
                (d.vec_id IS NULL) AS keep
         FROM asgn a LEFT JOIN dropped d USING (vec_id)""",
+
+    // Merged-BM25 twin: the q146 program recomputed from first
+    // principles over corpus ∪ batch (tf/lens/N/tot all from raw
+    // text), idf read from the MERGED Spark-written fixture — exactly
+    // the rebuild the merge operators claim to equal.
+    "q170_bm25_merged" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bm25m_idf_$oracleSfName" + s"_v$bm25MergeVersion/*.parquet"
+      s"""WITH allc AS MATERIALIZED (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3),
+          tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM allc),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                   FROM tf GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM allc),
+          tot AS (SELECT CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+          idf AS (SELECT term, idf FROM read_parquet('$fixture')),
+          qt AS (SELECT DISTINCT doc_id AS query_id, unnest($sqlToks) AS term
+                 FROM allc
+                 WHERE doc_id IN (1, 7, 900012, 910003, 910009)),
+          scored AS (
+            SELECT q.query_id, f.doc_id,
+              CAST(SUM(CAST(ROUND(ROUND(
+                i.idf * ((f.tf * (1.2e0 + 1e0)) /
+                  (f.tf + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * l.len) /
+                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9) * 1e9, 0)
+                AS BIGINT)) AS BIGINT) AS s
+            FROM qt q
+            JOIN tf f USING (term)
+            JOIN lens l ON l.doc_id = f.doc_id
+            JOIN idf i ON i.term = q.term
+            CROSS JOIN nn CROSS JOIN tot
+            WHERE f.doc_id != q.query_id
+            GROUP BY 1, 2)
+        SELECT query_id, doc_id,
+          ROUND(CAST(s AS DOUBLE) / 1e9, 9) + 0.0 AS score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY ROUND(CAST(s AS DOUBLE) / 1e9, 9) DESC, doc_id) AS rank
+          FROM scored) t
+        WHERE rank <= 10"""
+    },
 
     // Incremental-SemDeDup twin: the FULL q167 program over corpus ∪
     // batch (assignment from first principles for every vector),

@@ -158,4 +158,37 @@ class Bm25Spec extends SparkSpec {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("mergeIndex / mergeIdf equal the full rebuild over corpus plus batch") {
+    // the q170 contract: fresh-id batch absorbed via the incremental
+    // operators only must reproduce buildIndex/idfTable over the union
+    val batch = Seq(
+      (100L, "the quick brown fox again with extra words"), // df bumps
+      (101L, "nvonly nvwords nvhere nvnothing shared"),     // new vocab
+      (102L, ""))                                           // empty doc
+    val cdf = corpus.toDF("doc_id", "text")
+    val bdf = batch.toDF("doc_id", "text")
+    val udf_ = (corpus ++ batch).toDF("doc_id", "text")
+    val base = Bm25.buildIndex(cdf)
+    val merged = Bm25.mergeIndex(base, bdf)
+    val rebuilt = Bm25.buildIndex(udf_)
+    assert(merged.nDocs == rebuilt.nDocs && merged.totLen == rebuilt.totLen)
+    assert(merged.postings.as[(Long, String, Long)].collect().toSet ==
+      rebuilt.postings.as[(Long, String, Long)].collect().toSet)
+    assert(merged.lens.as[(Long, Long)].collect().toSet ==
+      rebuilt.lens.as[(Long, Long)].collect().toSet)
+    val mIdf = Bm25.mergeIdf(Bm25.idfTable(cdf), base.nDocs, bdf)
+      .as[(String, Long, Double)].collect().toSet
+    val rIdf = Bm25.idfTable(udf_).as[(String, Long, Double)].collect().toSet
+    assert(mIdf == rIdf, "merged idf must equal the full rebuild")
+    assert(mIdf.exists(_._1.startsWith("nv")), "new vocab must enter the idf")
+    // and retrieval against the merged parts == against the rebuilt parts
+    val q = udf_.filter(col("doc_id").isin(1L, 100L, 101L))
+    val got = Bm25.topK(merged, q, Bm25.mergeIdf(Bm25.idfTable(cdf),
+        base.nDocs, bdf), k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Bm25.topK(rebuilt, q, Bm25.idfTable(udf_), k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
