@@ -2011,6 +2011,36 @@ object LlmQueries {
         centroidIdCol = "vec_id")
     }),
 
+    // BENCHMARK-CONTAMINATION TRIAGE (q161's analog for q165): per
+    // source, how much of the training corpus quotes the benchmark —
+    // docs touched, quoted tokens, exact contamination fraction. The
+    // table an eval-governance pipeline reads to decide which crawl
+    // sources need the span-decontamination pass at all. Cut spans are
+    // maximal non-overlapping islands, so Σ span_len IS the exact
+    // quoted-token count.
+    "q171_decon_stats" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val train = deconTrain(t)
+      val cuts = graft.llm.ExactSubstr
+        .decontaminateCuts(train, deconBench(t), L = 8)
+        .groupBy(col("doc_id")).agg(sum(col("span_len")).as("__cut"))
+      train
+        .select(col("doc_id"),
+          graft.llm.TextOps.tokenCount(col("text")).cast("long").as("__ntok"))
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(cuts, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("docs_with_quotes"),
+          coalesce(sum(col("__cut")), lit(0L)).as("quoted_tokens"),
+          sum(col("__ntok")).as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("docs_with_quotes"),
+          col("quoted_tokens"), col("total_tokens"),
+          when(col("total_tokens") === 0, lit(0.0))
+            .otherwise(round(col("quoted_tokens").cast("double") /
+              col("total_tokens"), 9)).as("quoted_frac"))
+    }),
+
     // INCREMENTAL BM25 INDEX + RETRIEVAL (the index-maintenance family
     // closed for the lexical retriever: gram q164, IVF q142, PQ q157,
     // SemDeDup q169, now BM25): q152's ingest batch is absorbed into
@@ -4674,6 +4704,49 @@ object LlmQueries {
         SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
                (d.vec_id IS NULL) AS keep
         FROM asgn a LEFT JOIN dropped d USING (vec_id)""",
+
+    // Decon-triage twin: the q165 cut program aggregated per source
+    // with exact quoted-token sums (the q161 aggregation shape).
+    "q171_decon_stats" ->
+      s"""WITH $sqlDeconSides,
+          btk AS (SELECT $sqlToks AS t FROM bench),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          ttk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM train),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM ttk WHERE len(t) >= 8) x),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM bg)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS (SELECT doc_id,
+                     CAST(SUM(span_len) AS BIGINT) AS cut FROM (
+                       SELECT doc_id, MAX(start) - MIN(start) + 8 AS span_len
+                       FROM isl GROUP BY doc_id, island) s
+                   GROUP BY doc_id)
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN c.cut IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_quotes,
+               CAST(COALESCE(SUM(c.cut), 0) AS BIGINT) AS quoted_tokens,
+               CAST(SUM(len(tk.t)) AS BIGINT) AS total_tokens,
+               CASE WHEN SUM(len(tk.t)) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(SUM(c.cut), 0) AS DOUBLE)
+                      / SUM(len(tk.t)), 9) END + 0.0 AS quoted_frac
+        FROM ttk tk
+        JOIN documents d USING (doc_id)
+        LEFT JOIN cuts c USING (doc_id)
+        GROUP BY d.source""",
 
     // Merged-BM25 twin: the q146 program recomputed from first
     // principles over corpus ∪ batch (tf/lens/N/tot all from raw
