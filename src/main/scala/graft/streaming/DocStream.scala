@@ -187,6 +187,60 @@ object DocStream {
     else flagged.dropDuplicates("doc_id")
   }
 
+  /** Streaming semantic near-dup gate (the 18th stream ≡ batch twin) —
+    * [[graft.llm.Similarity.semDedupAppend]]'s corpus half on a live
+    * embedding feed: each arriving vector assigns to its nearest
+    * FROZEN pinned centroid and is flagged iff some corpus vector in
+    * that cluster sits at rounded cosine ≥ `tau`.
+    *
+    * Dataflow: the assignment is STATELESS per-row work — a streaming
+    * groupBy would be a state store, so the metadata-sized centroid
+    * table collects to struct literals and the argmax is a `greatest`
+    * over (round-9 cosine, −cid, cid) structs, the exact total order
+    * of the batch device (max d, then smallest cid); mates come from a
+    * stream-static join on the cluster key (corpus decision table +
+    * vectors are the static side — they never move per micro-batch);
+    * one flag per vector within the watermark — id-only state, no
+    * window, no vectors in state. In-feed near-dups are NOT flagged
+    * (q169's batch half owns those at the next index refresh — the
+    * [[nearDupFlags]] snapshot contract).
+    */
+  def semDedupFlags(vecs: DataFrame, corpusAsg: DataFrame,
+                    corpusVecs: DataFrame, centroids: DataFrame,
+                    tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroidIdCol: String = "centroid_id",
+                    centroidVecCol: String = "embedding",
+                    watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.llm.Similarity
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col(centroidIdCol).cast("long"),
+        col(centroidVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "centroid table is empty")
+    val vecD = col(vecCol).cast("array<double>")
+    val cands = cents.map { case (cid, cv) =>
+      struct(round(Similarity.cosine(vecD, typedlit(cv)), 9).as("d"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+    val cluster =
+      (if (cands.size == 1) cands.head else greatest(cands: _*))
+        .getField("cid")
+    val assigned = vecs
+      .withWatermark("ts", watermarkDelay)
+      .select(col(idCol).as("vec_id"), col("ts"), vecD.as("__v"),
+        cluster.as("cluster_id"))
+    val mates = corpusAsg
+      .select(col("vec_id").as("__cmid"), col("cluster_id"))
+      .join(corpusVecs.select(col(idCol).as("__cmid"),
+        col(vecCol).cast("array<double>").as("__cv")), Seq("__cmid"))
+    val flagged = assigned.join(mates, Seq("cluster_id"))
+      .filter(round(Similarity.cosine(col("__v"), col("__cv")), 9) >= lit(tau))
+      .select(col("vec_id"), col("ts"), col("cluster_id"))
+    if (flagged.isStreaming) flagged.dropDuplicatesWithinWatermark("vec_id")
+    else flagged.dropDuplicates("vec_id")
+  }
+
   final case class QualityPoint(source: String, day: Long, n_docs: Long,
       mean_quality: Double, p50_quality: Long, junk_frac: Double)
   final case class QualityState(curDay: Long, hist: Map[Long, Long])

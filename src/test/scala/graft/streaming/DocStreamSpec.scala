@@ -10,6 +10,7 @@ object DocStreamSpec {
   // top-level: Spark's product encoder cannot reach suite-inner classes
   final case class Doc(doc_id: Long, text: String, ts: Timestamp)
   final case class SDoc(doc_id: Long, text: String, source: String, ts: Timestamp)
+  final case class Vec(vec_id: Long, embedding: Seq[Double], ts: Timestamp)
 }
 
 /** Streaming corpus intake: fingerprint dedup drops re-crawls within
@@ -356,5 +357,58 @@ class DocStreamSpec extends SparkSpec {
       s"exactly the verbatim copies must flag: $got")
     assert(!got.exists(_ >= 700000L),
       "feed-internal duplicates must pass (index probe only)")
+  }
+
+  test("semDedupFlags: stream equals batch equals semDedupAppend's corpus half") {
+    // the 18th stream-=-batch twin: corpus + pinned centroids -> the
+    // persisted decision table; the feed plants light re-perturbations
+    // of corpus vectors (must flag) and reversed vectors (novel
+    // geometry - must pass). No in-feed duplicates, so the batch
+    // semDedupAppend's dropped set IS the expected flag set.
+    implicit val sq = spark.sqlContext
+    import graft.llm.Similarity
+    val tau = 0.99
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = base.filter(col("vec_id") < 16)
+    val corpusAsg = Similarity.semDedupClustered(base, cents, tau,
+        centroidIdCol = "vec_id")
+      .select("vec_id", "cluster_id").localCheckpoint()
+    val feed = base
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + lit(0.002) *
+            (pmod(col("vec_id") + i.cast("bigint"), lit(3)) - 1).cast("double"))
+          .as("embedding"))
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+      .unionByName(base.filter(pmod(col("vec_id"), lit(5)) === 1)
+        .select((col("vec_id") + 810000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+      .withColumn("ts", timestamp_millis(col("vec_id") * 1000L))
+    // batch twin: identical plan in batch mode
+    val want = DocStream.semDedupFlags(feed, corpusAsg, base, cents, tau,
+        centroidIdCol = "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // the batch operator's corpus-caused drops (no in-feed dups planted)
+    val appendDropped = Similarity.semDedupAppend(feed.drop("ts"),
+        corpusAsg, base, cents, tau, centroidIdCol = "vec_id")
+      .filter(!col("keep")).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(want == appendDropped,
+      "gate must flag exactly the vectors the batch append drops")
+    val source = MemoryStream[DocStreamSpec.Vec]
+    val q = DocStream.semDedupFlags(source.toDF(), corpusAsg, base, cents,
+        tau, centroidIdCol = "vec_id")
+      .writeStream.format("memory").queryName("semflags")
+      .outputMode("append").start()
+    source.addData(feed.select("vec_id", "embedding", "ts")
+      .as[DocStreamSpec.Vec].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semflags").select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(id => id >= 800000L && id < 810000L),
+      s"exactly the perturbed twins must flag: got $got")
   }
 }
