@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * every token inside is covered by some duplicated window, and the
   * tokens flanking it are not. 1-based token positions.
   *
-  * Scale shape: gram construction is a pure per-row PROJECTION
-  * (transform + slice over the token array — zero shuffle, no
-  * corpus × corpus anything); duplicate detection is ONE map-side
+  * Scale shape: gram construction is a pure streamed PROJECTION
+  * (window starts explode, one md5 of a token slice per exploded row —
+  * zero shuffle, no corpus × corpus anything, per-row state bounded by
+  * the token array); duplicate detection is ONE map-side
   * combinable aggregate on the gram key (min(doc_id) ≠ max(doc_id) ⟺
   * ≥ 2 distinct docs — deliberately NOT a countDistinct, which would
   * expand to two shuffles); hits come back by a gram-keyed LEFT SEMI

@@ -434,7 +434,12 @@ object Similarity {
     * = the raw embedding table — vectors cannot be summarized away,
     * but only mates of clusters the BATCH TOUCHES are scored (the
     * cluster equi-join prunes the rest), and no corpus × centroid
-    * work ever re-runs. The batch side broadcasts into the mate scan.
+    * work ever re-runs. The batch side (ids + vectors) broadcasts into
+    * the mate scan so the corpus-sized mate table never shuffles —
+    * ingest appends are bounded increments by contract; a batch too
+    * large to broadcast folds in as ascending-id chunks, each merged
+    * into the decision state before the next — exact, because the
+    * drop rule references corpus ids and SMALLER batch ids only.
     * Returns (vec_id, cluster_id, keep) for the batch ids.
     */
   def semDedupAppend(batch: DataFrame, corpusAsg: DataFrame,
