@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+  * the published data-selection recipe: fit hashed-unigram bag-of-words
+  * language models over a TARGET corpus (the high-quality distribution
+  * you want more of) and the RAW crawl, then weight every raw document
+  * by its log-likelihood ratio Σ_tokens [log p_target(b) − log p_raw(b)]
+  * over the hashed feature buckets, and keep the top mass.
+  *
+  * Scale shape: the two bucket-count passes are map-side-combined
+  * aggregates over (bucket) — [[NumBuckets]] output rows each, metadata
+  * at any corpus scale. The fitted model ([[llrTable]]) is a
+  * [[NumBuckets]]-row table that BROADCASTS into scoring; scoring is
+  * one scan (explode → broadcast join → per-doc sum with map-side
+  * combine, so the only corpus-scale shuffle carries one row per doc).
+  *
+  * Determinism: buckets are the md5-hex device (engine-reproducible);
+  * the log-ratios are computed ONCE in Spark, rounded to 9, and
+  * PERSISTED — both engines read the same parquet (ln is the
+  * cross-engine hazard; the q146 idf device) — and per-doc sums run in
+  * exact scaled-long nano-units (the BM25 summation device).
+  */
+object Dsir {
+
+  /** Hashed feature-space width — part of the model artifact contract
+    * (the oracle SQL bakes it in), not a tunable.
+    */
+  val NumBuckets = 1024
+
+  /** Token → feature bucket (md5 hex-prefix mod [[NumBuckets]]). */
+  def bucket(tok: Column): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+      lit(NumBuckets.toLong))
+
+  /** Per-bucket token counts of a corpus: (bucket, c) — one explode +
+    * one map-side-combined aggregate, ≤ [[NumBuckets]] output rows.
+    */
+  def bucketCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(bucket(col("__tok")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** The fitted DSIR model: (bucket, llr) for every bucket seen in
+    * target ∪ raw, llr = round9( ln((c_t+1)/(N_t+D)) −
+    * ln((c_r+1)/(N_r+D)) ) — add-one-smoothed hashed-unigram LMs.
+    * Compute ONCE in Spark and persist; both engines read the parquet
+    * (the ln-hazard fixture device). Scoring joins on bucket, so any
+    * bucket absent here is absent from the raw corpus too — when the
+    * scored documents come FROM the raw corpus every token hits.
+    */
+  def llrTable(target: DataFrame, raw: DataFrame,
+               textCol: String = "text"): DataFrame = {
+    val d = NumBuckets.toDouble
+    val tb = bucketCounts(target, textCol).withColumnRenamed("c", "__ct")
+    val rb = bucketCounts(raw, textCol).withColumnRenamed("c", "__cr")
+    val tn = target.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__nt"))
+    val rn = raw.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__nr"))
+    tb.join(rb, Seq("bucket"), "full_outer")
+      .crossJoin(tn).crossJoin(rn)
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("__ct"), lit(0L)) + 1L).cast("double") /
+            (col("__nt").cast("double") + d)) -
+          log((coalesce(col("__cr"), lit(0L)) + 1L).cast("double") /
+            (col("__nr").cast("double") + d)), 9).as("llr"))
+  }
+
+  /** Score every document under a persisted [[llrTable]]: (id,
+    * n_tokens, score) with score = round9(Σ_tokens llr(bucket)) — the
+    * sum in exact nano-units (round-9 doubles recover their integer
+    * k·10⁻⁹ exactly under ×10⁹ re-rounding). Empty docs score 0. The
+    * model broadcasts by contract (≤ [[NumBuckets]] rows).
+    */
+  def scoreDocs(docs: DataFrame, llr: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), bucket(col("__tok")).as("bucket"))
+    val sums = toks
+      .join(broadcast(llr.select(col("bucket"),
+        round(col("llr") * 1e9, 0).cast("long").as("__nano"))), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__nano")).as("__s"))
+    docs.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("__s"), lit(0L)).cast("double") / 1e9, 9)
+          .as("score"),
+        coalesce(col("__s"), lit(0L)).as("__s"))
+  }
+
+  /** Deterministic top-fraction selection — the resampling step with
+    * the Gumbel noise replaced by the (score desc, id asc) total order
+    * (seeded-sampling variants keep the identical pipeline shape; the
+    * deterministic cut is the oracle-able contract): keep the
+    * ⌊n / denom⌋ highest-scoring documents. The global rank runs on
+    * [[graft.operators.DistributedRank.prefix]] over a constant group —
+    * a bare global window would funnel the corpus through ONE sort
+    * task. Output: (id, rank, score) of the selected documents.
+    */
+  def selectTopFraction(scored: DataFrame, denom: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(denom >= 1)
+    val ranked = graft.operators.DistributedRank.prefix(
+      scored.select(col(idCol), col("__s"), col("score"))
+        .withColumn("__negs", -col("__s"))
+        .withColumn("__all", lit(0)),
+      Seq("__all"), Seq("__negs", idCol))
+    // NOTE: prefix() itself emits a `__n` (group count) column — the
+    // corpus total gets a distinct name to avoid the collision
+    val n = scored.agg(count(lit(1)).as("__total"))
+    ranked.crossJoin(n)
+      // ⌊n/denom⌋ by FLOOR of one double division — both engines
+      // evaluate the identical operation (the q46 slicing device)
+      .filter(col("__rank") <=
+        floor(col("__total").cast("double") / denom).cast("long"))
+      .select(col(idCol), col("__rank").as("rank"), col("score"))
+  }
+}

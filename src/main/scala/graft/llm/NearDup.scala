@@ -124,6 +124,106 @@ object NearDup {
         array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
+  /** md5-derived MinHash signature — the ORACLE-ABLE twin of
+    * [[minhashSignature]] (the q78 `simhashMd5` / q95 CMS pattern):
+    * perm i hashes shingle g as the first 15 md5 hex chars of "i:g"
+    * read as a long, so any engine with md5 reproduces the signature
+    * bit-for-bit. Production banding uses the xxhash64 family; this
+    * one exists so LSH OPERATING-POINT decisions (candidate counts,
+    * recall/precision per band config) can be driver-verified
+    * end-to-end. Callers pass distinct shingle sets with ≥ 1 element
+    * (the [[shingleSets]] contract).
+    */
+  def minhashMd5Sig(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, g =>
+        conv(substring(md5(concat(i.cast("string"), lit(":"), g)), 1, 15),
+          16, 10).cast("long"))))
+
+  /** LSH BAND-TUNING CURVE — the operating-point table a near-dup
+    * deployment reads before pinning (bands, rows-per-band), the q154
+    * recall-curve discipline for the LEXICAL family: ONE md5-family
+    * signature pass (checkpointed) feeds every config's band table;
+    * per config the banded self-join yields candidates, and exact
+    * Jaccard ≥ `threshold` ground truth (the verified
+    * [[nearDupPairs]] set at the q27-pinned production setting — the
+    * oracle recomputes it from first principles, so a divergence
+    * fails the round's hash gate) grades them. Returns one row per
+    * config: (bands, rows_per_band, n_candidates, n_true_candidates,
+    * n_truth, recall, precision).
+    *
+    * Scale shape: signature + band construction are scan projections;
+    * the only corpus-scale shuffles are the (config, band, hash)
+    * bucket self-join (candidate-bounded output, the LSH contract)
+    * and the id-pair joins back to truth — all keyed, nothing
+    * quadratic outside the buckets themselves.
+    */
+  def bandTuningReport(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.6, shingleN: Int = 3,
+                       numHashes: Int = 16,
+                       configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
+                       truthNumHashes: Int = 48, truthBands: Int = 16,
+                       seed: Long = 42L): DataFrame = {
+    require(configs.nonEmpty, "at least one (bands, rowsPerBand) config")
+    configs.foreach { case (b, r) =>
+      require(b * r == numHashes,
+        s"config ($b, $r) does not tile numHashes=$numHashes")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = shingleSets(df, idCol, textCol, shingleN)
+      .select(col("__id"), minhashMd5Sig(col("__sh"), numHashes).as("__sig"))
+      .localCheckpoint() // one signature scan feeds every config
+    val bandRows = configs.map { case (b, r) =>
+      sigs.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("__id"),
+          explode(transform(sequence(lit(0), lit(b - 1)),
+            bi => struct(bi.cast("int").as("band"),
+              md5(concat_ws(":",
+                transform(slice(col("__sig"), bi * r + 1, lit(r)),
+                  v => v.cast("string")))).as("bh")))).as("__bb"))
+        .select(col("bands"), col("rows_per_band"), col("__id"),
+          col("__bb.band").as("band"), col("__bb.bh").as("bh"))
+    }.reduce(_ unionByName _).localCheckpoint() // both self-join sides
+    val cand = bandRows.as("l")
+      .join(bandRows.as("r"),
+        col("l.bands") === col("r.bands") &&
+          col("l.rows_per_band") === col("r.rows_per_band") &&
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.bands").as("bands"),
+        col("l.rows_per_band").as("rows_per_band"),
+        col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+      .localCheckpoint() // feeds the per-config count AND the truth join
+    val truth = nearDupPairs(df, idCol, textCol, threshold, shingleN,
+        truthNumHashes, truthBands, seed)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // feeds the global count AND the grading join
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("__nc"))
+    val tc = cand.join(truth, Seq("id_a", "id_b"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("__ntc"))
+    configs.toDF("bands", "rows_per_band")
+      .join(nc, Seq("bands", "rows_per_band"), "left")
+      .join(tc, Seq("bands", "rows_per_band"), "left")
+      .crossJoin(nt)
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("__nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("__ntc"), lit(0L)).as("n_true_candidates"),
+        col("n_truth"))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_true_candidates"), col("n_truth"),
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(round(col("n_true_candidates").cast("double") /
+            col("n_truth"), 9)).as("recall"),
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(round(col("n_true_candidates").cast("double") /
+            col("n_candidates"), 9)).as("precision"))
+  }
+
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      seed: Long = 42L): DataFrame = {

@@ -766,6 +766,23 @@ object Similarity {
                         centroidIdCol: String = "centroid_id",
                         centroidVecCol: String = "embedding",
                         blocks: Int = 8): DataFrame = {
+    val (asg, withV) = semDedupAssign(df, centroids, idCol, vecCol,
+      centroidIdCol, centroidVecCol, blocks)
+    val dropped = blockedCellPairs(withV, tau, blocks)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        not(coalesce(col("__dup"), lit(false))).as("keep"))
+  }
+
+  /** The shared pinned-centroid assignment stage of the SemDeDup
+    * family: (asg = (vec_id, cluster_id) checkpointed, withV = the
+    * pair-scan input carrying vectors + sub-blocks).
+    */
+  private def semDedupAssign(df: DataFrame, centroids: DataFrame,
+                             idCol: String, vecCol: String,
+                             centroidIdCol: String, centroidVecCol: String,
+                             blocks: Int): (DataFrame, DataFrame) = {
     require(blocks >= 1, "blocks must be positive")
     val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
       col(centroidVecCol).cast("array<double>").as("__centv"))
@@ -783,11 +800,41 @@ object Similarity {
       .select(col("vec_id").as("__id"), col("__v"),
         col("cluster_id").as("__c"),
         pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b"))
-    val dropped = blockedCellPairs(withV, tau, blocks)
-      .select(col("id_b").as("vec_id")).distinct()
-    asg.join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster_id"),
-        not(coalesce(col("__dup"), lit(false))).as("keep"))
+    (asg, withV)
+  }
+
+  /** SemDeDup THRESHOLD SWEEP — the τ tuning table (the q154 dial for
+    * the semantic-dedup family): ONE pinned-centroid assignment and
+    * ONE triangle-blocked within-cluster pair scan at min(taus) feed
+    * every threshold's verdict. A vector is dropped at τ iff its MAX
+    * cosine over smaller-id cluster-mates ≥ τ, so the per-vector max
+    * table (near-dup-sized, checkpointed) answers all τ at once.
+    * Returns (tau, n_dropped, n_kept, drop_frac), one row per τ.
+    */
+  def semDedupSweep(df: DataFrame, centroids: DataFrame, taus: Seq[Double],
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroidIdCol: String = "centroid_id",
+                    centroidVecCol: String = "embedding",
+                    blocks: Int = 8): DataFrame = {
+    require(taus.nonEmpty, "at least one tau")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (asg, withV) = semDedupAssign(df, centroids, idCol, vecCol,
+      centroidIdCol, centroidVecCol, blocks)
+    val mx = blockedCellPairs(withV, taus.min, blocks)
+      .groupBy(col("id_b")).agg(max(col("cos_sim")).as("__mx"))
+      .localCheckpoint() // near-dup-sized; feeds every τ's count
+    val tausDf = taus.toDF("tau")
+    val drops = mx.crossJoin(broadcast(tausDf))
+      .filter(col("__mx") >= col("tau"))
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
+    val tot = asg.agg(count(lit(1)).as("__tot"))
+    tausDf.join(drops, Seq("tau"), "left").crossJoin(tot)
+      .select(col("tau"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("__tot") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double") /
+          col("__tot"), 9).as("drop_frac"))
   }
 
   /** Semantic near-dup GROUPS: connected components over

@@ -2098,6 +2098,113 @@ object LlmQueries {
         .select(col("doc_id"),
           length(col("clean_text")).cast("long").as("clean_len"),
           md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    // MODEL-BASED QUALITY GATE — hashed linear scorer INFERENCE (the
+    // fasttext-style filter stage that follows q124's hand heuristics):
+    // tokens hash into 4096 feature buckets, the margin folds inside
+    // transform()/aggregate() — a PURE SCAN PROJECTION, zero shuffles
+    // at any corpus scale. Weights are the deterministic md5-derived
+    // stand-in (QualityModel.weightMilli); production swaps in a
+    // learned broadcast table (the BpeTableCount device) with the
+    // identical pipeline shape.
+    "q172_quality_model" -> ((s, dir) =>
+      graft.llm.QualityModel.scoreDocs(Tables(s, dir).documents)),
+
+    // DSIR IMPORTANCE WEIGHTS (Xie et al. 2023) — the published
+    // data-selection recipe: every document weighted by its
+    // log-likelihood ratio under hashed-unigram LMs of TARGET (the
+    // English slice) vs RAW (the whole corpus). The fitted model is a
+    // PERSISTED 1024-row table (ln computed once in Spark — the q146
+    // device) that BROADCASTS into scoring; the only corpus-scale
+    // shuffle carries one row per doc (map-side-combined sums in
+    // exact nano-units).
+    "q173_dsir_weights" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Dsir.scoreDocs(t.documents,
+          s.read.parquet(ensureDsirFixture(s, dir)))
+        .drop("__s")
+    }),
+
+    // DSIR SELECTION — the resampling step: keep the ⌊n/5⌋
+    // highest-weight documents under the (score desc, id) total order
+    // (the deterministic stand-in for Gumbel resampling — identical
+    // pipeline shape, oracle-exact). The global rank runs on
+    // DistributedRank.prefix over a constant group (the q149 device) —
+    // a bare global window would funnel the corpus through ONE sort
+    // task at scale.
+    "q174_dsir_select" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Dsir.selectTopFraction(
+        graft.llm.Dsir.scoreDocs(t.documents,
+          s.read.parquet(ensureDsirFixture(s, dir))), denom = 5)
+    }),
+
+    // BIGRAM-LM INGEST SCORING — the KenLM-style perplexity filter:
+    // incoming docs scored by mean transition log-prob under the
+    // PERSISTED base-corpus bigram LM (three Spark-written fixture
+    // tables; ln never runs at scoring time). The batch plants all
+    // three backoff paths: unchanged copies (seen bigrams), 'nv'
+    // vocabulary (unseen w1 → lp0), token-reversed docs (seen w1,
+    // novel transitions → per-w1 backoff). Model joins are vocab-keyed
+    // shuffles by contract; one map-side-combined per-doc fold.
+    "q175_lm_score" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val (p2, p1, p0) = ensureLmFixture(s, dir)
+      graft.llm.NgramLm.scoreDocs(lmBatch(t), s.read.parquet(p2),
+        s.read.parquet(p1), s.read.parquet(p0))
+    }),
+
+    // TOKEN-BALANCED TRAINING SHARDS — the writer-side packing step
+    // before emitting S data-parallel shard files: docs ranked
+    // globally by (token count desc, id) on DistributedRank.prefix
+    // over a constant group (the q149 device — a bare global window
+    // is ONE sort task at any scale), then snake (boustrophedon)
+    // round-robin over S = 8 shards — the classic deterministic
+    // greedy-balance approximation. Output: the S-row shard manifest
+    // (docs, token totals) a reader fleet consumes.
+    "q176_token_shards" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val S = 8
+      val ranked = graft.operators.DistributedRank.prefix(
+        t.documents.select(col("doc_id"),
+            graft.llm.TextOps.tokenCount(col("text")).cast("long").as("__len"))
+          .withColumn("__neglen", -col("__len"))
+          .withColumn("__all", lit(0)),
+        Seq("__all"), Seq("__neglen", "doc_id"))
+      ranked.select(col("doc_id"), col("__len"),
+          floor((col("__rank") - 1).cast("double") / S).cast("long").as("__blk"),
+          pmod(col("__rank") - 1, lit(S.toLong)).as("__pos"))
+        .select(col("doc_id"), col("__len"),
+          when(pmod(col("__blk"), lit(2L)) === 0, col("__pos"))
+            .otherwise(lit(S - 1L) - col("__pos")).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__len")).as("total_tokens"))
+    }),
+
+    // LSH BAND-TUNING CURVE — the q154 recall-curve discipline for the
+    // lexical near-dup family: one md5-family MinHash signature pass
+    // over the q27 corpus grades every (bands, rows-per-band) config
+    // against the exact Jaccard ≥ 0.6 ground truth — the table that
+    // justifies q27's pinned operating point. The md5 signature family
+    // keeps candidate COUNTS engine-reproducible (the q78/q95 device);
+    // the truth side is the verified q27 pair set, which the oracle
+    // recomputes from first principles (all-pairs at sf0.01), so a
+    // truth divergence fails the hash gate.
+    "q177_lsh_tuning" -> ((s, dir) =>
+      NearDup.bandTuningReport(lshCorpus(Tables(s, dir)), "doc_id", "text")),
+
+    // SEMDEDUP τ SWEEP — the threshold tuning table for the q167
+    // family: ONE pinned-centroid assignment + ONE triangle-blocked
+    // within-cluster pair scan at min(τ) feed every threshold's
+    // dropped/kept counts (a vector drops at τ iff its max cosine
+    // over smaller-id cluster-mates ≥ τ, so the per-vector max table
+    // answers all τ at once). Three rows out.
+    "q178_semdedup_sweep" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      graft.llm.Similarity.semDedupSweep(cosineCorpus(t),
+        t.embeddings.filter(col("vec_id") < 16),
+        taus = Seq(0.95, 0.97, 0.99), centroidIdCol = "vec_id")
     })
   )
 
@@ -2278,6 +2385,80 @@ object LlmQueries {
     }
     path
   }
+
+  // bump when the DSIR model recipe changes
+  private val dsirVersion = 1
+
+  /** Build-once persisted DSIR log-likelihood-ratio model for
+    * q173/q174: hashed-unigram LMs of TARGET = the English slice vs
+    * RAW = the whole corpus, fitted once IN SPARK (ln is the
+    * cross-engine hazard — the q146 idf device); both engines read
+    * this parquet.
+    */
+  private def ensureDsirFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"dsir_llr_${sfName}_v$dsirVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      val docs = Tables(s, dir).documents
+      graft.llm.Dsir.llrTable(docs.filter(col("lang") === "en"), docs)
+        .coalesce(1)
+    }
+    path
+  }
+
+  // bump when the LM recipe changes
+  private val lmVersion = 1
+
+  /** Build-once persisted bigram-LM fixtures for q175 — the three
+    * model tables [[graft.llm.NgramLm.fit]] emits over the base
+    * corpus: (bigram lp, w1 backoff lp, 1-row (v, lp0) stats). Both
+    * engines read these parquets (the ln-hazard fixture device).
+    * Returns (bigramLpPath, w1LpPath, statsPath).
+    */
+  private def ensureLmFixture(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val p2 = s"$base/lm_bigram_lp_${sfName}_v$lmVersion"
+    val p1 = s"$base/lm_w1_lp_${sfName}_v$lmVersion"
+    val p0 = s"$base/lm_stats_${sfName}_v$lmVersion"
+    lazy val fitted = graft.llm.NgramLm.fit(Tables(s, dir).documents)
+    graft.llm.Multimodal.materializeOnce(s, p2) { fitted._1 }
+    graft.llm.Multimodal.materializeOnce(s, p1) { fitted._2 }
+    graft.llm.Multimodal.materializeOnce(s, p0) { fitted._3.coalesce(1) }
+    (p2, p1, p0)
+  }
+
+  /** q175's ingest batch, ids fresh: every 6th doc an unchanged copy
+    * (all transitions seen), every (6k+3)rd all-'nv'-prefixed (w1
+    * unseen — the lp0 backoff), every (6k+1)st token-REVERSED (w1 seen
+    * but transitions novel — the per-w1 backoff). Reversal is pure
+    * list surgery on the whitespace tokens — both engines rebuild the
+    * identical text.
+    */
+  private def lmBatch(t: Tables): DataFrame = {
+    val d = t.documents
+    d.filter(pmod(col("doc_id"), lit(6)) === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 3)
+        .select((col("doc_id") + 910000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 1)
+        .select((col("doc_id") + 920000L).as("doc_id"),
+          array_join(reverse(graft.llm.TextOps.tokens(col("text"))), " ")
+            .as("text")))
+  }
+
+  /** The q27/q36/q40 near-dup corpus (documents + truncated twins) —
+    * the mirror of `sqlCorpusCte`, shared by q177's tuning curve.
+    */
+  private def lshCorpus(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), col("text"))
+      .unionByName(t.documents.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1),
+          greatest(length(col("text")) - 10, lit(1))).as("text")))
 
   /** q169's ingest batch, ids fresh above the corpus (base + twins):
     * every 3rd embedding lightly re-perturbed (a near-dup of its base —
@@ -4947,6 +5128,231 @@ object LlmQueries {
               / (CAST(t.n_train AS DOUBLE) * CAST(t.n_new AS DOUBLE) * 2e0), 9) + 0.0
           END AS tvd
         FROM j JOIN tot t USING (event_type)
-        GROUP BY 1, 2, 3"""
+        GROUP BY 1, 2, 3""",
+
+    // Quality-model twin: the same md5-bucket hash, the same integer
+    // weight arithmetic (every intermediate non-negative, so % ≡ pmod),
+    // one double division of identical operands.
+    "q172_quality_model" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                  CAST(COALESCE(list_sum(list_transform(t, tok ->
+                    ((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096)
+                       * 2654435761) % 1000003) % 2001) - 1000)), 0)
+                    AS BIGINT) AS margin_milli
+                FROM tk)
+        SELECT doc_id, n_tokens, margin_milli,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE ROUND(CAST(margin_milli AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * 1000.0), 9) END + 0.0
+                 AS score,
+               margin_milli >= 0 AS keep
+        FROM m""",
+
+    // DSIR twin: same md5 buckets, the PERSISTED Spark-fitted llr
+    // model (read_parquet — the ln-hazard fixture device), the same
+    // nano-unit exact sums. Every doc token's bucket is in the model
+    // (the scored docs ARE the raw corpus), so the inner join loses
+    // nothing.
+    "q173_dsir_weights" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"dsir_llr_$oracleSfName" + s"_v$dsirVersion/*.parquet"
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          m AS (SELECT bucket, CAST(ROUND(llr * 1e9, 0) AS BIGINT) AS nano
+                FROM read_parquet('$fixture')),
+          sums AS (SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS s
+                   FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024
+                             AS bucket
+                         FROM tok) x
+                   JOIN m USING (bucket)
+                   GROUP BY doc_id)
+        SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+               ROUND(CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e9, 9) + 0.0 AS score
+        FROM tk k LEFT JOIN sums s USING (doc_id)"""
+    },
+
+    // DSIR-selection twin: the q173 sums ranked by (s desc, id), cut
+    // at ⌊n/5⌋ by FLOOR of one double division.
+    "q174_dsir_select" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"dsir_llr_$oracleSfName" + s"_v$dsirVersion/*.parquet"
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          m AS (SELECT bucket, CAST(ROUND(llr * 1e9, 0) AS BIGINT) AS nano
+                FROM read_parquet('$fixture')),
+          sums AS (SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS s
+                   FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024
+                             AS bucket
+                         FROM tok) x
+                   JOIN m USING (bucket)
+                   GROUP BY doc_id),
+          full_s AS (SELECT k.doc_id, COALESCE(s.s, 0) AS s
+                     FROM tk k LEFT JOIN sums s USING (doc_id)),
+          ranked AS (SELECT doc_id, s,
+                       ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+                     FROM full_s)
+        SELECT doc_id, rank,
+               ROUND(CAST(s AS DOUBLE) / 1e9, 9) + 0.0 AS score
+        FROM ranked
+        WHERE rank <= CAST(FLOOR(CAST(
+          (SELECT COUNT(*) FROM documents) AS DOUBLE) / 5) AS BIGINT)"""
+    },
+
+    // LM-scoring twin: the same fresh-id batch rebuilt from ids
+    // (copies / 'nv' prefixes / token reversal), the PERSISTED
+    // Spark-fitted log-prob tables, the same three-way backoff
+    // coalesce, exact nano sums, one division chain.
+    "q175_lm_score" -> {
+      val base = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+      val f2 = s"$base/lm_bigram_lp_$oracleSfName" + s"_v$lmVersion/*.parquet"
+      val f1 = s"$base/lm_w1_lp_$oracleSfName" + s"_v$lmVersion/*.parquet"
+      val f0 = s"$base/lm_stats_$oracleSfName" + s"_v$lmVersion/*.parquet"
+      s"""WITH batch AS (
+            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3
+            UNION ALL
+            SELECT doc_id + 920000, array_to_string(list_reverse($sqlToks), ' ')
+            FROM documents WHERE doc_id % 6 = 1),
+          btk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM batch),
+          bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                 FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                       FROM btk WHERE len(t) >= 2) x),
+          l2 AS (SELECT w1, w2, CAST(ROUND(lp * 1e9, 0) AS BIGINT) AS n2
+                 FROM read_parquet('$f2')),
+          l1 AS (SELECT w1, CAST(ROUND(lp_u * 1e9, 0) AS BIGINT) AS n1
+                 FROM read_parquet('$f1')),
+          l0 AS (SELECT CAST(ROUND(lp0 * 1e9, 0) AS BIGINT) AS n0
+                 FROM read_parquet('$f0')),
+          sums AS (SELECT bg.doc_id, COUNT(*) AS nb,
+                     CAST(SUM(COALESCE(l2.n2, l1.n1, l0.n0)) AS BIGINT) AS s
+                   FROM bg
+                   LEFT JOIN l2 USING (w1, w2)
+                   LEFT JOIN l1 USING (w1)
+                   CROSS JOIN l0
+                   GROUP BY bg.doc_id)
+        SELECT b.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN nb IS NULL THEN 0.0
+                    ELSE ROUND(CAST(s AS DOUBLE) / 1e9 / nb, 9) END + 0.0
+                 AS avg_lp
+        FROM btk b LEFT JOIN sums USING (doc_id)"""
+    },
+
+    // Shard twin: same global (len desc, id) rank, same snake
+    // arithmetic (FLOOR of one double division for the block — the
+    // q46 device), same S = 8.
+    "q176_token_shards" ->
+      s"""WITH tk AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS len
+                      FROM documents),
+          r AS (SELECT doc_id, len,
+                  ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) AS rank
+                FROM tk),
+          a AS (SELECT doc_id, len,
+                  CAST(FLOOR(CAST(rank - 1 AS DOUBLE) / 8) AS BIGINT) AS blk,
+                  (rank - 1) % 8 AS pos
+                FROM r)
+        SELECT CASE WHEN blk % 2 = 0 THEN pos ELSE 7 - pos END AS shard,
+               COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS total_tokens
+        FROM a GROUP BY 1""",
+
+    // LSH-tuning twin: the exact-pair ground truth from first
+    // principles (the q27 CTEs), the same md5-family signatures over
+    // the same distinct shingle sets, the same band hashing — slice
+    // bounds translate (Spark slice(start, LENGTH) ↔ DuckDB
+    // list_slice(start, END inclusive)).
+    "q177_lsh_tuning" ->
+      s"""WITH $sqlExactPairCtes,
+          sig AS MATERIALIZED (
+            SELECT doc_id, list_transform(range(0, 16),
+                i -> list_min(list_transform(sh,
+                  g -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g),
+                    1, 15))::BIGINT))) AS sig
+            FROM sized),
+          cfg AS (SELECT * FROM (VALUES (8, 2), (4, 4), (2, 8))
+                  c(bands, rows_per_band)),
+          bt AS MATERIALIZED (
+            SELECT c.bands, c.rows_per_band, s.doc_id,
+                   CAST(bi AS INT) AS band,
+                   md5(array_to_string(list_transform(
+                     list_slice(s.sig, bi * c.rows_per_band + 1,
+                       bi * c.rows_per_band + c.rows_per_band),
+                     x -> CAST(x AS VARCHAR)), ':')) AS bh
+            FROM sig s, cfg c, unnest(range(0, c.bands)) AS u(bi)),
+          lcand AS MATERIALIZED (
+            SELECT DISTINCT a.bands, a.rows_per_band,
+                   a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bt a JOIN bt b
+              ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+             AND a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          nt AS (SELECT COUNT(*) AS n_truth FROM pairs),
+          nc AS (SELECT bands, rows_per_band, COUNT(*) AS ncand
+                 FROM lcand GROUP BY 1, 2),
+          tc AS (SELECT l.bands, l.rows_per_band, COUNT(*) AS ntc
+                 FROM lcand l JOIN pairs p
+                   ON l.id_a = p.id_a AND l.id_b = p.id_b
+                 GROUP BY 1, 2)
+        SELECT c.bands, c.rows_per_band,
+               CAST(COALESCE(ncand, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(ntc, 0) AS BIGINT) AS n_true_candidates,
+               n_truth,
+               CASE WHEN n_truth = 0 THEN 1.0
+                    ELSE ROUND(CAST(COALESCE(ntc, 0) AS DOUBLE) / n_truth, 9)
+               END + 0.0 AS recall,
+               CASE WHEN COALESCE(ncand, 0) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(ntc, 0) AS DOUBLE) / ncand, 9)
+               END + 0.0 AS precision
+        FROM cfg c
+        LEFT JOIN nc USING (bands, rows_per_band)
+        LEFT JOIN tc USING (bands, rows_per_band)
+        CROSS JOIN nt""",
+
+    // SemDeDup-sweep twin: the q167 assignment + within-cluster pair
+    // program, per-vector max smaller-id-mate cosine, counted against
+    // each τ of the VALUES list (cast to DOUBLE — the Spark lits).
+    "q178_semdedup_sweep" ->
+      """WITH corpus AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                     (x, i) -> x + CAST(0.005 AS DOUBLE)
+                       * CAST((vec_id + i) % 7 - 3 AS DOUBLE))
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 16),
+          asgn AS MATERIALIZED (
+            SELECT vec_id, cid AS cluster_id FROM (
+              SELECT c.vec_id, t.cid, ROW_NUMBER() OVER (
+                PARTITION BY c.vec_id ORDER BY
+                  ROUND(list_dot_product(c.v, t.cv)
+                    / (sqrt(list_dot_product(c.v, c.v))
+                       * sqrt(list_dot_product(t.cv, t.cv))), 9) DESC,
+                  t.cid ASC) AS rn
+              FROM corpus c, cents t) x WHERE rn = 1),
+          px AS (SELECT x.vec_id AS vid,
+                   ROUND(list_dot_product(cx.v, cy.v)
+                     / (sqrt(list_dot_product(cx.v, cx.v))
+                        * sqrt(list_dot_product(cy.v, cy.v))), 9) AS cs
+                 FROM asgn x JOIN asgn y
+                   ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+                 JOIN corpus cx ON cx.vec_id = x.vec_id
+                 JOIN corpus cy ON cy.vec_id = y.vec_id),
+          mx AS (SELECT vid, MAX(cs) AS m FROM px
+                 WHERE cs >= CAST(0.95 AS DOUBLE) GROUP BY vid),
+          taus AS (SELECT CAST(tau AS DOUBLE) AS tau
+                   FROM (VALUES (0.95), (0.97), (0.99)) t(tau)),
+          drops AS (SELECT tau, COUNT(*) AS nd FROM taus
+                    JOIN mx ON m >= tau GROUP BY tau),
+          tot AS (SELECT COUNT(*) AS n FROM asgn)
+        SELECT t.tau, CAST(COALESCE(nd, 0) AS BIGINT) AS n_dropped,
+               CAST(n - COALESCE(nd, 0) AS BIGINT) AS n_kept,
+               ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / n, 9) + 0.0
+                 AS drop_frac
+        FROM taus t LEFT JOIN drops USING (tau) CROSS JOIN tot"""
   )
 }

@@ -46,6 +46,18 @@ object DocStream {
       .withColumn("text", TextOps.piiRedact(col("text")))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
 
+  /** Stateless MODEL-based quality gate — the streaming twin of the
+    * batch q172 scorer: every arriving document is scored by the
+    * hashed linear model inside the projection (the margin folds over
+    * the token array in the scan — zero state, zero shuffle at any
+    * feed rate), emitting the batch scorer's exact columns
+    * (`doc_id, n_tokens, margin_milli, score, keep`) plus any
+    * passthrough the caller keeps. Kept/dropped routing downstream is
+    * a filter on `keep`. Stream ≡ batch is DocStreamSpec-pinned.
+    */
+  def modelGate(docs: DataFrame): DataFrame =
+    graft.llm.QualityModel.scoreDocs(docs)
+
   /** The composed intake: dedup within the watermark, then gate and
     * scrub — the streaming twin of the batch pipeline's first stages.
     */

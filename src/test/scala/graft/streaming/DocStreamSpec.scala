@@ -47,6 +47,28 @@ class DocStreamSpec extends SparkSpec {
     assert(Set("quality", "n_tokens").subsetOf(cols))
   }
 
+  test("modelGate: stream scoring ≡ the batch q172 scorer, row for row") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      Doc(1, body, ts(1)),
+      Doc(2, "zzz qqq vvv xxx", ts(2)),
+      Doc(3, "", ts(3)),
+      Doc(4, "the and of to is a " + body, ts(4)))
+    val source = MemoryStream[Doc]
+    val q = DocStream.modelGate(source.toDF()).writeStream
+      .format("memory").queryName("modelgate").outputMode("append").start()
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("modelgate")
+      .select("doc_id", "n_tokens", "margin_milli", "score", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val expected = graft.llm.QualityModel
+      .scoreDocs(docs.toDF().select(col("doc_id"), col("text")))
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("dedup state is watermark-bounded: the same content far later passes again") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Doc]
