@@ -2205,6 +2205,117 @@ object LlmQueries {
       graft.llm.Similarity.semDedupSweep(cosineCorpus(t),
         t.embeddings.filter(col("vec_id") < 16),
         taus = Seq(0.95, 0.97, 0.99), centroidIdCol = "vec_id")
+    }),
+
+    // DEDUP FUNNEL CARD — the per-stage removal report a corpus
+    // pipeline logs for every release: raw → exact md5 keep-first →
+    // normalized-fingerprint keep-first (q24's key) → near-dup CC
+    // keep-min (the q36/q40 machinery), each stage over the previous
+    // stage's survivors, with planted drops at EVERY stage (verbatim
+    // copies, uppercased copies, truncated twins). One row out; the
+    // counts compose as plans (aggregate cross joins — no driver
+    // actions), and the only non-trivial cost is the one LSH pass
+    // over stage-2 survivors.
+    "q179_dedup_funnel" -> ((s, dir) => {
+      val corpus = funnelCorpus(Tables(s, dir)).localCheckpoint()
+      val kept1 = corpus.join(
+        corpus.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val kept2 = kept1.join(
+        kept1.groupBy(TextOps.fingerprint(col("text")).as("__f"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val dropped3 = NearDup.nearDupGroups(kept2, "doc_id", "text",
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+        .filter(col("id") =!= col("keep_id"))
+      corpus.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept1.agg(count(lit(1)).as("n_after_exact")))
+        .crossJoin(kept2.agg(count(lit(1)).as("n_after_fingerprint")))
+        .crossJoin(dropped3.agg(count(lit(1)).as("__nd")))
+        .select(col("n_raw"), col("n_after_exact"),
+          col("n_after_fingerprint"),
+          (col("n_after_fingerprint") - col("__nd")).as("n_after_neardup"),
+          round((col("n_after_fingerprint") - col("__nd")).cast("double") /
+            col("n_raw"), 9).as("retention"))
+    }),
+
+    // BPE FERTILITY PER LANGUAGE — the tokenizer-cost report a
+    // multilingual pipeline reads before setting sampling budgets:
+    // model tokens per whitespace word (fertility) and chars per model
+    // token under the PRODUCTION ~50k-merge vocab (the q120 broadcast
+    // expression; the oracle replays the SAME persisted merges
+    // parquet). One scan, one map-side-combined per-lang aggregate.
+    "q180_bpe_fertility" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.select(col("lang"),
+          Bpe.tableTokenCount(s, col("text")).as("__bpe"),
+          TextOps.tokenCount(col("text")).cast("long").as("__ws"),
+          length(col("text")).cast("long").as("__chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__bpe")).as("bpe_tokens"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__chars")).as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+          col("ws_tokens"), col("total_chars"),
+          when(col("ws_tokens") === 0, lit(0.0))
+            .otherwise(round(col("bpe_tokens").cast("double") /
+              col("ws_tokens"), 9)).as("fertility"),
+          when(col("bpe_tokens") === 0, lit(0.0))
+            .otherwise(round(col("total_chars").cast("double") /
+              col("bpe_tokens"), 9)).as("chars_per_bpe"))
+    }),
+
+    // TEMPERATURE-SAMPLING MIX (α = 0.5) — the per-source sampling
+    // weights multilingual/multi-source LM training uses to up-weight
+    // small sources: w_s ∝ (n_s/N)^0.5, normalized. sqrt is the ONE
+    // safe transcendental-adjacent op (IEEE-754 requires correct
+    // rounding, so Spark and DuckDB agree bit-for-bit — unlike ln/exp,
+    // which need the fixture device); each sqrt rounds to 9 and the
+    // normalizer sums exact nano-units, so the whole table is
+    // oracle-exact. Source-count-sized everywhere past one scan.
+    "q181_temperature_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val per = t.documents.select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("__n"))
+        .groupBy(col("source")).agg(sum(col("__n")).as("n_tokens"))
+        .localCheckpoint() // 20-row metadata; feeds total + both ratios
+      val sq = per
+        .crossJoin(per.agg(sum(col("n_tokens")).as("__N")))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("__N"), 9).as("p"),
+          round(round(sqrt(col("n_tokens").cast("double") / col("__N")), 9)
+            * 1e9, 0).cast("long").as("__sqn"))
+      sq.crossJoin(sq.agg(sum(col("__sqn")).as("__z")))
+        .select(col("source"), col("n_tokens"), col("p"),
+          round(col("__sqn").cast("double") / col("__z").cast("double"), 9)
+            .as("weight"))
+    }),
+
+    // QUALITY-GATE CALIBRATION — the threshold-sweep table that picks
+    // q172's operating point (the q178 discipline for the model
+    // scorer): per candidate per-token threshold θ (milli-units), how
+    // many documents pass. score ≥ θ/1000 ⇔ margin_milli ≥ θ·n_tokens
+    // — pure integer arithmetic, no float boundary anywhere. One
+    // zero-shuffle scoring scan + a broadcast 5-row threshold table.
+    "q182_quality_calibration" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val s2 = s
+      import s2.implicits._
+      val scored = graft.llm.QualityModel.scoreDocs(t.documents)
+        .select(col("n_tokens"), col("margin_milli"))
+        .localCheckpoint() // two skinny longs per doc; feeds total + sweep
+      val thetas = Seq(-200L, -100L, 0L, 100L, 200L).toDF("theta_milli")
+      val kept = scored.crossJoin(broadcast(thetas))
+        .filter(col("margin_milli") >= col("theta_milli") * col("n_tokens"))
+        .groupBy(col("theta_milli")).agg(count(lit(1)).as("n_kept"))
+      thetas.join(kept, Seq("theta_milli"), "left")
+        .crossJoin(scored.agg(count(lit(1)).as("__tot")))
+        .select(col("theta_milli"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("__tot"), 9).as("kept_frac"))
     })
   )
 
@@ -2459,6 +2570,25 @@ object LlmQueries {
         (col("doc_id") + 1000000L).as("doc_id"),
         substring(col("text"), lit(1),
           greatest(length(col("text")) - 10, lit(1))).as("text")))
+
+  /** q179's funnel corpus: documents plus a planted drop for EVERY
+    * stage — verbatim copies (exact stage), uppercased copies
+    * (fingerprint stage — same normalized content, different md5),
+    * truncated twins (near-dup stage, the q27 plant). Originals carry
+    * the smallest ids, so every keep-first rule keeps them.
+    */
+  private def funnelCorpus(t: Tables): DataFrame = {
+    val d = t.documents
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), lit(1),
+          greatest(length(col("text")) - 10, lit(1))).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+  }
 
   /** q169's ingest batch, ids fresh above the corpus (base + twins):
     * every 3rd embedding lightly re-perturbed (a near-dup of its base —
@@ -5353,6 +5483,114 @@ object LlmQueries {
                CAST(n - COALESCE(nd, 0) AS BIGINT) AS n_kept,
                ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / n, 9) + 0.0
                  AS drop_frac
-        FROM taus t LEFT JOIN drops USING (tau) CROSS JOIN tot"""
+        FROM taus t LEFT JOIN drops USING (tau) CROSS JOIN tot""",
+
+    // Funnel twin: the same planted corpus rebuilt from ids, exact md5
+    // keep-first, the q24 normalized-fingerprint keep-first, then the
+    // q40 exact-pair + recursive-CC near-dup stage over the survivors.
+    "q179_dedup_funnel" ->
+      s"""WITH RECURSIVE fcorpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1))
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, upper(text) FROM documents
+            WHERE doc_id % 13 = 0),
+          k1 AS MATERIALIZED (
+            SELECT c.doc_id, c.text FROM fcorpus c
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM fcorpus
+                  GROUP BY md5(text)) k USING (doc_id)),
+          k2 AS MATERIALIZED (
+            SELECT c.doc_id, c.text FROM k1 c
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM k1
+                  GROUP BY md5(trim(regexp_replace(regexp_replace(
+                    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+              k USING (doc_id)),
+          ${sqlPairCtes("k2")},
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (SELECT a, LEAST(a, b) FROM edges
+                         UNION
+                         SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id),
+          d3 AS (SELECT COUNT(*) AS nd FROM comp WHERE id <> keep)
+        SELECT (SELECT COUNT(*) FROM fcorpus) AS n_raw,
+               (SELECT COUNT(*) FROM k1) AS n_after_exact,
+               (SELECT COUNT(*) FROM k2) AS n_after_fingerprint,
+               (SELECT COUNT(*) FROM k2) - nd AS n_after_neardup,
+               ROUND(CAST((SELECT COUNT(*) FROM k2) - nd AS DOUBLE)
+                 / (SELECT COUNT(*) FROM fcorpus), 9) + 0.0 AS retention
+        FROM d3""",
+
+    // Fertility twin: per-doc model-token counts replayed from the
+    // SAME persisted merges parquet (the q120 device), aggregated per
+    // language with the identical guarded divisions.
+    "q180_bpe_fertility" ->
+      s"""WITH RECURSIVE
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          ${Bpe.sqlTableCtes},
+          perdoc AS (
+            SELECT d.lang, COALESCE(dt.n_bpe, 0) AS bpe,
+                   CAST(len($sqlToks) AS BIGINT) AS ws,
+                   CAST(length(d.text) AS BIGINT) AS chars
+            FROM documents d LEFT JOIN dtok dt USING (doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               CASE WHEN SUM(ws) = 0 THEN 0.0
+                    ELSE ROUND(CAST(SUM(bpe) AS DOUBLE)
+                      / CAST(SUM(ws) AS DOUBLE), 9) END + 0.0 AS fertility,
+               CASE WHEN SUM(bpe) = 0 THEN 0.0
+                    ELSE ROUND(CAST(SUM(chars) AS DOUBLE)
+                      / CAST(SUM(bpe) AS DOUBLE), 9) END + 0.0
+                 AS chars_per_bpe
+        FROM perdoc GROUP BY lang""",
+
+    // Temperature-mix twin: sqrt is correctly rounded by IEEE-754 in
+    // both engines, so round9 values agree bit-for-bit; the normalizer
+    // sums exact nano-units.
+    "q181_temperature_mix" ->
+      s"""WITH per AS (SELECT source,
+                 CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n FROM per),
+          sq AS (SELECT source, n_tokens,
+                   ROUND(CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                     + 0.0 AS p,
+                   CAST(ROUND(ROUND(sqrt(CAST(n_tokens AS DOUBLE)
+                     / CAST(n AS DOUBLE)), 9) * 1e9, 0) AS BIGINT) AS sqn
+                 FROM per CROSS JOIN tot),
+          z AS (SELECT CAST(SUM(sqn) AS BIGINT) AS z FROM sq)
+        SELECT source, n_tokens, p,
+               ROUND(CAST(sqn AS DOUBLE) / CAST(z AS DOUBLE), 9) + 0.0
+                 AS weight
+        FROM sq CROSS JOIN z""",
+
+    // Calibration twin: the q172 margin table swept against the same
+    // integer thresholds — score ≥ θ/1000 ⇔ margin ≥ θ·n, all BIGINT.
+    "q182_quality_calibration" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          m AS (SELECT CAST(len(t) AS BIGINT) AS n_tokens,
+                  CAST(COALESCE(list_sum(list_transform(t, tok ->
+                    ((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096)
+                       * 2654435761) % 1000003) % 2001) - 1000)), 0)
+                    AS BIGINT) AS margin
+                FROM tk),
+          thetas AS (SELECT CAST(theta AS BIGINT) AS theta_milli
+                     FROM (VALUES (-200), (-100), (0), (100), (200))
+                     t(theta)),
+          kept AS (SELECT theta_milli, COUNT(*) AS n_kept
+                   FROM thetas JOIN m ON margin >= theta_milli * n_tokens
+                   GROUP BY theta_milli),
+          tot AS (SELECT COUNT(*) AS n FROM m)
+        SELECT t.theta_milli, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               ROUND(CAST(COALESCE(n_kept, 0) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 9) + 0.0 AS kept_frac
+        FROM thetas t LEFT JOIN kept USING (theta_milli) CROSS JOIN tot"""
   )
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-16 report queries (q179–q182) against independent
+  * recomputes on the sf0.001 corpus: the funnel's exact stages equal
+  * distinct-count ground truth, the temperature mix matches a JVM
+  * sqrt/round recompute bit-for-bit, and the calibration sweep equals
+  * brute-force filtering of the q172 scorer.
+  */
+class SelectionReportsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q179 funnel: exact stages equal distinct-count ground truth") {
+    val row = graft.SparkEntry.queries("q179_dedup_funnel")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val (nRaw, nExact, nFp, nNd, retention) = row
+    val d = graft.Tables(spark, dir).documents
+    val n = d.count()
+    // corpus = docs + twins + verbatim copies (%10) + upper copies (%13)
+    val nCopies = d.filter(pmod(col("doc_id"), lit(10)) === 0).count()
+    val nUpper = d.filter(pmod(col("doc_id"), lit(13)) === 0).count()
+    assert(nRaw === 2 * n + nCopies + nUpper)
+    // exact stage: one representative per distinct md5 of the corpus —
+    // verbatim copies collapse onto their originals
+    assert(nExact === nRaw - nCopies,
+      "every planted verbatim copy (and nothing else) drops at exact")
+    // fingerprint stage: uppercased copies collapse onto originals
+    assert(nFp === nExact - nUpper,
+      "every planted uppercase copy (and nothing else) drops at fingerprint")
+    // near-dup stage drops the truncated twins plus genuine
+    // original-original near-dups (the synthetic corpus has them);
+    // it must drop SOMETHING and never grow
+    assert(nNd < nFp && nNd > 0)
+    val r9 = BigDecimal(nNd.toDouble / nRaw)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(retention === r9)
+  }
+
+  test("q181 temperature mix matches the JVM sqrt/round recompute") {
+    val got = graft.SparkEntry.queries("q181_temperature_mix")(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val counts = got.map { case (s, (nt, _, _)) => s -> nt }
+    val total = counts.values.sum.toDouble
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nanos = counts.map { case (s, nt) =>
+      s -> math.round(r9(math.sqrt(nt.toDouble / total)) * 1e9)
+    }
+    val z = nanos.values.sum.toDouble
+    counts.foreach { case (s, nt) =>
+      val (_, p, w) = got(s)
+      assert(p === r9(nt.toDouble / total), s"source $s p")
+      assert(w === r9(nanos(s) / z), s"source $s weight")
+    }
+    // weights form a distribution up to round-9 noise, and the sqrt
+    // tempering flattens: every weight sits between p and uniform
+    val wsum = got.values.map(_._3).sum
+    assert(math.abs(wsum - 1.0) < 1e-6)
+  }
+
+  test("q182 calibration equals brute-force filtering of the scorer") {
+    val got = graft.SparkEntry.queries("q182_quality_calibration")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val scored = graft.llm.QualityModel
+      .scoreDocs(graft.Tables(spark, dir).documents)
+      .select(col("n_tokens"), col("margin_milli"))
+      .as[(Long, Long)].collect()
+    Seq(-200L, -100L, 0L, 100L, 200L).foreach { th =>
+      val kept = scored.count { case (n, m) => m >= th * n }
+      assert(got(th)._1 === kept.toLong, s"theta $th")
+    }
+    // monotone: raising the bar never keeps more
+    val ks = Seq(-200L, -100L, 0L, 100L, 200L).map(got(_)._1)
+    assert(ks === ks.sorted.reverse)
+  }
+
+  test("q180 fertility: BPE cost at least one token per word, sums consistent") {
+    val rows = graft.SparkEntry.queries("q180_bpe_fertility")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, bpe, ws, chars, fert, cpb) =>
+      assert(nDocs > 0 && bpe >= ws,
+        s"$lang: every whitespace word costs >= 1 model token")
+      assert(fert >= 1.0 && cpb > 0.0, s"$lang ratios")
+    }
+    val direct = {
+      val t = graft.Tables(spark, dir)
+      t.documents.select(
+          graft.llm.Bpe.tableTokenCount(spark, col("text")).as("b"))
+        .agg(sum(col("b"))).as[Long].collect().head
+    }
+    assert(rows.map(_._3).sum === direct,
+      "per-lang BPE sums must re-add to the direct corpus total")
+  }
+}
