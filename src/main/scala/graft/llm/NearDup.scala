@@ -124,21 +124,42 @@ object NearDup {
         array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
+  /** Modulus of the derived MinHash permutation family — a prime just
+    * above 2^32, so (a·h + b) stays far under 2^63 for 32-bit h and
+    * a ≤ 10^6.
+    */
+  val MinHashP: Long = 4294967311L
+
   /** md5-derived MinHash signature — the ORACLE-ABLE twin of
     * [[minhashSignature]] (the q78 `simhashMd5` / q95 CMS pattern):
-    * perm i hashes shingle g as the first 15 md5 hex chars of "i:g"
-    * read as a long, so any engine with md5 reproduces the signature
-    * bit-for-bit. Production banding uses the xxhash64 family; this
-    * one exists so LSH OPERATING-POINT decisions (candidate counts,
-    * recall/precision per band config) can be driver-verified
-    * end-to-end. Callers pass distinct shingle sets with ≥ 1 element
-    * (the [[shingleSets]] contract).
+    * each shingle hashes ONCE (first 8 md5 hex chars as a 32-bit
+    * integer) and perm i is the derived affine map h ↦ (aᵢ·h + bᵢ)
+    * mod [[MinHashP]] (Broder's one-hash family) with id-derived
+    * integer coefficients — every step BIGINT arithmetic any engine
+    * reproduces. Structured as a fold over the PRE-HASHED long array
+    * (the `minhashSignatureGeneric` loop order): md5 runs |shingles|
+    * times, not |shingles| × numHashes — the interpreted-HOF evaluator
+    * re-inlines lambda subtrees per index, so hashing inside the
+    * per-perm lambda would multiply the md5 cost by numHashes
+    * (measured 8.5 → 2.8 s on q177 at sf0.1). Production banding uses
+    * the xxhash64 family; this one exists so LSH OPERATING-POINT
+    * decisions (candidate counts, recall/precision per band config)
+    * can be driver-verified end-to-end. Callers pass distinct shingle
+    * sets with ≥ 1 element (the [[shingleSets]] contract).
     */
-  def minhashMd5Sig(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, g =>
-        conv(substring(md5(concat(i.cast("string"), lit(":"), g)), 1, 15),
-          16, 10).cast("long"))))
+  def minhashMd5Sig(shingles: Column, numHashes: Int): Column = {
+    val hv = transform(shingles, g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    aggregate(hv,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => {
+          val a = pmod(i.cast("long") * lit(2654435761L), lit(1000003L)) + 1L
+          val b = pmod(i.cast("long") * lit(40503L) + 1L, lit(MinHashP))
+          pmod(a * h + b, lit(MinHashP))
+        }),
+        (x, y) => least(x, y)))
+  }
 
   /** LSH BAND-TUNING CURVE — the operating-point table a near-dup
     * deployment reads before pinning (bands, rows-per-band), the q154
@@ -163,7 +184,8 @@ object NearDup {
                        numHashes: Int = 16,
                        configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
                        truthNumHashes: Int = 48, truthBands: Int = 16,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L,
+                       truthPairs: Option[DataFrame] = None): DataFrame = {
     require(configs.nonEmpty, "at least one (bands, rowsPerBand) config")
     configs.foreach { case (b, r) =>
       require(b * r == numHashes,
@@ -196,8 +218,12 @@ object NearDup {
         col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
       .localCheckpoint() // feeds the per-config count AND the truth join
-    val truth = nearDupPairs(df, idCol, textCol, threshold, shingleN,
-        truthNumHashes, truthBands, seed)
+    // ground truth: caller-persisted (id_a, id_b) pairs — the corpus
+    // artifact a real deployment keeps next to its index — or a fresh
+    // verified pass at the pinned production setting
+    val truth = truthPairs.getOrElse(
+        nearDupPairs(df, idCol, textCol, threshold, shingleN,
+          truthNumHashes, truthBands, seed))
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // feeds the global count AND the grading join
     val nt = truth.agg(count(lit(1)).as("n_truth"))

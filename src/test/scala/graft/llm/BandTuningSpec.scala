@@ -22,19 +22,23 @@ class BandTuningSpec extends SparkSpec {
       .localCheckpoint()
   }
 
-  test("md5 signature matches an independent JVM recompute") {
+  test("md5-derived signature matches an independent JVM recompute") {
     val row = NearDup.shingleSets(corpus, "doc_id", "text", 3)
       .filter(col("__id") === 0L)
       .select(col("__sh"), NearDup.minhashMd5Sig(col("__sh"), 4).as("__sig"))
       .as[(Seq[String], Seq[Long])].collect().head
     val (shingles, sig) = row
     val md = java.security.MessageDigest.getInstance("MD5")
-    def h(i: Int, g: String): Long = {
-      val hex = md.digest(s"$i:$g".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
+    def h(g: String): Long = {
+      val hex = md.digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
     }
-    val ref = (0 until 4).map(i => shingles.map(g => h(i, g)).min)
+    val p = NearDup.MinHashP
+    val ref = (0 until 4).map { i =>
+      val a = (i.toLong * 2654435761L) % 1000003L + 1L
+      val b = (i.toLong * 40503L + 1L) % p
+      shingles.map(g => (a * h(g) + b) % p).min
+    }
     assert(sig === ref)
   }
 
