@@ -95,6 +95,39 @@ object Dsir {
         coalesce(col("__s"), lit(0L)).as("__s"))
   }
 
+  /** [[scoreDocs]] with the model INLINED as a literal map — the
+    * zero-shuffle/zero-state form for a stream (or any caller that
+    * can hold the ≤ [[NumBuckets]]-entry model driver-side): the
+    * whole score folds inside the scan projection, so a streaming
+    * gate needs no aggregation state at all. Bit-identical to
+    * [[scoreDocs]] over the same persisted model (DsirSpec pins it):
+    * both sum the identical nano-units. `llrNano` is the persisted
+    * table's (bucket → round9(llr)·10⁹) entries.
+    */
+  def scoreDocsInline(docs: DataFrame, llrNano: Map[Long, Long],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(llrNano.nonEmpty && llrNano.size <= NumBuckets,
+      s"model must hold 1..$NumBuckets buckets, got ${llrNano.size}")
+    val m = typedLit(llrNano)
+    val sum = aggregate(
+      transform(TextOps.tokens(col(textCol)),
+        t => coalesce(element_at(m, bucket(t)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      round(sum.cast("double") / 1e9, 9).as("score"))
+  }
+
+  /** Load a persisted [[llrTable]] into the inline-model form —
+    * KB-bounded by the [[NumBuckets]] contract (the one sanctioned
+    * driver-side collect in this family).
+    */
+  def loadModel(llr: DataFrame): Map[Long, Long] =
+    llr.select(col("bucket"),
+        round(col("llr") * 1e9, 0).cast("long").as("__nano"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Deterministic top-fraction selection — the resampling step with
     * the Gumbel noise replaced by the (score desc, id asc) total order
     * (seeded-sampling variants keep the identical pipeline shape; the

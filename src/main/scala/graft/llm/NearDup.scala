@@ -161,6 +161,35 @@ object NearDup {
         (x, y) => least(x, y)))
   }
 
+  /** Banded bucket keys of an md5-family signature: band i's key is
+    * the md5 of its rows-per-band slice (":"-joined decimal longs) —
+    * the engine-reproducible sibling of [[lshBands]], shared by the
+    * tuning curve and the band-index maintenance query.
+    */
+  def md5LshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      bi => struct(bi.cast("int").as("band"),
+        md5(concat_ws(":",
+          transform(slice(sig, bi * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("bh")))
+
+  /** The (id, band, bh) band table of a corpus under the md5-derived
+    * family at one (bands, rowsPerBand) config — the engine-checkable
+    * form of the persisted near-dup index ([[bandIndex]] is its
+    * xxhash64 production sibling).
+    */
+  def md5BandTable(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    shingleSets(df, idCol, textCol, shingleN)
+      .select(col("__id"), minhashMd5Sig(col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"),
+        explode(md5LshBands(col("__sig"), bands, numHashes / bands))
+          .as("__bb"))
+      .select(col("__id"), col("__bb.band").as("band"), col("__bb.bh").as("bh"))
+  }
+
   /** LSH BAND-TUNING CURVE — the operating-point table a near-dup
     * deployment reads before pinning (bands, rows-per-band), the q154
     * recall-curve discipline for the LEXICAL family: ONE md5-family
@@ -199,11 +228,7 @@ object NearDup {
     val bandRows = configs.map { case (b, r) =>
       sigs.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("__id"),
-          explode(transform(sequence(lit(0), lit(b - 1)),
-            bi => struct(bi.cast("int").as("band"),
-              md5(concat_ws(":",
-                transform(slice(col("__sig"), bi * r + 1, lit(r)),
-                  v => v.cast("string")))).as("bh")))).as("__bb"))
+          explode(md5LshBands(col("__sig"), b, r)).as("__bb"))
         .select(col("bands"), col("rows_per_band"), col("__id"),
           col("__bb.band").as("band"), col("__bb.bh").as("bh"))
     }.reduce(_ unionByName _).localCheckpoint() // both self-join sides

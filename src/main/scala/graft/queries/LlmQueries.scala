@@ -2317,6 +2317,58 @@ object LlmQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           round(coalesce(col("n_kept"), lit(0L)).cast("double") /
             col("__tot"), 9).as("kept_frac"))
+    }),
+
+    // MODEL-SCORE DRIFT MONITOR — the ops check that catches a crawl
+    // source going off-distribution THROUGH THE MODEL'S EYES: per
+    // source, TVD between the base corpus's per-token margin
+    // distribution and an ingest batch's (here the batch plants five
+    // drift tokens per doc). Per-token margin = ⌊margin_milli /
+    // n_tokens⌋ — FLOOR of one double division (the q46 device; `div`
+    // truncates toward zero in Spark but floors in DuckDB, so integer
+    // division is the trap here). Reuses q148's exact-integer TVD fold.
+    "q183_model_score_drift" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def ptm(df: DataFrame): DataFrame = df
+        .select(col("source"),
+          graft.llm.QualityModel.marginMilli(col("text")).as("__m"),
+          TextOps.tokenCount(col("text")).cast("long").as("__n"))
+        .filter(col("__n") > 0)
+        .select(col("source"),
+          floor(col("__m").cast("double") / col("__n")).cast("long")
+            .as("__ptm"))
+      val batch = t.documents.select(col("source"),
+        concat(col("text"), lit(" drift1 drift2 drift3 drift4 drift5"))
+          .as("text"))
+      graft.operators.FeatureDrift.tvd(ptm(t.documents), ptm(batch),
+        Seq("source"), "__ptm", binWidth = 50.0)
+    }),
+
+    // BAND-INDEX GROWTH REPORT — q164's state-update metric for the
+    // LEXICAL NEAR-DUP index (the artifact CorpusDedup.cleanAgainst /
+    // DocStream.nearDupFlags probe): the PERSISTED md5-family band
+    // table absorbed with an ingest batch — index rows, distinct
+    // buckets before, the batch's rows, genuinely new buckets (the
+    // left-anti survivors a merge adds), buckets after. Fresh batch
+    // ids union disjointly, so rows are purely additive and the
+    // interesting metric is bucket-space growth. Metadata-sized
+    // output at any corpus scale.
+    "q184_band_index_growth" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val idx = s.read.parquet(ensureBandIndexFixture(s, dir))
+      val batch = NearDup.md5BandTable(incrementalBatch(t), "doc_id",
+        "text", shingleN = 3, numHashes = 16, bands = 8).localCheckpoint()
+      val idxB = idx.select(col("band"), col("bh")).distinct()
+        .localCheckpoint() // feeds the count AND the anti join
+      val newB = batch.select(col("band"), col("bh")).distinct()
+        .join(idxB, Seq("band", "bh"), "left_anti")
+      idx.agg(count(lit(1)).as("n_index_rows"))
+        .crossJoin(idxB.agg(count(lit(1)).as("n_buckets")))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch_rows")))
+        .crossJoin(newB.agg(count(lit(1)).as("n_new_buckets")))
+        .select(col("n_index_rows"), col("n_buckets"), col("n_batch_rows"),
+          col("n_new_buckets"),
+          (col("n_buckets") + col("n_new_buckets")).as("n_buckets_after"))
     })
   )
 
@@ -2571,6 +2623,25 @@ object LlmQueries {
         (col("doc_id") + 1000000L).as("doc_id"),
         substring(col("text"), lit(1),
           greatest(length(col("text")) - 10, lit(1))).as("text")))
+
+  // bump when the band-index recipe changes
+  private val bandIndexVersion = 1
+
+  /** Build-once persisted md5-family band index of the base documents
+    * for q184 — the lexical near-dup state an ingest pipeline
+    * maintains (16 hashes, 8 bands × 2 rows). Batch appends read ONLY
+    * this parquet.
+    */
+  private def ensureBandIndexFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"band_index_${sfName}_v$bandIndexVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      NearDup.md5BandTable(Tables(s, dir).documents, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8)
+    }
+    path
+  }
 
   // bump when the truth recipe changes
   private val lshTruthVersion = 1
@@ -2918,6 +2989,35 @@ object LlmQueries {
 
   // Shared by the q27 and q36 oracles: pairs over the full corpus.
   private def sqlExactPairCtes: String = s"$sqlCorpusCte, ${sqlPairCtes("corpus")}"
+
+  /** md5-family band rows of relation `src(doc_id, text)` under the
+    * pinned (16 hashes, 8 bands × 2 rows) config — CTE names prefixed
+    * with `p` so two corpora can band in one query (the q184 twin).
+    * Mirrors NearDup.md5BandTable / minhashMd5Sig / md5LshBands.
+    */
+  private def sqlMd5BandCtes(p: String, src: String): String =
+    s"""${p}tok AS (SELECT doc_id, $sqlToks AS toks FROM $src),
+          ${p}sh AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN []
+                 ELSE list_distinct(list_transform(range(0, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) END AS sh
+            FROM ${p}tok),
+          ${p}hv AS (SELECT doc_id,
+                       list_transform(sh, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hv
+                     FROM ${p}sh WHERE len(sh) > 0),
+          ${p}sig AS MATERIALIZED (
+            SELECT doc_id, list_transform(range(0, 16),
+                i -> list_min(list_transform(hv,
+                  h -> (((i * 2654435761) % 1000003 + 1) * h
+                        + (i * 40503 + 1) % 4294967311)
+                       % 4294967311))) AS sig
+            FROM ${p}hv),
+          ${p}bt AS MATERIALIZED (
+            SELECT doc_id, CAST(bi AS INT) AS band,
+                   md5(array_to_string(list_transform(
+                     list_slice(sig, bi * 2 + 1, bi * 2 + 2),
+                     x -> CAST(x AS VARCHAR)), ':')) AS bh
+            FROM ${p}sig, unnest(range(0, 8)) AS u(bi))"""
 
   // Exact cosine top-5 for probes vec_id < 10 — the ground truth for
   // both q21 (brute force) and q26 (IVF with every list probed, which
@@ -5618,6 +5718,70 @@ object LlmQueries {
         SELECT t.theta_milli, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
                ROUND(CAST(COALESCE(n_kept, 0) AS DOUBLE)
                  / CAST(n AS DOUBLE), 9) + 0.0 AS kept_frac
-        FROM thetas t LEFT JOIN kept USING (theta_milli) CROSS JOIN tot"""
+        FROM thetas t LEFT JOIN kept USING (theta_milli) CROSS JOIN tot""",
+
+    // Drift-monitor twin: the q172 margin program on both sides (batch
+    // = planted drift suffix), per-token value by FLOOR of one double
+    // division, then q148's exact-integer TVD fold per source.
+    "q183_model_score_drift" -> {
+      def side(name: String, src: String) =
+        s"""${name}m AS (
+              SELECT source, CAST(len(t) AS BIGINT) AS n,
+                CAST(COALESCE(list_sum(list_transform(t, tok ->
+                  ((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096)
+                     * 2654435761) % 1000003) % 2001) - 1000)), 0)
+                  AS BIGINT) AS m
+              FROM (SELECT source, $sqlToks AS t FROM $src) x),
+            ${name}v AS (
+              SELECT source,
+                CAST(FLOOR(CAST(FLOOR(CAST(m AS DOUBLE) / n) AS BIGINT)
+                  / 5e1) AS BIGINT) AS bin
+              FROM ${name}m WHERE n > 0)"""
+      s"""WITH bsrc AS (SELECT source,
+                 text || ' drift1 drift2 drift3 drift4 drift5' AS text
+               FROM documents),
+          ${side("t", "documents")},
+          ${side("b", "bsrc")},
+          tr AS (SELECT source, bin, COUNT(*) AS nt FROM tv GROUP BY 1, 2),
+          bt AS (SELECT source, bin, COUNT(*) AS nb FROM bv GROUP BY 1, 2),
+          j AS (SELECT COALESCE(tr.source, bt.source) AS source,
+                       COALESCE(tr.bin, bt.bin) AS bin,
+                       COALESCE(nt, 0) AS nt, COALESCE(nb, 0) AS nb
+                FROM tr FULL OUTER JOIN bt
+                  ON tr.source = bt.source AND tr.bin = bt.bin),
+          tot AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS n_train,
+                         CAST(SUM(nb) AS BIGINT) AS n_new
+                  FROM j GROUP BY 1)
+        SELECT j.source, t.n_train, t.n_new,
+          CASE WHEN t.n_train = 0 OR t.n_new = 0 THEN 1e0 ELSE
+            ROUND(CAST(SUM(ABS(nb * t.n_train - nt * t.n_new)) AS DOUBLE)
+              / (CAST(t.n_train AS DOUBLE) * CAST(t.n_new AS DOUBLE) * 2e0),
+              9) + 0.0
+          END AS tvd
+        FROM j JOIN tot t USING (source)
+        GROUP BY 1, 2, 3"""
+    },
+
+    // Band-growth twin: both corpora banded from raw text under the
+    // identical derived family; new buckets by EXCEPT.
+    "q184_band_index_growth" ->
+      s"""WITH batch AS (
+            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3),
+          ${sqlMd5BandCtes("c", "documents")},
+          ${sqlMd5BandCtes("b", "batch")},
+          ib AS (SELECT DISTINCT band, bh FROM cbt),
+          bb AS (SELECT DISTINCT band, bh FROM bbt),
+          nb AS (SELECT COUNT(*) AS n FROM
+                 (SELECT band, bh FROM bb EXCEPT SELECT band, bh FROM ib))
+        SELECT (SELECT COUNT(*) FROM cbt) AS n_index_rows,
+               (SELECT COUNT(*) FROM ib) AS n_buckets,
+               (SELECT COUNT(*) FROM bbt) AS n_batch_rows,
+               (SELECT n FROM nb) AS n_new_buckets,
+               (SELECT COUNT(*) FROM ib) + (SELECT n FROM nb)
+                 AS n_buckets_after"""
   )
 }

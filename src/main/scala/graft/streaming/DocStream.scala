@@ -58,6 +58,17 @@ object DocStream {
   def modelGate(docs: DataFrame): DataFrame =
     graft.llm.QualityModel.scoreDocs(docs)
 
+  /** Stateless DSIR gate — the streaming twin of the batch q173
+    * scorer: arriving documents scored by the persisted hashed-unigram
+    * log-likelihood-ratio model with the model INLINED as a literal
+    * map (≤ 1024 entries by the Dsir.NumBuckets contract), so the
+    * whole score folds inside the scan projection — zero state, zero
+    * shuffle. Pass `Dsir.loadModel(spark.read.parquet(modelPath))`.
+    * Stream ≡ batch is DocStreamSpec-pinned.
+    */
+  def dsirGate(docs: DataFrame, llrNano: Map[Long, Long]): DataFrame =
+    graft.llm.Dsir.scoreDocsInline(docs, llrNano)
+
   /** The composed intake: dedup within the watermark, then gate and
     * scrub — the streaming twin of the batch pipeline's first stages.
     */

@@ -72,6 +72,24 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("inline (literal-map) scoring is bit-identical to the join form") {
+    val llr = Dsir.llrTable(target, raw)
+    val viaJoin = Dsir.scoreDocs(raw, llr)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val viaMap = Dsir.scoreDocsInline(raw, Dsir.loadModel(llr))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(viaMap === viaJoin)
+  }
+
+  test("inline scoring is a zero-shuffle scan projection") {
+    val llr = Dsir.loadModel(Dsir.llrTable(target, raw))
+    val plan = Dsir.scoreDocsInline(raw, llr)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inline DSIR scoring must not shuffle:\n$plan")
+  }
+
   test("selectTopFraction equals the sorted (score desc, id) prefix") {
     val scored = Dsir.scoreDocs(raw, Dsir.llrTable(target, raw))
     val got = Dsir.selectTopFraction(scored, denom = 3)

@@ -69,6 +69,31 @@ class DocStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dsirGate: stream scoring ≡ the batch q173 scorer over the same model") {
+    implicit val sq = spark.sqlContext
+    val target = Seq((1L, "good clean prose with usual words"))
+      .toDF("doc_id", "text")
+    val rawDocs = Seq(
+      Doc(1, "good clean prose with usual words", ts(1)),
+      Doc(2, "zzz spam qqq", ts(2)),
+      Doc(3, "", ts(3)))
+    val raw = rawDocs.toDF().select(col("doc_id"), col("text"))
+    val llr = graft.llm.Dsir.llrTable(target, raw)
+    val model = graft.llm.Dsir.loadModel(llr)
+    val source = MemoryStream[Doc]
+    val q = DocStream.dsirGate(source.toDF(), model).writeStream
+      .format("memory").queryName("dsirgate").outputMode("append").start()
+    source.addData(rawDocs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsirgate")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val expected = graft.llm.Dsir.scoreDocs(raw, llr)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("dedup state is watermark-bounded: the same content far later passes again") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Doc]
