@@ -2382,6 +2382,34 @@ object LlmQueries {
         .select(col("n_index_rows"), col("n_buckets"), col("n_batch_rows"),
           col("n_new_buckets"),
           (col("n_buckets") + col("n_new_buckets")).as("n_buckets_after"))
+    }),
+
+    // INGEST-TO-RELEASE COMPOSITION — the four-stage release pipeline
+    // in its modern "cut, don't drop" form (q121 drops contaminated
+    // DOCUMENTS; this surgically removes the quoted SPANS and keeps
+    // the hosts): exact md5 keep-first → model-quality gate (q172's
+    // margin ≥ 0, a pure scan predicate) → span-level benchmark
+    // decontamination (q165's cut program) → md5-anchored release
+    // rows with a stateless hash shard (no rank pass — the shard key
+    // derives from the released bytes, so placement is reproducible
+    // from content alone). Every stage exact; one gram pass total.
+    "q185_release_pipeline" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val train = deconTrain(t)
+      val kept = train.join(
+        train.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val gated = kept
+        .filter(graft.llm.QualityModel.marginMilli(col("text")) >= 0)
+        .localCheckpoint() // feeds the cut-list build AND applyCuts
+      graft.llm.ExactSubstr.applyCuts(gated,
+          graft.llm.ExactSubstr.decontaminateCuts(gated, deconBench(t), L = 8))
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_md5"),
+          pmod(conv(substring(md5(col("clean_text")), 1, 8), 16, 10)
+            .cast("long"), lit(8L)).as("shard"))
     })
   )
 
@@ -5795,6 +5823,63 @@ object LlmQueries {
                (SELECT COUNT(*) FROM bbt) AS n_batch_rows,
                (SELECT n FROM nb) AS n_new_buckets,
                (SELECT COUNT(*) FROM ib) + (SELECT n FROM nb)
-                 AS n_buckets_after"""
+                 AS n_buckets_after""",
+
+    // Release-pipeline twin: the same four stages from first
+    // principles — exact keep-first, the q172 margin predicate, the
+    // q165/q168 cut + reconstruct program over the gated survivors,
+    // md5-anchored rows with the content-derived shard.
+    "q185_release_pipeline" ->
+      s"""WITH $sqlDeconSides,
+          kept AS (
+            SELECT t.doc_id, t.text FROM train t
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM train
+                  GROUP BY md5(text)) k USING (doc_id)),
+          gtk AS MATERIALIZED (
+            SELECT doc_id, t FROM (SELECT doc_id, $sqlToks AS t FROM kept) x
+            WHERE CAST(COALESCE(list_sum(list_transform(t, tok ->
+                ((((('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096)
+                   * 2654435761) % 1000003) % 2001) - 1000)), 0)
+              AS BIGINT) >= 0),
+          btk AS (SELECT $sqlToks AS t FROM bench),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM gtk WHERE len(t) >= 8) x),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM bg)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS MATERIALIZED (
+            SELECT doc_id, MIN(start) AS start_word,
+                   MAX(start) - MIN(start) + 8 AS span_len
+            FROM isl GROUP BY doc_id, island),
+          tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                            CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+                     FROM gtk),
+          keep AS (SELECT p.doc_id, p.pos, p.tok FROM tokpos p
+                   WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                     WHERE c.doc_id = p.doc_id
+                       AND p.pos >= c.start_word
+                       AND p.pos < c.start_word + c.span_len)),
+          agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+                  FROM keep GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(length(COALESCE(a.txt, '')) AS BIGINT) AS clean_len,
+               md5(COALESCE(a.txt, '')) AS clean_md5,
+               ('0x' || substr(md5(COALESCE(a.txt, '')), 1, 8))::BIGINT % 8
+                 AS shard
+        FROM gtk t LEFT JOIN agg a USING (doc_id)"""
   )
 }

@@ -80,6 +80,40 @@ class SelectionReportsSpec extends SparkSpec {
     assert(ks === ks.sorted.reverse)
   }
 
+  test("q185 release pipeline: gate drops, quotes cut, hosts survive, shard from content") {
+    val out = graft.SparkEntry.queries("q185_release_pipeline")(spark, dir)
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val t = graft.Tables(spark, dir)
+    // the pipeline's own gate recomputed directly: released ids =
+    // exact-kept ∩ margin ≥ 0 (span cuts never remove documents)
+    val train = t.documents
+      .filter(pmod(col("doc_id"), lit(20)) =!= 0).count()
+    assert(out.nonEmpty && out.size < train.toInt,
+      "the margin gate must drop part of the corpus")
+    // every released row's shard re-derives from its own md5 anchor
+    out.values.foreach { case (_, md5hex, shard) =>
+      val ref = java.lang.Long.parseLong(md5hex.take(8), 16) % 8
+      assert(shard === ref)
+    }
+    // a released doc planted with the fixed benchmark question (id ≡ 3
+    // mod 7 among train ids) must have its quote CUT: cleaned text is
+    // shorter than the planted text but non-empty (host survives)
+    val planted = out.keys.filter(id => id % 20 != 0 && id % 7 == 3)
+    assert(planted.nonEmpty, "some planted-quote docs must clear the gate")
+    val lens = t.documents.select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    planted.foreach { id =>
+      val (cleanLen, _, _) = out(id)
+      assert(cleanLen > 0, s"doc $id: host text must survive the cut")
+      // with the quote cut, the cleaned text is the (whitespace-
+      // normalized) host alone — never longer than the unplanted
+      // original; an uncut quote would add its ~80 planted chars
+      assert(cleanLen <= lens(id),
+        s"doc $id: the planted quote must be cut")
+    }
+  }
+
   test("q180 fertility: BPE cost at least one token per word, sums consistent") {
     val rows = graft.SparkEntry.queries("q180_bpe_fertility")(spark, dir)
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
