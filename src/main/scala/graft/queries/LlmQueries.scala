@@ -2410,6 +2410,56 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"),
           pmod(conv(substring(md5(col("clean_text")), 1, 8), 16, 10)
             .cast("long"), lit(8L)).as("shard"))
+    }),
+
+    // RETRIEVAL-QUALITY EVAL — the task-relevance scorecard the
+    // retrieval family was missing (q154 grades ANN against exact ANN;
+    // this grades retrievers against RELEVANCE): ten held-out
+    // near-duplicate queries (truncated-text / perturbed-vector twins
+    // of docs 1-10, NOT in any index) must retrieve their source
+    // document — hits@1/5/10 and MRR@10 per retriever, exact via the
+    // round9-reciprocal nano device. BM25 runs against the persisted
+    // index (zero driver actions); IVF against the pinned quantizer at
+    // the production nProbe = 4 — both fully SQL-recomputable. Query
+    // batches are contract-bounded; the output is two rows at any
+    // corpus scale.
+    "q186_retrieval_eval" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val (idfP, postP, lensP, statsP) = ensureBm25IndexFixture(s, dir)
+      val st = s.read.parquet(statsP).head()
+      val index = graft.llm.Bm25Index(
+        s.read.parquet(postP), s.read.parquet(lensP),
+        st.getAs[Long]("n_docs"), st.getAs[Long]("tot_len"))
+      val twinQ = t.documents
+        .filter(col("doc_id") >= 1 && col("doc_id") <= 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), lit(1),
+            greatest(length(col("text")) - 10, lit(1))).as("text"))
+      val bm = graft.llm.Bm25.topK(index, twinQ, s.read.parquet(idfP),
+          k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t.embeddings
+      val iv = Similarity.ivfTopKWithCentroids(emb,
+          cosineCorpus(t)
+            .filter(col("vec_id") >= 1000001L && col("vec_id") <= 1000010L),
+          centroids = emb.filter(col("vec_id") < 16), k = 10,
+          centroidIdCol = "vec_id", nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      def metrics(ranked: DataFrame, name: String): DataFrame =
+        ranked.filter(col("doc_id") === col("query_id") - 1000000L)
+          .agg(
+            sum(when(col("rank") <= 1, 1L).otherwise(0L)).as("__h1"),
+            sum(when(col("rank") <= 5, 1L).otherwise(0L)).as("__h5"),
+            count(lit(1)).as("__h10"),
+            sum(round(round(lit(1.0) / col("rank"), 9) * 1e9, 0)
+              .cast("long")).as("__rr"))
+          .select(lit(name).as("retriever"), lit(10L).as("n_queries"),
+            coalesce(col("__h1"), lit(0L)).as("hits_at_1"),
+            coalesce(col("__h5"), lit(0L)).as("hits_at_5"),
+            col("__h10").as("hits_at_10"),
+            round(coalesce(col("__rr"), lit(0L)).cast("double") / 1e9 / 10.0,
+              9).as("mrr"))
+      metrics(bm, "bm25").unionByName(metrics(iv, "ivf_pinned"))
     })
   )
 
@@ -5880,6 +5930,99 @@ object LlmQueries {
                md5(COALESCE(a.txt, '')) AS clean_md5,
                ('0x' || substr(md5(COALESCE(a.txt, '')), 1, 8))::BIGINT % 8
                  AS shard
-        FROM gtk t LEFT JOIN agg a USING (doc_id)"""
+        FROM gtk t LEFT JOIN agg a USING (doc_id)""",
+
+    // Retrieval-eval twin: the q146 BM25 program and the q76 pinned-
+    // IVF program, each over the twin queries, graded by the identical
+    // metrics fold (round9-reciprocal nano sums).
+    "q186_retrieval_eval" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bm25_idf_$oracleSfName" + s"_v$bm25IdfVersion/*.parquet"
+      def metricsSql(src: String, name: String) =
+        s"""SELECT '$name' AS retriever, CAST(10 AS BIGINT) AS n_queries,
+              CAST(COALESCE(SUM(CASE WHEN rank <= 1 THEN 1 END), 0) AS BIGINT)
+                AS hits_at_1,
+              CAST(COALESCE(SUM(CASE WHEN rank <= 5 THEN 1 END), 0) AS BIGINT)
+                AS hits_at_5,
+              CAST(COUNT(*) AS BIGINT) AS hits_at_10,
+              ROUND(CAST(CAST(COALESCE(SUM(CAST(ROUND(ROUND(1e0 / rank, 9)
+                  * 1e9, 0) AS BIGINT)), 0) AS BIGINT) AS DOUBLE)
+                / 1e9 / 10e0, 9) + 0.0 AS mrr
+            FROM $src WHERE doc_id = query_id - 1000000"""
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+          lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+                   FROM tf GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM documents),
+          tot AS (SELECT CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+          idf AS (SELECT term, idf FROM read_parquet('$fixture')),
+          tw AS (SELECT doc_id + 1000000 AS query_id,
+                   substring(text, 1, greatest(length(text) - 10, 1)) AS text
+                 FROM documents WHERE doc_id BETWEEN 1 AND 10),
+          qt AS (SELECT DISTINCT query_id, unnest($sqlToks) AS term FROM tw),
+          scored AS (
+            SELECT q.query_id, f.doc_id,
+              CAST(SUM(CAST(ROUND(ROUND(
+                i.idf * ((f.tf * (1.2e0 + 1e0)) /
+                  (f.tf + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * l.len) /
+                    (CAST(tot.tl AS DOUBLE) / nn.n)))), 9) * 1e9, 0)
+                AS BIGINT)) AS BIGINT) AS s
+            FROM qt q
+            JOIN tf f USING (term)
+            JOIN lens l ON l.doc_id = f.doc_id
+            JOIN idf i ON i.term = q.term
+            CROSS JOIN nn CROSS JOIN tot
+            WHERE f.doc_id != q.query_id
+            GROUP BY 1, 2),
+          bmr AS (SELECT query_id, doc_id, rank FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY ROUND(CAST(s AS DOUBLE) / 1e9, 9) DESC, doc_id)
+                      AS rank
+                    FROM scored) t
+                  WHERE rank <= 10),
+          cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id < 16),
+          corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+          ivq AS (SELECT vec_id + 1000000 AS qid,
+                    list_transform(CAST(embedding AS DOUBLE[]),
+                      (x, i) -> x + CAST(0.005 AS DOUBLE)
+                        * CAST((vec_id + i) % 7 - 3 AS DOUBLE)) AS qv
+                  FROM embeddings WHERE vec_id BETWEEN 1 AND 10),
+          asgn AS (
+            SELECT nid, cid FROM (
+              SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY
+                ROUND(list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v))
+                     * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                cid ASC) AS rn
+              FROM corp, cents) t WHERE rn = 1),
+          probes AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                ROUND(list_dot_product(qv, cv)
+                  / (sqrt(list_dot_product(qv, qv))
+                     * sqrt(list_dot_product(cv, cv))), 9) DESC,
+                cid ASC) AS rn
+              FROM ivq, cents) t WHERE rn <= 4),
+          cand AS (
+            SELECT p.qid, a.nid FROM probes p JOIN asgn a ON p.cid = a.cid
+            WHERE p.qid != a.nid),
+          sims AS (
+            SELECT c.qid AS query_id, c.nid AS doc_id,
+              ROUND(list_dot_product(q.qv, corp.v)
+                / (sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(corp.v, corp.v))), 9) AS cos_sim
+            FROM cand c JOIN ivq q ON c.qid = q.qid
+            JOIN corp ON c.nid = corp.nid),
+          ivr AS (SELECT query_id, doc_id, rank FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, doc_id) AS rank
+                    FROM sims) t
+                  WHERE rank <= 10)
+        ${metricsSql("bmr", "bm25")}
+        UNION ALL
+        ${metricsSql("ivr", "ivf_pinned")}"""
+    }
   )
 }

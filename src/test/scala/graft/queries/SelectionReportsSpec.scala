@@ -114,6 +114,22 @@ class SelectionReportsSpec extends SparkSpec {
     }
   }
 
+  test("q186 retrieval eval: twin relevance metrics are consistent and non-vacuous") {
+    val rows = graft.SparkEntry.queries("q186_retrieval_eval")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(rows.keySet === Set("bm25", "ivf_pinned"))
+    rows.foreach { case (name, (nq, h1, h5, h10, mrr)) =>
+      assert(nq === 10L)
+      assert(h1 <= h5 && h5 <= h10 && h10 <= 10L, s"$name hit monotonicity")
+      assert(mrr >= h1 / 10.0 && mrr <= h10 / 10.0 + 1e-9, s"$name mrr bounds")
+    }
+    // perturbed twins sit at cosine ≈ 0.997 — the pinned-IVF side must
+    // retrieve every source at rank 1 (else the eval itself is broken)
+    assert(rows("ivf_pinned")._2 === 10L && rows("ivf_pinned")._5 === 1.0)
+    assert(rows("bm25")._4 > 0L, "lexical side must find some sources")
+  }
+
   test("q180 fertility: BPE cost at least one token per word, sums consistent") {
     val rows = graft.SparkEntry.queries("q180_bpe_fertility")(spark, dir)
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
