@@ -43,21 +43,52 @@ object NgramLm {
           element_at(col("__t"), i + 1).as("w2")))).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
 
-  /** Fit the model: returns (bigramLp (w1, w2, lp), w1Lp (w1, lp_u),
-    * stats (v, lp0)) — the three tables an ingest pipeline persists.
-    * Built as PLANS (no driver action); `localCheckpoint` keeps the
-    * bigram counts from re-tokenizing for their two consumers.
+  /** The MERGEABLE count state a pipeline persists between batches:
+    * (c2 = (w1, w2, c2) exact bigram counts, vocab = the distinct
+    * unigram table). Everything downstream ([[lpTables]]) derives
+    * from these two tables alone, which is what makes the model
+    * incrementally maintainable ([[mergeCounts]]).
     */
-  def fit(corpus: DataFrame, textCol: String = "text")
-      : (DataFrame, DataFrame, DataFrame) = {
+  def fitCounts(corpus: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
     val c2 = bigramTable(corpus.select(lit(0L).as("__id"), col(textCol)),
         "__id", textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
-      .localCheckpoint() // feeds the marginal re-agg AND the lp output
+    val vocab = corpus
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .distinct()
+    (c2, vocab)
+  }
+
+  /** Absorb a fresh-document batch into persisted count state WITHOUT
+    * re-reading the corpus (the q164/q170 index-maintenance
+    * discipline): bigram counts add per (w1, w2) — batch documents
+    * are new, so their transitions are disjoint observations — and
+    * the vocabulary unions. `mergeCounts(fitCounts(c), b) ≡
+    * fitCounts(c ∪ b)` (NgramLmSpec pins it). One tokenize pass over
+    * the BATCH only.
+    */
+  def mergeCounts(c2Old: DataFrame, vocabOld: DataFrame, batch: DataFrame,
+                  textCol: String = "text"): (DataFrame, DataFrame) = {
+    val (bc2, bv) = fitCounts(batch, textCol)
+    val c2 = c2Old.withColumnRenamed("__c2", "__co")
+      .join(bc2.withColumnRenamed("__c2", "__cb"), Seq("w1", "w2"),
+        "full_outer")
+      .select(col("w1"), col("w2"),
+        (coalesce(col("__co"), lit(0L)) + coalesce(col("__cb"), lit(0L)))
+          .as("__c2"))
+    (c2, vocabOld.unionByName(bv).distinct())
+  }
+
+  /** The three log-prob tables from count state — the ONE place ln
+    * runs (in Spark; the tables persist and both engines read them).
+    * `c2` should be checkpointed by the caller when it feeds both the
+    * marginal re-agg and the lp output from an expensive plan.
+    */
+  def lpTables(c2: DataFrame, vocab: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
-    val v = corpus
-      .select(explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .agg(countDistinct(col("__tok")).as("__v"))
+    val v = vocab.agg(count(lit(1)).as("__v"))
     val bigramLp = c2.join(c1, Seq("w1"))
       .crossJoin(v)
       .select(col("w1"), col("w2"),
@@ -70,6 +101,17 @@ object NgramLm {
     val stats = v.select(col("__v").as("v"),
       round(log(lit(1.0) / col("__v").cast("double")), 9).as("lp0"))
     (bigramLp, w1Lp, stats)
+  }
+
+  /** Fit the model: returns (bigramLp (w1, w2, lp), w1Lp (w1, lp_u),
+    * stats (v, lp0)) — the three tables an ingest pipeline persists.
+    * Built as PLANS (no driver action); `localCheckpoint` keeps the
+    * bigram counts from re-tokenizing for their two consumers.
+    */
+  def fit(corpus: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (c2, vocab) = fitCounts(corpus, textCol)
+    lpTables(c2.localCheckpoint(), vocab)
   }
 
   /** Score a document batch under the persisted model: (id, n_bigrams,

@@ -40,6 +40,34 @@ class NgramLmSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq === Seq((3L, refLp0)))
   }
 
+  test("mergeCounts ≡ refit over corpus ∪ batch, lp tables bit-equal") {
+    val batch = Seq(
+      (10L, "a b c a"),   // adds seen transitions + (c,a)
+      (11L, "d d a")      // new vocabulary d
+    ).toDF("doc_id", "text")
+    val full = corpus.unionByName(batch)
+    val (oc2, ov) = NgramLm.fitCounts(corpus)
+    val (mc2, mv) = NgramLm.mergeCounts(oc2, ov, batch)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val (fc2, fv) = NgramLm.fitCounts(full)
+    assert(counts(mc2) === counts(fc2), "merged bigram counts")
+    assert(mv.as[String].collect().toSet === fv.as[String].collect().toSet,
+      "merged vocabulary")
+    // and the lp tables derived from merged counts equal a full refit
+    val (m2, m1, m0) = NgramLm.lpTables(mc2, mv)
+    val (f2, f1, f0) = NgramLm.fit(full)
+    def lp2(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    def lp1(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Double)].collect().toMap
+    assert(lp2(m2) === lp2(f2))
+    assert(lp1(m1) === lp1(f1))
+    assert(m0.as[(Long, Double)].collect().toSeq ===
+      f0.as[(Long, Double)].collect().toSeq)
+  }
+
   test("scoreDocs takes the right backoff path per bigram") {
     val (b2, b1, st) = NgramLm.fit(corpus)
     val batch = Seq(
