@@ -72,6 +72,14 @@ object LlmQueries {
       .map(sfx => s"' bm' || CAST($e AS VARCHAR) || '$sfx'")
       .mkString(" || ")
 
+  /** DuckDB twin of one q188 bench-B item string for id expr `e`:
+    * "qb{e}a qb{e}b … qb{e}h" (no leading space — the concat_ws form).
+    */
+  private def sqlEvalItemB(e: String): String =
+    Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      .map(sfx => s"'qb' || CAST($e AS VARCHAR) || '$sfx'")
+      .mkString(" || ' ' || ")
+
   /** The q165/q168 bench + train CTE pair — plants rebuilt from ids,
     * byte-identical to deconBench/deconTrain.
     */
@@ -2478,6 +2486,30 @@ object LlmQueries {
       val (p2, p1, p0) = ensureLmMergedFixture(s, dir)
       graft.llm.NgramLm.scoreDocs(lmBatch(t), s.read.parquet(p2),
         s.read.parquet(p1), s.read.parquet(p0))
+    }),
+
+    // MULTI-BENCHMARK DECONTAMINATION ATTRIBUTION — production
+    // pipelines decon against MANY eval suites at once and governance
+    // needs to know WHICH benchmark leaked into WHICH crawl source:
+    // the q165 cut program runs per benchmark over one checkpointed
+    // training corpus (bench gram sets are metadata-sized and
+    // broadcast; per-benchmark islands stay independent, so a doc
+    // quoting both suites attributes to both), aggregated to
+    // (benchmark, source) with exact quoted-token sums. Bench B's
+    // vocabulary is disjoint from A's, so attribution is provably
+    // unambiguous on the plants.
+    "q188_multi_bench_decon" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val train = deconTrain2(t).localCheckpoint() // feeds two gram probes
+      def side(bench: DataFrame, name: String): DataFrame =
+        graft.llm.ExactSubstr.decontaminateCuts(train, bench, L = 8)
+          .select(lit(name).as("benchmark"), col("doc_id"), col("span_len"))
+      side(deconBench(t), "bench_a")
+        .unionByName(side(deconBenchB(t), "bench_b"))
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("benchmark"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("docs_with_quotes"),
+          sum(col("span_len")).as("quoted_tokens"))
     })
   )
 
@@ -2701,6 +2733,41 @@ object LlmQueries {
     graft.llm.Multimodal.materializeOnce(s, p1) { fitted._2 }
     graft.llm.Multimodal.materializeOnce(s, p0) { fitted._3.coalesce(1) }
     (p2, p1, p0)
+  }
+
+  /** One bench-B item's unique 8-token answer string ("qb{id}a" …):
+    * disjoint vocabulary from bench A's "bm…"/"evq…" plants, so
+    * per-benchmark attribution is exact.
+    */
+  private def deconEvalItemB(id: Column): Column =
+    concat_ws(" ", Seq("a", "b", "c", "d", "e", "f", "g", "h").map(sfx =>
+      concat(lit("qb"), id.cast("string"), lit(sfx))): _*)
+
+  /** q188's second benchmark: pure held-out item strings (no corpus
+    * text at all — a train doc can only match by QUOTING an item,
+    * never by sharing base prose), one 8-token item per %20 doc id.
+    */
+  private def deconBenchB(t: Tables): DataFrame =
+    t.documents.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), deconEvalItemB(col("doc_id")).as("text"))
+
+  /** q188's training corpus: deconTrain's bench-A plants PLUS bench-B
+    * quotes — docs ≡ 7 (mod 11) quote the B item of
+    * floor(doc_id/100)·100 (always a bench id). Concat order is part
+    * of the contract: A-question, A-item, B-item.
+    */
+  private def deconTrain2(t: Tables): DataFrame = {
+    val b = col("doc_id") - pmod(col("doc_id"), lit(100))
+    t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 3, lit(" " + deconFixedQ))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 5, deconEvalItem(b))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 7,
+            concat(lit(" "), deconEvalItemB(b))).otherwise(lit("")))
+          .as("text"))
   }
 
   // bump when the merged-LM recipe changes
@@ -6118,6 +6185,72 @@ object LlmQueries {
                     ELSE ROUND(CAST(s AS DOUBLE) / 1e9 / nb, 9) END + 0.0
                  AS avg_lp
         FROM btk b LEFT JOIN sums USING (doc_id)"""
+    },
+
+    // Multi-benchmark twin: both bench gram sets from first
+    // principles, the q165 cut program instantiated per benchmark over
+    // the SHARED train2 gram table, unioned with the benchmark tag and
+    // aggregated per (benchmark, source).
+    "q188_multi_bench_decon" -> {
+      def cutProgram(p: String, gramSet: String) =
+        s"""${p}h AS (SELECT doc_id, start FROM g
+                      WHERE gram IN (SELECT gram FROM $gramSet)),
+            ${p}brk AS (SELECT doc_id, start,
+                          CASE WHEN start - LAG(start) OVER
+                                 (PARTITION BY doc_id ORDER BY start) > 8
+                               THEN 1 ELSE 0 END AS b
+                        FROM ${p}h),
+            ${p}isl AS (SELECT doc_id, start,
+                          SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS UNBOUNDED PRECEDING) AS island
+                        FROM ${p}brk),
+            ${p}cuts AS (SELECT doc_id,
+                           MAX(start) - MIN(start) + 8 AS span_len
+                         FROM ${p}isl GROUP BY doc_id, island)"""
+      s"""WITH train2 AS (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 3 THEN ' $deconFixedQ' ELSE '' END
+            || CASE WHEN doc_id % 13 = 5
+                 THEN ${sqlEvalItem("doc_id - doc_id % 100")}
+                 ELSE '' END
+            || CASE WHEN doc_id % 11 = 7
+                 THEN ' ' || ${sqlEvalItemB("doc_id - doc_id % 100")}
+                 ELSE '' END AS text
+          FROM documents WHERE doc_id % 20 <> 0),
+          ttk AS (SELECT doc_id, $sqlToks AS t FROM train2),
+          g AS MATERIALIZED (
+            SELECT doc_id, i + 1 AS start,
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+            FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                  FROM ttk WHERE len(t) >= 8) x),
+          bench_a AS (SELECT doc_id,
+              text || ${sqlEvalItem("doc_id")}
+                   || CASE WHEN doc_id % 40 = 0 THEN ' $deconFixedQ'
+                      ELSE '' END AS text
+            FROM documents WHERE doc_id % 20 = 0),
+          abtk AS (SELECT $sqlToks AS t FROM bench_a),
+          ag AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM abtk WHERE len(t) >= 8) x),
+          bench_b AS (SELECT doc_id,
+              ${sqlEvalItemB("doc_id")} AS text
+            FROM documents WHERE doc_id % 20 = 0),
+          bbtk AS (SELECT $sqlToks AS t FROM bench_b),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM bbtk WHERE len(t) >= 8) x),
+          ${cutProgram("a", "ag")},
+          ${cutProgram("b", "bg")},
+          u AS (SELECT 'bench_a' AS benchmark, doc_id, span_len FROM acuts
+                UNION ALL
+                SELECT 'bench_b', doc_id, span_len FROM bcuts)
+        SELECT u.benchmark, d.source,
+               CAST(COUNT(DISTINCT u.doc_id) AS BIGINT) AS docs_with_quotes,
+               CAST(SUM(u.span_len) AS BIGINT) AS quoted_tokens
+        FROM u JOIN documents d USING (doc_id)
+        GROUP BY 1, 2"""
     }
   )
 }

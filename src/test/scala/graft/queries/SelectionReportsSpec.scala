@@ -130,6 +130,28 @@ class SelectionReportsSpec extends SparkSpec {
     assert(rows("bm25")._4 > 0L, "lexical side must find some sources")
   }
 
+  test("q188 multi-benchmark attribution is exact on the disjoint plants") {
+    val rows = graft.SparkEntry.queries("q188_multi_bench_decon")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    val byBench = rows.groupBy(_._1)
+    assert(byBench.keySet === Set("bench_a", "bench_b"))
+    // every bench-B quote is one pure 8-token item with vocabulary
+    // disjoint from everything else: exactly one 8-token island per
+    // quoting doc — quoted_tokens ≡ 8 × docs, per source
+    byBench("bench_b").foreach { case (_, src, docs, toks) =>
+      assert(toks === 8 * docs, s"bench_b $src")
+    }
+    // and the flagged-doc totals equal the planted quoter counts
+    val t = graft.Tables(spark, dir)
+    val train = t.documents.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val bQuoters = train.filter(pmod(col("doc_id"), lit(11)) === 7).count()
+    assert(byBench("bench_b").map(_._3).sum === bQuoters,
+      "bench_b flags exactly the planted quoters")
+    assert(byBench("bench_a").map(_._4).sum >
+      byBench("bench_a").map(_._3).sum * 8,
+      "bench_a spans include the 12-token question quotes")
+  }
+
   test("q180 fertility: BPE cost at least one token per word, sums consistent") {
     val rows = graft.SparkEntry.queries("q180_bpe_fertility")(spark, dir)
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
