@@ -13,6 +13,37 @@ import org.apache.spark.sql.SparkSession
   * Failures are NOT swallowed: a broken query fails the bench loudly.
   */
 object Bench {
+  /** 1-decimal trailing-zero-trimmed rendering for the compact line
+    * (~0.05 s quantization — below box noise; full 3-decimal raw
+    * triples remain in the bench_runs detail line).
+    */
+  def j1(v: Double): String = {
+    val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    if (t.isEmpty) "0" else t
+  }
+
+  /** Bare query number: "q073_foo" → "73" (maps back via bench_names). */
+  def num(k: String): String = k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
+
+  /** The driver-contract FINAL stdout line, as a pure function so
+    * BenchLineSpec can render it for the CURRENT surface and fail the
+    * build before the driver's 2,000-byte stdout-tail retention clips
+    * it (round 16: the line hit 2,006 B and BENCH_r16.json came back
+    * `parsed: null`). Contract (round-11 fix, tightened round 14,
+    * re-tightened round 17): total + per-query medians keyed by BARE
+    * query number, 1-decimal trailing-zero-trimmed values, NO unit
+    * field (always seconds), NO sf field (the driver's artifact
+    * wrapper records sf itself — the round-16 "self-describing" unit+sf
+    * re-add was exactly the 45-byte overflow).
+    */
+  def compactLine(results: Seq[(String, Double)]): String = {
+    val qs = results.map { case (k, v) => "\"" + num(k) + "\":" + j1(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${j1(total)},"queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,24 +129,17 @@ object Bench {
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       name -> raw(i).sorted.apply(1)
     }
-    // ARTIFACT CONTRACT (round-11 fix, tightened round 14): the driver
-    // retains only a ~2 KB stdout TAIL, and the round-13 final line had
-    // grown to 1.8 KB — ~25 more queries from truncating mid-round. The
-    // detail payloads (raw triples, per-task memory peaks, short→full
+    // Detail payloads (raw triples, per-task memory peaks, short→full
     // name map) print as separate EARLIER lines; the FINAL stdout line
-    // is the compact summary: total + per-query medians, keyed by the
-    // BARE query number ("73" = q73; the bench_names line maps numbers
-    // to full names), 2-decimal trailing-zero-trimmed values, no unit
-    // field (always seconds), no sf field (the driver's artifact
-    // wrapper records sf itself) — ~1.48 KB at 140 queries, ~1.6 KB at
-    // 150, inside the tail window through ~190 queries.
+    // is the compact summary rendered by `compactLine` above (see its
+    // scaladoc for the size contract; BenchLineSpec pins it ≤ 1,900 B
+    // for the current surface).
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     def j2(v: Double): String = {
       val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
       val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       if (t.isEmpty) "0" else t
     }
-    def num(k: String): String = k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
     val namesJson = named.map { case (k, _) =>
       "\"" + num(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
@@ -128,16 +152,10 @@ object Bench {
     val peakJson = named.zipWithIndex.map { case ((k, _), i) =>
       "\"" + k + "\":" + j2(peaks(i) / 1048576.0)
     }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + num(k) + "\":" + j2(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     println(s"""{"bench_names":$namesJson}""")
     println(s"""{"bench_runs":$runsJson}""")
     println(s"""{"bench_peak_mb":$peakJson}""")
-    // the driver-contract compact line: include unit + sf so the
-    // artifact is self-describing without the driver's wrapper
-    val sfName = raw"sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("?")
-    println(s"""{"metric":"total","value":${j2(total)},"unit":"sec","sf":"$sfName","queries":$qs}""")
+    println(compactLine(results))
     spark.stop()
   }
 }
