@@ -69,28 +69,58 @@ object Bpe {
     }
   }
 
-  /** The delimited symbol string after all merges. Reserved delimiter
-    * chars in the input fail loudly (the corpus contract; a production
-    * vocab would escape instead).
+  /** Rank-ascending replace fold — valid iff `merges` is CONSISTENT
+    * (each operand a base char or an earlier output; checked). Shared
+    * by the pinned chain, the learned-table chain ([[BpeTrain]]), and
+    * the single-word variant below.
     */
-  def symbols(text: Column): Column = {
-    val guarded = when(text.rlike("[|#]"),
-      raise_error(concat(lit("Bpe: text contains reserved delimiter | or #: "), text)))
-      .otherwise(text)
-    val init = regexp_replace(concat_ws("#", TextOps.tokens(guarded)), "([^#])", "|$1|")
-    Merges.foldLeft(init) { case (s, (a, b)) =>
+  private def foldMerges(merges: Seq[(String, String)], init: Column): Column = {
+    val outputs = scala.collection.mutable.Set.empty[String]
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach(s => require(s.length == 1 || outputs.contains(s),
+        s"Bpe: merge table inconsistent: operand '$s' is neither a char nor an earlier output"))
+      outputs += a + b
+    }
+    merges.foldLeft(init) { case (s, (a, b)) =>
       call_function("replace", s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
     }
   }
 
-  /** Model-token count of `text` under the pinned vocab: half the
-    * delimiter count of the merged symbol string.
+  /** The delimited symbol string of `text` under an arbitrary
+    * consistent merge table. Reserved delimiter chars in the input
+    * fail loudly (the corpus contract; a production vocab would
+    * escape instead).
     */
-  def tokenCount(text: Column): Column = {
-    val s = symbols(text)
+  def symbolsWith(merges: Seq[(String, String)], text: Column): Column = {
+    val guarded = when(text.rlike("[|#]"),
+      raise_error(concat(lit("Bpe: text contains reserved delimiter | or #: "), text)))
+      .otherwise(text)
+    foldMerges(merges,
+      regexp_replace(concat_ws("#", TextOps.tokens(guarded)), "([^#])", "|$1|"))
+  }
+
+  /** Delimited symbol string of a SINGLE word (no `#` joiner) — the
+    * unit [[BpeTrain]]'s dictionary loop works on. The caller
+    * guarantees `word` is delimiter-free (wordCounts guards the raw
+    * text).
+    */
+  def symbolsOfWord(merges: Seq[(String, String)], word: Column): Column =
+    foldMerges(merges, regexp_replace(word, "(.)", "|$1|"))
+
+  /** The delimited symbol string after all pinned merges. */
+  def symbols(text: Column): Column = symbolsWith(Merges, text)
+
+  /** Model-token count of `text` under `merges`: half the delimiter
+    * count of the merged symbol string.
+    */
+  def tokenCountWith(merges: Seq[(String, String)], text: Column): Column = {
+    val s = symbolsWith(merges, text)
     ((length(s) - length(call_function("replace", s, lit("|"), lit("")))) / lit(2))
       .cast("long")
   }
+
+  /** Model-token count of `text` under the pinned vocab. */
+  def tokenCount(text: Column): Column = tokenCountWith(Merges, text)
 
   /** DuckDB fragment: the identical merge chain over a token-array SQL
     * expression (the oracles' shared `sqlToks`), yielding the merged

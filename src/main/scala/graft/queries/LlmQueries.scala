@@ -2510,8 +2510,75 @@ object LlmQueries {
         .groupBy(col("benchmark"), col("source"))
         .agg(countDistinct(col("doc_id")).as("docs_with_quotes"),
           sum(col("span_len")).as("quoted_tokens"))
+    }),
+
+    // BPE MERGE-RULE TRAINING (Sennrich et al. 2016) — the tokenizer-
+    // BUILD step the pinned-vocab family (q120/q125/q141) consumes as
+    // input: learn the top-K merges greedily from the raw corpus. One
+    // corpus-sized pass builds the word-frequency dictionary; the
+    // K-round loop then runs entirely on that vocab-scale table (one
+    // distributed pair-count + a 1-row argmax collect per round) — at
+    // 100 TB the dictionary is the only thing the loop ever touches.
+    // The oracle re-derives the merges INDEPENDENTLY: a K-step
+    // unrolled DuckDB program (pair-count → argmax → replace, K times)
+    // over the same dictionary. Pure integer counts + binary-order
+    // tie-break keep the argmax chain engine-exact; BpeTrainSpec pins
+    // the learner against hand-traced greedy BPE.
+    "q189_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val learned = graft.llm.BpeTrain.learnMerges(
+        graft.llm.BpeTrain.wordCounts(Tables(s, dir).documents), bpeTrainK)
+      s.createDataset(learned).toDF()
+        .select(col("rank"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("ab"), col("cnt"))
+    }),
+
+    // LEARNED-VOCAB TOKENIZATION — the learned merge table (NOT a
+    // pinned fixture) drives per-doc model-token counts: q189's
+    // training output persists once as the (rank, a, b, cnt) parquet
+    // artifact and the inline replace chain bills every document
+    // through it (16 codegen'd literal replaces inside the scan — a
+    // pure projection, zero shuffles at any scale). The DuckDB twin
+    // replays the SAME persisted parquet via the recursive rank-
+    // ascending encoder (the q120 device, minus the substring-
+    // candidate pruning the tiny learned table doesn't need), so the
+    // cross-engine check covers the artifact content end-to-end.
+    "q190_bpe_learned_tokens" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val merges = s.read.parquet(ensureLearnedMergesFixture(s, dir))
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      t.documents.select(col("doc_id"),
+        Bpe.tokenCountWith(merges, col("text")).as("n_learned_tokens"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
     })
   )
+
+  /** Learned-merge budget for q189/q190 — small enough that the
+    * oracle's K-step unrolled re-derivation stays readable, large
+    * enough to produce multi-level merge chains on the corpus.
+    */
+  private val bpeTrainK = 16
+
+  // bump when the training recipe changes
+  private val bpeTrainVersion = 1
+
+  /** Build-once persisted LEARNED merge table for q190 — the (rank,
+    * a, b, cnt) parquet both engines read (Spark inlines the replace
+    * chain; DuckDB replays it recursively).
+    */
+  private def ensureLearnedMergesFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"bpe_learned_k${bpeTrainK}_${sfName}_v$bpeTrainVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      import s.implicits._
+      s.createDataset(graft.llm.BpeTrain.learnMerges(
+        graft.llm.BpeTrain.wordCounts(Tables(s, dir).documents), bpeTrainK))
+        .toDF().coalesce(1)
+    }
+    path
+  }
 
   /** q152's deterministic ingest batch: every 6th doc an unchanged
     * copy (df bumps), every (6k+3)rd doc with all tokens 'nv'-prefixed
@@ -6251,6 +6318,83 @@ object LlmQueries {
                CAST(SUM(u.span_len) AS BIGINT) AS quoted_tokens
         FROM u JOIN documents d USING (doc_id)
         GROUP BY 1, 2"""
+    },
+
+    // Independent re-derivation of the learned merges: the K-step
+    // greedy loop unrolled — per step, adjacent-pair counts over the
+    // dictionary's current symbol strings, the (count DESC, a, b)
+    // argmax, and one literal replace. Integer counts and binary
+    // string order make every argmax engine-exact.
+    "q189_bpe_train" -> {
+      val steps = (1 to bpeTrainK).map { i =>
+        s"""p$i AS MATERIALIZED (
+              SELECT syms[i] AS a, syms[i + 1] AS b,
+                     CAST(SUM(cnt) AS BIGINT) AS c
+              FROM (
+                SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+                FROM (SELECT cnt,
+                        string_split(substr(s, 2, length(s) - 2), '||') AS syms
+                      FROM w${i - 1}) y
+                WHERE len(syms) >= 2) x
+              GROUP BY 1, 2),
+            m$i AS MATERIALIZED (
+                    SELECT CAST(${i - 1} AS BIGINT) AS rank, a, b, c
+                    FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+            w$i AS MATERIALIZED (SELECT w.word, w.cnt,
+                      replace(w.s, '|' || m.a || '||' || m.b || '|',
+                              '|' || m.a || m.b || '|') AS s
+                    FROM w${i - 1} w, m$i m)"""
+      }.mkString(",\n          ")
+      val union = (1 to bpeTrainK)
+        .map(i => s"SELECT rank, a, b, c FROM m$i").mkString(" UNION ALL ")
+      s"""WITH w0 AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+            FROM (SELECT unnest($sqlToks) AS word FROM documents) t
+            WHERE length(word) > 0
+            GROUP BY word),
+          $steps
+        SELECT rank, a, b, a || b AS ab, c AS cnt FROM ($union)"""
+    },
+
+    // Learned-vocab token counts: replay the SAME persisted learned-
+    // merges parquet by the recursive rank-ascending encoder (the
+    // sqlTableCtes pattern; the 16-row table needs no candidate
+    // pruning), then bill each document's word multiset through it.
+    "q190_bpe_learned_tokens" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bpe_learned_k${bpeTrainK}_${oracleSfName}_v$bpeTrainVersion/*.parquet"
+      s"""WITH RECURSIVE
+          st AS (SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS step,
+                        a, b
+                 FROM read_parquet('$fixture')),
+          occ AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+          wd AS (SELECT DISTINCT word FROM occ WHERE length(word) > 0),
+          enc AS (
+            SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
+                   CAST(0 AS BIGINT) AS step
+            FROM wd
+            UNION ALL
+            SELECT e.word,
+                   replace(e.s, '|' || t.a || '||' || t.b || '|',
+                           '|' || t.a || t.b || '|'),
+                   e.step + 1
+            FROM enc e JOIN st t ON t.step = e.step + 1),
+          fin AS (
+            SELECT word, s FROM (
+              SELECT word, s, step, MAX(step) OVER (PARTITION BY word) AS ms
+              FROM enc)
+            WHERE step = ms),
+          wtok AS (
+            SELECT word,
+                   CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT) AS wt
+            FROM fin),
+          dtok AS (
+            SELECT o.doc_id, CAST(SUM(w.wt) AS BIGINT) AS n
+            FROM occ o JOIN wtok w USING (word) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(dt.n, CAST(0 AS BIGINT)) AS n_learned_tokens,
+               CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens
+        FROM documents d LEFT JOIN dtok dt USING (doc_id)"""
     }
   )
 }
