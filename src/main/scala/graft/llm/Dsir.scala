@@ -52,10 +52,25 @@ object Dsir {
     * scored documents come FROM the raw corpus every token hits.
     */
   def llrTable(target: DataFrame, raw: DataFrame,
-               textCol: String = "text"): DataFrame = {
-    val d = NumBuckets.toDouble
-    val tb = bucketCounts(target, textCol).withColumnRenamed("c", "__ct")
-    val rb = bucketCounts(raw, textCol).withColumnRenamed("c", "__cr")
+               textCol: String = "text"): DataFrame =
+    llrTableOver(target, raw, textCol, bucket, NumBuckets)
+
+  /** [[llrTable]] generalized over the bucket function and feature
+    * width — the SAME add-one-smoothed multinomial NB log-ratio fit
+    * powers both the DSIR model (1024 buckets) and the learned
+    * quality-filter weights ([[QualityModel.fitWeights]], 4096
+    * buckets). One ln pass, persisted by the caller (the ln-hazard
+    * fixture device).
+    */
+  def llrTableOver(target: DataFrame, raw: DataFrame, textCol: String,
+                   bucketOf: Column => Column, width: Int): DataFrame = {
+    val d = width.toDouble
+    def counts(docs: DataFrame): DataFrame =
+      docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
+        .select(bucketOf(col("__tok")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val tb = counts(target).withColumnRenamed("c", "__ct")
+    val rb = counts(raw).withColumnRenamed("c", "__cr")
     val tn = target.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
       .agg(coalesce(sum(col("__n")), lit(0L)).as("__nt"))
     val rn = raw.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
@@ -73,8 +88,11 @@ object Dsir {
   /** Score every document under a persisted [[llrTable]]: (id,
     * n_tokens, score) with score = round9(Σ_tokens llr(bucket)) — the
     * sum in exact nano-units (round-9 doubles recover their integer
-    * k·10⁻⁹ exactly under ×10⁹ re-rounding). Empty docs score 0. The
-    * model broadcasts by contract (≤ [[NumBuckets]] rows).
+    * k·10⁻⁹ exactly under ×10⁹ re-rounding, so downstream consumers
+    * like [[selectTopFraction]] re-derive the exact nano sum from
+    * `score` alone — no internal column in the contract). Empty docs
+    * score 0. The model broadcasts by contract (≤ [[NumBuckets]]
+    * rows).
     */
   def scoreDocs(docs: DataFrame, llr: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
@@ -91,8 +109,7 @@ object Dsir {
       .join(sums, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         round(coalesce(col("__s"), lit(0L)).cast("double") / 1e9, 9)
-          .as("score"),
-        coalesce(col("__s"), lit(0L)).as("__s"))
+          .as("score"))
   }
 
   /** [[scoreDocs]] with the model INLINED as a literal map — the
@@ -132,27 +149,32 @@ object Dsir {
     * the Gumbel noise replaced by the (score desc, id asc) total order
     * (seeded-sampling variants keep the identical pipeline shape; the
     * deterministic cut is the oracle-able contract): keep the
-    * ⌊n / denom⌋ highest-scoring documents. The global rank runs on
+    * ⌊n / denom⌋ highest-scoring documents. The exact integer sort key
+    * is re-derived from the public `score` column (round(score·10⁹) ≡
+    * the original nano sum — the round-9 device), so any
+    * [[scoreDocs]]-shaped frame works. The global rank runs on
     * [[graft.operators.DistributedRank.prefix]] over a constant group —
     * a bare global window would funnel the corpus through ONE sort
-    * task. Output: (id, rank, score) of the selected documents.
+    * task — and the corpus total comes from prefix's own `__n` group
+    * count, so the scored plan is consumed exactly ONCE (no second
+    * pass, no checkpoint needed). Output: (id, rank, score) of the
+    * selected documents.
     */
   def selectTopFraction(scored: DataFrame, denom: Int,
                         idCol: String = "doc_id"): DataFrame = {
     require(denom >= 1)
     val ranked = graft.operators.DistributedRank.prefix(
-      scored.select(col(idCol), col("__s"), col("score"))
+      scored.select(col(idCol), col("score"),
+          round(col("score") * 1e9, 0).cast("long").as("__s"))
         .withColumn("__negs", -col("__s"))
         .withColumn("__all", lit(0)),
       Seq("__all"), Seq("__negs", idCol))
-    // NOTE: prefix() itself emits a `__n` (group count) column — the
-    // corpus total gets a distinct name to avoid the collision
-    val n = scored.agg(count(lit(1)).as("__total"))
-    ranked.crossJoin(n)
-      // ⌊n/denom⌋ by FLOOR of one double division — both engines
-      // evaluate the identical operation (the q46 slicing device)
+    // ⌊n/denom⌋ by FLOOR of one double division — both engines
+    // evaluate the identical operation (the q46 slicing device);
+    // `__n` is prefix's group row count = the corpus total (one group)
+    ranked
       .filter(col("__rank") <=
-        floor(col("__total").cast("double") / denom).cast("long"))
+        floor(col("__n").cast("double") / denom).cast("long"))
       .select(col(idCol), col("__rank").as("rank"), col("score"))
   }
 }

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * collected. (Contrast with a per-token explode + weight-table join:
   * that pays a corpus-token-scale shuffle for the doc re-aggregation.)
   *
-  * Weights here are a deterministic hash-derived stand-in (milli-unit
-  * integers, exactly recomputable by any engine with md5 — the q95/q78
-  * md5-twin device), which keeps scoring oracle-exact end to end. A
-  * production deployment swaps [[weightMilli]] for a learned table
-  * shipped the `functions.BpeTableCount` way (one torrent broadcast +
-  * a codegen'd map lookup) — the pipeline shape is identical.
+  * Two weight sources, one pipeline shape: [[scoreDocs]] uses the
+  * deterministic hash-derived stand-in [[weightMilli]] (milli-unit
+  * integers, exactly recomputable by any engine with md5 — the
+  * q95/q78 md5-twin device, so scoring is oracle-exact with no model
+  * artifact at all), and [[scoreDocsLearned]] uses a REAL fitted
+  * table ([[fitWeights]], the fasttext-recipe multinomial-NB
+  * log-ratios) shipped the `functions.BpeTableCount` way — one
+  * torrent broadcast + a codegen'd O(1) lookup
+  * ([[graft.functions.HashedMarginNano]]).
   *
   * Determinism: the margin is an exact integer (milli-unit long sum);
   * the per-token mean is ONE double division of identical operands
@@ -57,20 +60,82 @@ object QualityModel {
       transform(TextOps.tokens(text), t => weightMilli(bucket(t))),
       lit(0L), (acc, w) => acc + w)
 
-  /** Score + gate every document: (id, n_tokens, margin_milli, score,
-    * keep) where score = round9(margin / (1000·n_tokens)) — the mean
-    * per-token weight — and keep ⇔ margin ≥ 0 (empty docs score 0 and
-    * pass; a length gate is a different operator's job).
+  /** LEARNED weights — the fasttext-recipe FIT (multinomial Naive
+    * Bayes over the same hashed buckets, add-one smoothed): per-bucket
+    * log-ratio of the TARGET slice (the reference corpus — here the
+    * heuristically-clean slice, the classic CCNet/fasttext bootstrap
+    * where the hand heuristics label the seed) against the RAW corpus.
+    * Exactly [[Dsir.llrTableOver]] at this model's [[NumBuckets]]
+    * width: two metadata-sized bucket-count aggregates, one ln pass,
+    * persisted by the caller (the ln-hazard fixture device). Output:
+    * (bucket, llr) — round-9, so nano units recover exactly.
     */
-  def scoreDocs(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+  def fitWeights(target: DataFrame, raw: DataFrame,
+                 textCol: String = "text"): DataFrame =
+    Dsir.llrTableOver(target, raw, textCol, bucket, NumBuckets)
+
+  /** Load a persisted [[fitWeights]] table into executor-ready dense
+    * form (nano-unit long per bucket, absent = 0) — KB-bounded by the
+    * [[NumBuckets]] contract (the sanctioned driver-side collect).
+    */
+  def loadWeights(weights: DataFrame): QualityWeights = {
+    val arr = new Array[Long](NumBuckets)
+    weights.select(col("bucket"),
+        round(col("llr") * 1e9, 0).cast("long").as("__nano"))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    new QualityWeights(arr)
+  }
+
+  /** Score + gate every document under a LEARNED broadcast model —
+    * the same zero-shuffle scan-projection shape as [[scoreDocs]],
+    * with the stand-in weight fold replaced by ONE codegen'd
+    * [[graft.functions.HashedMarginNano]] call (O(1) array lookup per
+    * token against the torrent-broadcast table). Output: (id,
+    * n_tokens, margin_nano, score, keep) with score =
+    * round9(margin_nano / (10⁹·n_tokens)) — the mean per-token
+    * log-ratio — and keep ⇔ margin_nano ≥ 0 (empty docs score 0 and
+    * pass, the [[scoreDocs]] convention).
+    */
+  def scoreDocsLearned(docs: DataFrame,
+                       weights: org.apache.spark.broadcast.Broadcast[QualityWeights],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     val n = TextOps.tokenCount(col(textCol)).cast("long")
     docs.select(col(idCol), n.as("n_tokens"),
-        marginMilli(col(textCol)).as("margin_milli"))
-      .select(col(idCol), col("n_tokens"), col("margin_milli"),
+        graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)),
+          weights).as("margin_nano"))
+      .select(col(idCol), col("n_tokens"), col("margin_nano"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("margin_nano").cast("double") /
+            (col("n_tokens").cast("double") * 1e9), 9)).as("score"),
+        (col("margin_nano") >= 0).as("keep"))
+  }
+
+  /** Append the scorer columns (`n_tokens, margin_milli, score, keep`)
+    * to `docs`, PRESERVING every input column — the passthrough form a
+    * streaming gate needs (`ts` and friends must survive for the
+    * downstream watermark/dedup stages). score = round9(margin /
+    * (1000·n_tokens)) — the mean per-token weight; keep ⇔ margin ≥ 0
+    * (empty docs score 0 and pass; a length gate is a different
+    * operator's job). The ONE formula source — [[scoreDocs]] is this
+    * plus the batch projection.
+    */
+  def withScores(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("margin_milli", marginMilli(col(textCol)))
+      .withColumn("score",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(round(col("margin_milli").cast("double") /
-            (col("n_tokens").cast("double") * 1000.0), 9)).as("score"),
-        (col("margin_milli") >= 0).as("keep"))
-  }
+            (col("n_tokens").cast("double") * 1000.0), 9)))
+      .withColumn("keep", col("margin_milli") >= 0)
+
+  /** Score + gate every document: (id, n_tokens, margin_milli, score,
+    * keep) — [[withScores]] projected to the batch contract columns.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    withScores(docs, textCol)
+      .select(col(idCol), col("n_tokens"), col("margin_milli"),
+        col("score"), col("keep"))
 }

@@ -66,6 +66,28 @@ object LlmQueries {
   private def sqlHits(listSql: String): String =
     s"len(list_filter(toks, t -> list_contains($listSql, t)))"
 
+  // DuckDB twin of qualityMixed (q191/q192's scored mixture): clean ∪
+  // full-junk (every 2nd doc, tokens 'zz'-prefixed) ∪ ⅔-clean (every
+  // 3rd doc, text ++ text ++ junk) ∪ ⅓-clean (every 5th doc, text ++
+  // junk ++ junk).
+  private val sqlQualityMixed =
+    """mixed AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 950000,
+                 regexp_replace(text, '(\S+)', 'zz\1', 'g')
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id + 960000,
+                 text || ' ' || text || ' '
+                      || regexp_replace(text, '(\S+)', 'zz\1', 'g')
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 970000,
+                 text || ' ' || regexp_replace(text, '(\S+)', 'zz\1', 'g')
+                      || ' ' || regexp_replace(text, '(\S+)', 'zz\1', 'g')
+          FROM documents WHERE doc_id % 5 = 0)"""
+
   /** DuckDB twin of one q165 eval-item answer string for id expr `e`. */
   private def sqlEvalItem(e: String): String =
     Seq("a", "b", "c", "d", "e", "f", "g", "h")
@@ -2130,8 +2152,7 @@ object LlmQueries {
     "q173_dsir_weights" -> ((s, dir) => {
       val t = Tables(s, dir)
       graft.llm.Dsir.scoreDocs(t.documents,
-          s.read.parquet(ensureDsirFixture(s, dir)))
-        .drop("__s")
+        s.read.parquet(ensureDsirFixture(s, dir)))
     }),
 
     // DSIR SELECTION — the resampling step: keep the ⌊n/5⌋
@@ -2551,8 +2572,125 @@ object LlmQueries {
       t.documents.select(col("doc_id"),
         Bpe.tokenCountWith(merges, col("text")).as("n_learned_tokens"),
         TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"))
+    }),
+
+    // LEARNED QUALITY GATE — q172's scorer with the stand-in weights
+    // replaced by a REAL fitted model (closing the round-16 caveat at
+    // QualityModel.weightMilli): the fasttext recipe, multinomial-NB
+    // log-ratios over the same 4096 hashed buckets, POSITIVE class =
+    // the clean corpus, NEGATIVE class = the planted junk crawl
+    // (every token 'zz'-prefixed — the q152 regex device; the corpus
+    // vocabulary is one shared pool across lang labels, so the
+    // contrast HAS to be planted to mean anything). The fit runs once
+    // in Spark and persists (ln-hazard fixture device); inference
+    // ships the table as ONE torrent broadcast into the codegen'd
+    // HashedMarginNano expression — an O(1) lookup per token inside
+    // the scan projection, ZERO shuffles at any corpus scale (the
+    // explode+join form would pay a token-scale shuffle; a typedLit
+    // map an O(4096) scan per token). Scored input: clean ∪ full-junk
+    // ∪ ⅔-/⅓-clean mixtures — the gate separates them by sign.
+    "q191_quality_learned" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = graft.llm.QualityModel.loadWeights(
+        s.read.parquet(ensureQualityWeightsFixture(s, dir)))
+      graft.llm.QualityModel.scoreDocsLearned(qualityMixed(t),
+        s.sparkContext.broadcast(w))
+    }),
+
+    // LEARNED-GATE CALIBRATION — q182's threshold sweep re-run against
+    // the LEARNED weights (round-16 verdict item 3's second half): per
+    // candidate per-token threshold θ (nano-units), how many mixed-
+    // corpus documents pass. score ≥ θ/10⁹ ⇔ margin_nano ≥ θ·n_tokens
+    // — pure integer arithmetic, no float boundary anywhere. One
+    // zero-shuffle scoring scan (checkpointed for its two consumers)
+    // + a broadcast 5-row threshold table. The mixture classes sit
+    // near ±2.3, so the ±2.5 thresholds split WITHIN a class.
+    "q192_learned_calibration" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val s2 = s
+      import s2.implicits._
+      val w = graft.llm.QualityModel.loadWeights(
+        s.read.parquet(ensureQualityWeightsFixture(s, dir)))
+      val scored = graft.llm.QualityModel.scoreDocsLearned(qualityMixed(t),
+          s.sparkContext.broadcast(w))
+        .select(col("n_tokens"), col("margin_nano"))
+        .localCheckpoint() // two skinny longs per doc; feeds total + sweep
+      val thetas = learnedCalThetas.toDF("theta_nano")
+      val kept = scored.crossJoin(broadcast(thetas))
+        .filter(col("margin_nano") >= col("theta_nano") * col("n_tokens"))
+        .groupBy(col("theta_nano")).agg(count(lit(1)).as("n_kept"))
+      thetas.join(kept, Seq("theta_nano"), "left")
+        .crossJoin(scored.agg(count(lit(1)).as("__tot")))
+        .select(col("theta_nano"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("__tot"), 9).as("kept_frac"))
     })
   )
+
+  /** q192's candidate per-token thresholds, nano-units (θ/10⁹ mean
+    * per-token log-ratio): at the oracle-checked SF clean docs sit
+    * near +6.8, full-junk near −6.8, the ⅔-/⅓-clean mixtures in
+    * ±[2.23, 2.28] — ±2.25 SPLIT the mixture classes doc-by-doc, 0
+    * and ±5 separate whole classes. (Class positions scale ~ln(corpus)
+    * with SF; the comparison is integer-exact at any SF.)
+    */
+  private val learnedCalThetas =
+    Seq(-5000000000L, -2250000000L, 0L, 2250000000L, 5000000000L)
+
+  /** The junk crawl: every token 'zz'-prefixed — vocabulary disjoint
+    * from the real one (modulo 4096-bucket hash collisions). Same
+    * regex semantics in Java and RE2 (the q152 'nv' device).
+    */
+  private def junkText(text: Column): Column =
+    regexp_replace(text, "(\\S+)", "zz$1")
+
+  /** q191/q192's scored mixture: the clean corpus, a full-junk copy
+    * of every 2nd doc (the gate must reject), a ⅔-clean copy of every
+    * 3rd doc (text ++ text ++ junk(text) — margin +m over 3n tokens),
+    * and a ⅓-clean copy of every 5th doc (text ++ junk ++ junk —
+    * margin −m). The llr weights are exactly antisymmetric under
+    * zz-prefixing (equal class sizes, add-one smoothing), so the
+    * mixture classes land near ±⅓ of the clean score — the boundary
+    * cases the calibration sweep walks.
+    */
+  private def qualityMixed(t: Tables): DataFrame = {
+    val d = t.documents
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + 950000L).as("doc_id"),
+          junkText(col("text")).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 960000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("text"), lit(" "),
+            junkText(col("text"))).as("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 970000L).as("doc_id"),
+          concat(col("text"), lit(" "), junkText(col("text")), lit(" "),
+            junkText(col("text"))).as("text")))
+  }
+
+  // bump when the learned-weights recipe changes
+  private val qualityFitVersion = 2
+
+  /** Build-once persisted LEARNED quality-model weights for
+    * q191/q192: multinomial-NB log-ratios of the clean corpus
+    * (positive class) vs its junk derivative (negative class), fitted
+    * once IN SPARK (ln is the cross-engine hazard); both engines read
+    * this parquet.
+    */
+  private def ensureQualityWeightsFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"quality_llr_${sfName}_v$qualityFitVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      val docs = Tables(s, dir).documents
+      graft.llm.QualityModel.fitWeights(docs,
+          docs.select(col("doc_id"), junkText(col("text")).as("text")))
+        .coalesce(1)
+    }
+    path
+  }
 
   /** Learned-merge budget for q189/q190 — small enough that the
     * oracle's K-step unrolled re-derivation stays readable, large
@@ -6395,6 +6533,72 @@ object LlmQueries {
         SELECT d.doc_id, COALESCE(dt.n, CAST(0 AS BIGINT)) AS n_learned_tokens,
                CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens
         FROM documents d LEFT JOIN dtok dt USING (doc_id)"""
+    },
+
+    // Learned-gate twin: same md5 buckets mod 4096, the PERSISTED
+    // Spark-fitted llr weights (read_parquet — the ln-hazard fixture
+    // device), the same nano-unit exact sums over the same planted
+    // clean ∪ full-junk ∪ half-junk mixture. Every mixture token's
+    // bucket is in the model (the fit's two classes ARE the mixture's
+    // vocabularies, full-outer fit), so the inner join loses nothing;
+    // empty docs come back via the left join.
+    "q191_quality_learned" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"quality_llr_${oracleSfName}_v$qualityFitVersion/*.parquet"
+      s"""WITH $sqlQualityMixed,
+          tk AS (SELECT doc_id, $sqlToks AS t FROM mixed),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          m AS (SELECT bucket, CAST(ROUND(llr * 1e9, 0) AS BIGINT) AS nano
+                FROM read_parquet('$fixture')),
+          sums AS (SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS s
+                   FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096
+                             AS bucket
+                         FROM tok) x
+                   JOIN m USING (bucket)
+                   GROUP BY doc_id)
+        SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.s, 0) AS BIGINT) AS margin_nano,
+               CASE WHEN len(k.t) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(s.s, 0) AS DOUBLE)
+                      / (CAST(len(k.t) AS DOUBLE) * 1e9), 9) END + 0.0
+                 AS score,
+               COALESCE(s.s, 0) >= 0 AS keep
+        FROM tk k LEFT JOIN sums s USING (doc_id)"""
+    },
+
+    // Learned-calibration twin: the q191 margin table swept against
+    // the same integer thresholds — score ≥ θ/10⁹ ⇔ margin ≥ θ·n,
+    // all BIGINT.
+    "q192_learned_calibration" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"quality_llr_${oracleSfName}_v$qualityFitVersion/*.parquet"
+      val thetaVals = learnedCalThetas.map(t => s"($t)").mkString(", ")
+      s"""WITH $sqlQualityMixed,
+          tk AS (SELECT doc_id, $sqlToks AS t FROM mixed),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          w AS (SELECT bucket, CAST(ROUND(llr * 1e9, 0) AS BIGINT) AS nano
+                FROM read_parquet('$fixture')),
+          sums AS (SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS s
+                   FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096
+                             AS bucket
+                         FROM tok) x
+                   JOIN w USING (bucket)
+                   GROUP BY doc_id),
+          m AS (SELECT CAST(len(k.t) AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(s.s, 0) AS BIGINT) AS margin
+                FROM tk k LEFT JOIN sums s USING (doc_id)),
+          thetas AS (SELECT CAST(theta AS BIGINT) AS theta_nano
+                     FROM (VALUES $thetaVals) t(theta)),
+          kept AS (SELECT theta_nano, COUNT(*) AS n_kept
+                   FROM thetas JOIN m ON margin >= theta_nano * n_tokens
+                   GROUP BY theta_nano),
+          tot AS (SELECT COUNT(*) AS n FROM m)
+        SELECT t.theta_nano, CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               ROUND(CAST(COALESCE(n_kept, 0) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 9) + 0.0 AS kept_frac
+        FROM thetas t LEFT JOIN kept USING (theta_nano) CROSS JOIN tot"""
     }
   )
 }

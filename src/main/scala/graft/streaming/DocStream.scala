@@ -51,12 +51,14 @@ object DocStream {
     * hashed linear model inside the projection (the margin folds over
     * the token array in the scan — zero state, zero shuffle at any
     * feed rate), emitting the batch scorer's exact columns
-    * (`doc_id, n_tokens, margin_milli, score, keep`) plus any
-    * passthrough the caller keeps. Kept/dropped routing downstream is
-    * a filter on `keep`. Stream ≡ batch is DocStreamSpec-pinned.
+    * (`n_tokens, margin_milli, score, keep`) APPENDED to the input
+    * row — every input column (`ts` included) passes through, so the
+    * downstream watermark/dedup stages can follow the gate. Kept/
+    * dropped routing downstream is a filter on `keep`. Stream ≡ batch
+    * is DocStreamSpec-pinned.
     */
   def modelGate(docs: DataFrame): DataFrame =
-    graft.llm.QualityModel.scoreDocs(docs)
+    graft.llm.QualityModel.withScores(docs)
 
   /** Stateless DSIR gate — the streaming twin of the batch q173
     * scorer: arriving documents scored by the persisted hashed-unigram

@@ -95,7 +95,8 @@ class DsirSpec extends SparkSpec {
     val got = Dsir.selectTopFraction(scored, denom = 3)
       .select(col("doc_id"), col("rank"))
       .as[(Long, Long)].collect().sortBy(_._2).toSeq
-    val all = scored.select(col("doc_id"), col("__s"))
+    val all = scored.select(col("doc_id"),
+        round(col("score") * 1e9, 0).cast("long"))
       .as[(Long, Long)].collect()
       .sortBy { case (id, s) => (-s, id) }.toSeq
     val expected = all.take(all.size / 3).zipWithIndex

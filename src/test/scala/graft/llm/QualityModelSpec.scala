@@ -79,4 +79,96 @@ class QualityModelSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"quality-model inference must not shuffle:\n$plan")
   }
+
+  /** JVM twin of the md5 bucket device at [[QualityModel.NumBuckets]]. */
+  private def bucketOf(tok: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) %
+      QualityModel.NumBuckets).toInt
+  }
+
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("fitWeights matches hand-computed add-one NB log-ratios") {
+    val target = Seq("aa bb", "bb cc aa").toDF("text")
+    val raw = Seq("aa dd", "dd dd ee").toDF("text")
+    val got = QualityModel.fitWeights(target, raw)
+      .as[(Long, Double)].collect().toMap
+
+    val tCounts = Seq("aa", "bb", "bb", "cc", "aa")
+      .groupBy(bucketOf).map { case (b, xs) => b -> xs.size }
+    val rCounts = Seq("aa", "dd", "dd", "dd", "ee")
+      .groupBy(bucketOf).map { case (b, xs) => b -> xs.size }
+    val d = QualityModel.NumBuckets.toDouble
+    val ref = (tCounts.keySet ++ rCounts.keySet).map { b =>
+      b.toLong -> r9(
+        math.log((tCounts.getOrElse(b, 0) + 1.0) / (5.0 + d)) -
+        math.log((rCounts.getOrElse(b, 0) + 1.0) / (5.0 + d)))
+    }.toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (b, lr) => assert(got(b) === lr, s"bucket $b") }
+  }
+
+  test("learned scoring matches an independent fold over the weights") {
+    val target = Seq("aa bb", "bb cc aa").toDF("text")
+    val raw = Seq("aa dd", "dd dd ee").toDF("text")
+    val w = QualityModel.loadWeights(QualityModel.fitWeights(target, raw))
+    val docs = Seq(
+      (1L, "aa bb cc"),
+      (2L, "dd dd ee"),
+      (3L, "zz unseen tokens"), // absent buckets contribute 0
+      (4L, "  aa   dd  "),
+      (5L, "")).toDF("doc_id", "text")
+    val got = QualityModel.scoreDocsLearned(docs,
+        spark.sparkContext.broadcast(w))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val texts = Map(1L -> "aa bb cc", 2L -> "dd dd ee",
+      3L -> "zz unseen tokens", 4L -> "  aa   dd  ", 5L -> "")
+    texts.foreach { case (id, text) =>
+      val toks = text.trim match {
+        case "" => Array.empty[String]
+        case s  => s.split("\\s+")
+      }
+      val margin = toks.map(t => w.nano(bucketOf(t))).sum
+      val (n, m, score, keep) = got(id)
+      assert(n === toks.length.toLong, s"doc $id n_tokens")
+      assert(m === margin, s"doc $id margin")
+      val refScore = if (toks.isEmpty) 0.0
+        else r9(margin.toDouble / (toks.length.toDouble * 1e9))
+      assert(score === refScore, s"doc $id score")
+      assert(keep === (margin >= 0L), s"doc $id gate")
+    }
+  }
+
+  test("learned weights are antisymmetric under the zz-junk twin") {
+    // equal class sizes + add-one smoothing ⇒ llr(clean fit) =
+    // −llr(junk fit with classes swapped); q191/q192's mixture
+    // classes rely on this to land near ±⅓ of the clean score
+    val clean = Seq("aa bb", "bb cc aa").toDF("text")
+    val junk = Seq("zzaa zzbb", "zzbb zzcc zzaa").toDF("text")
+    val ab = QualityModel.fitWeights(clean, junk)
+      .as[(Long, Double)].collect().toMap
+    val ba = QualityModel.fitWeights(junk, clean)
+      .as[(Long, Double)].collect().toMap
+    assert(ab.keySet === ba.keySet)
+    ab.foreach { case (b, lr) => assert(ba(b) === -lr, s"bucket $b") }
+  }
+
+  test("learned inference is a zero-shuffle scan projection") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val w = QualityModel.loadWeights(QualityModel.fitWeights(
+      t.documents.limit(4), t.documents.limit(8)))
+    val plan = QualityModel.scoreDocsLearned(t.documents,
+        spark.sparkContext.broadcast(w))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"learned quality inference must not shuffle:\n$plan")
+    // `*(n)` is the WholeStageCodegen marker in the simple plan string
+    assert(plan.contains("*(1) Project"),
+      s"learned quality inference should stay codegen'd:\n$plan")
+  }
 }

@@ -60,6 +60,11 @@ class DocStreamSpec extends SparkSpec {
     source.addData(docs: _*)
     q.processAllAvailable()
     q.stop()
+    // passthrough contract: the gate APPENDS scorer columns — input
+    // columns (ts!) survive for downstream watermark/dedup stages
+    assert(spark.table("modelgate").columns.toSet ===
+      Set("doc_id", "text", "ts",
+        "n_tokens", "margin_milli", "score", "keep"))
     val got = spark.table("modelgate")
       .select("doc_id", "n_tokens", "margin_milli", "score", "keep")
       .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
