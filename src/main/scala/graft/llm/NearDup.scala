@@ -102,6 +102,21 @@ object NearDup {
       .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** The PINNED 16-hash md5-family operating point (bands,
+    * rowsPerBand) — the q177 tuning-curve ARGMAX under the dedup
+    * deployment rule "max recall, then max precision, then fewest
+    * candidates" (recall first: a missed near-dup is training-set
+    * contamination; low precision only costs verify work, which the
+    * exact-Jaccard stage bounds). LshOperatingPointSpec re-derives
+    * the argmax from [[bandTuningReport]] on the tuning corpus at the
+    * oracle-checked SF and fails if the curve ever moves off this
+    * pin — the q182 governance pattern for the lexical index. The
+    * production 64-hash family ([[bandIndex]]'s numHashes=64,
+    * bands=16) keeps the same band-collision steepness with 4-row
+    * bands.
+    */
+  val TunedBandConfig: (Int, Int) = (8, 2)
+
   /** Public builder for the PERSISTED corpus near-dup index a
     * continuous-ingest deployment maintains: the `(__id, band,
     * bucket)` band rows (`bandTable`) plus the `(__id, __sh)` distinct
@@ -141,23 +156,28 @@ object NearDup {
     * times, not |shingles| × numHashes — the interpreted-HOF evaluator
     * re-inlines lambda subtrees per index, so hashing inside the
     * per-perm lambda would multiply the md5 cost by numHashes
-    * (measured 8.5 → 2.8 s on q177 at sf0.1). Production banding uses
+    * (measured 8.5 → 2.8 s on q177 at sf0.1). The (aᵢ, bᵢ)
+    * coefficients are computed DRIVER-SIDE into two literal array
+    * columns (all-nonnegative integer arithmetic, so Scala `%` ≡ SQL
+    * pmod exactly) — the same re-inlining lesson: deriving them from
+    * `sequence(0, n−1)` inside the fold lambda re-ran the coefficient
+    * arithmetic once per shingle per perm. Production banding uses
     * the xxhash64 family; this one exists so LSH OPERATING-POINT
     * decisions (candidate counts, recall/precision per band config)
     * can be driver-verified end-to-end. Callers pass distinct shingle
     * sets with ≥ 1 element (the [[shingleSets]] contract).
     */
   def minhashMd5Sig(shingles: Column, numHashes: Int): Column = {
+    val as = array((0 until numHashes).map(i =>
+      lit((i.toLong * 2654435761L) % 1000003L + 1L)): _*)
+    val bs = array((0 until numHashes).map(i =>
+      lit((i.toLong * 40503L + 1L) % MinHashP)): _*)
+    val init = array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*)
     val hv = transform(shingles, g =>
       conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    aggregate(hv,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+    aggregate(hv, init,
       (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => {
-          val a = pmod(i.cast("long") * lit(2654435761L), lit(1000003L)) + 1L
-          val b = pmod(i.cast("long") * lit(40503L) + 1L, lit(MinHashP))
-          pmod(a * h + b, lit(MinHashP))
-        }),
+        zip_with(as, bs, (a, b) => pmod(a * h + b, lit(MinHashP))),
         (x, y) => least(x, y)))
   }
 

@@ -2219,7 +2219,9 @@ object LlmQueries {
     // keeps candidate COUNTS engine-reproducible (the q78/q95 device);
     // the truth side is the verified q27 pair set, which the oracle
     // recomputes from first principles (all-pairs at sf0.01), so a
-    // truth divergence fails the hash gate.
+    // truth divergence fails the hash gate. The curve's argmax is
+    // PINNED as NearDup.TunedBandConfig — LshOperatingPointSpec
+    // re-derives it and fails on drift (the q182 governance pattern).
     "q177_lsh_tuning" -> ((s, dir) =>
       NearDup.bandTuningReport(lshCorpus(Tables(s, dir)), "doc_id", "text",
         truthPairs = Some(s.read.parquet(ensureLshTruthFixture(s, dir))))),
@@ -3066,7 +3068,11 @@ object LlmQueries {
     * (the corpus artifact a tuning deployment keeps next to its
     * index): the q27-proven verified pair set at the pinned
     * production setting. The oracle recomputes the truth from first
-    * principles, so a stale or diverging fixture fails the hash gate.
+    * principles, so a stale or diverging fixture fails the hash gate —
+    * and LshOperatingPointSpec asserts this recipe EQUALS the exact
+    * all-pairs program (prefixJaccardPairs) at the checked SF, so
+    * "verified pair set = ground truth" is a proven property here,
+    * not the ~2%-miss LSH bound.
     */
   private def ensureLshTruthFixture(s: SparkSession, dir: String): String = {
     val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")

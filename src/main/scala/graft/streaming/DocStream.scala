@@ -212,6 +212,58 @@ object DocStream {
     else flagged.dropDuplicates("doc_id")
   }
 
+  /** Composed INTAKE-TO-RELEASE gate (the 21st stream ≡ batch twin) —
+    * the q185 release pipeline's gating stages in the streaming
+    * probe-don't-cut contract: exact-dup keep-first within the
+    * watermark (arrival order stands in for q185's min-id rule on
+    * closed batches), the stateless model margin gate (q172's margin
+    * ≥ 0), and the span PROBE against the benchmark gram set — a doc
+    * containing ANY bench L-gram routes to the batch span-cleaning
+    * path ([[spanProbeFlags]]' quarantine contract; q185 cuts those
+    * spans batch-side), and every hit-free survivor releases
+    * IMMEDIATELY with q185's md5-anchored release row (a hit-free
+    * doc's text IS its clean text, so the anchors agree with the
+    * batch pipeline's by construction).
+    *
+    * Dataflow: the only state is the dedup stage's fp-keyed id row
+    * within the watermark; everything else is scan work — the margin
+    * folds in the projection, the doc's L-grams md5 inside ONE
+    * `transform` (once per window position, the [[spanProbeFlags]]
+    * gram shape) and probe the bench gram set as an InSet literal
+    * (metadata-sized by the `decontaminateCuts` broadcast contract —
+    * the [[dsirGate]] inline-model device). No stream-stream join, no
+    * aggregation state. Stream ≡ batch is DocStreamSpec-pinned on a
+    * planted corpus with a bench quote, a negative-margin doc, and an
+    * exact duplicate.
+    */
+  def releaseGate(docs: DataFrame, benchGrams: Set[String], L: Int,
+                  watermarkDelay: String = "1 hour"): DataFrame = {
+    require(L >= 2, s"span threshold L must be >= 2 tokens, got $L")
+    require(benchGrams.nonEmpty, "empty benchmark gram set")
+    val fp = docs.withColumn("__fp", md5(col("text")))
+    val deduped = (if (docs.isStreaming)
+        fp.withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("__fp")
+      else fp.dropDuplicates("__fp")).drop("__fp")
+    val gated = graft.llm.QualityModel.withScores(deduped)
+      .filter(col("keep"))
+    gated
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .withColumn("__g",
+        when(size(col("__t")) < L, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col("__t")) - L + 1),
+            p => md5(concat_ws(graft.llm.ExactSubstr.Sep,
+              slice(col("__t"), p, lit(L)))))))
+      .filter(!exists(col("__g"), g => g.isInCollection(benchGrams)))
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        col("margin_milli"),
+        length(col("text")).cast("long").as("clean_len"),
+        md5(col("text")).as("clean_md5"),
+        pmod(conv(substring(md5(col("text")), 1, 8), 16, 10)
+          .cast("long"), lit(8L)).as("shard"))
+  }
+
   /** Streaming semantic near-dup gate (the 18th stream ≡ batch twin) —
     * [[graft.llm.Similarity.semDedupAppend]]'s corpus half on a live
     * embedding feed: each arriving vector assigns to its nearest

@@ -463,4 +463,62 @@ class DocStreamSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(id => id >= 800000L && id < 810000L),
       s"exactly the perturbed twins must flag: got $got")
   }
+
+  test("releaseGate: composed intake-to-release, stream ≡ batch") {
+    // the 21st stream-≡-batch twin (round-16 verdict item 4): the
+    // q185 gating stages composed in ONE stream — exact-dup keep-first
+    // → margin gate → bench span probe — on a planted corpus holding
+    // every rejection class: an exact duplicate (dedup state), a
+    // negative-margin doc (model gate), a bench-quoting doc (span
+    // probe → quarantine), and two clean docs (release rows with
+    // q185's md5 anchors).
+    implicit val sq = spark.sqlContext
+    val L = 4
+    val bench = Seq((900L, "benchq alpha beta gamma delta answertok"))
+      .toDF("doc_id", "text")
+    val benchGrams = graft.llm.ExactSubstr.gramTable(bench, L)
+      .select("gram").distinct().as[String].collect().toSet
+    val junk = "zzz qqq vvv xxx" // stand-in margin −595
+    val quote = body + " alpha beta gamma delta end" // margin +, quotes bench
+    val tail5 = body + " plus a genuinely different ending"
+    val docs = Seq(
+      Doc(1, body, ts(1)),   // clean → release
+      Doc(2, junk, ts(2)),   // negative margin → gate rejects
+      Doc(3, quote, ts(3)),  // bench quote → quarantine (probe)
+      Doc(4, body, ts(4)),   // exact duplicate of 1 → dedup drops
+      Doc(5, tail5, ts(5)))  // clean → release
+    // fixture preconditions (fail loudly if the plants drift)
+    val margins = graft.llm.QualityModel.scoreDocs(docs.toDF())
+      .select("doc_id", "margin_milli").as[(Long, Long)].collect().toMap
+    assert(margins(2L) < 0 && Seq(1L, 3L, 5L).forall(margins(_) >= 0),
+      s"planted margins drifted: $margins")
+    // batch twin: identical composition in batch mode
+    val want = DocStream.releaseGate(docs.toDF(), benchGrams, L)
+      .select("doc_id", "clean_md5", "shard")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val source = MemoryStream[Doc]
+    val q = DocStream.releaseGate(source.toDF(), benchGrams, L)
+      .writeStream.format("memory").queryName("releasegate")
+      .outputMode("append").start()
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("releasegate")
+      .select("doc_id", "clean_md5", "shard")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, "stream must equal the batch composition")
+    assert(got.map(_._1) == Seq(1L, 5L),
+      s"exactly the clean non-duplicate docs release: $got")
+    // release anchors match q185's formula on the released text
+    val anchors = docs.filter(d => Seq(1L, 5L).contains(d.doc_id))
+      .map(d => d.doc_id -> d.text).toMap
+    got.foreach { case (id, m, shard) =>
+      val ref = java.security.MessageDigest.getInstance("MD5")
+        .digest(anchors(id).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(m === ref, s"doc $id clean_md5")
+      assert(shard === java.lang.Long.parseLong(ref.take(8), 16) % 8,
+        s"doc $id shard")
+    }
+  }
 }
