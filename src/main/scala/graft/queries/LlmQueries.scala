@@ -2627,8 +2627,92 @@ object LlmQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           round(coalesce(col("n_kept"), lit(0L)).cast("double") /
             col("__tot"), 9).as("kept_frac"))
+    }),
+
+    // DECONTAMINATION POLICY REPORT — the cut-vs-drop triage a release
+    // pipeline applies on top of q165's cut lists (the Llama-recipe
+    // refinement of "cut, don't drop": a doc that is MOSTLY quote is
+    // not worth hosting — surgically cutting 95% of it leaves
+    // fragments, so it drops whole): per document the bench-covered
+    // token fraction classifies it clean (no cuts) / cut (< ½ quoted)
+    // / drop (≥ ½ quoted, INTEGER-exact 2·cut ≥ n — no float
+    // boundary), rolled up per (source, policy) with exact token
+    // sums. The corpus plants all three classes (deconTrain's light
+    // quotes + heavy copy-paste docs that are one host word plus the
+    // full item and question). One gram pass; the checkpointed corpus
+    // feeds the cut build AND the doc stats.
+    "q193_decon_policy" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = deconPolicyCorpus(t).localCheckpoint()
+      val cuts = graft.llm.ExactSubstr
+        .decontaminateCuts(corpus, deconBench(t), L = 8)
+        .groupBy(col("doc_id")).agg(sum(col("span_len")).as("__cut"))
+      corpus.select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("__ntok"))
+        .join(cuts, Seq("doc_id"), "left")
+        .select(col("source"), col("__ntok"),
+          coalesce(col("__cut"), lit(0L)).as("__cut"))
+        .select(col("source"), col("__ntok"), col("__cut"),
+          when(col("__cut") === 0, lit("clean"))
+            .when(col("__cut") * 2 >= col("__ntok"), lit("drop"))
+            .otherwise(lit("cut")).as("policy"))
+        .groupBy(col("source"), col("policy"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ntok")).as("total_tokens"),
+          sum(col("__cut")).as("quoted_tokens"))
+    }),
+
+    // TOKENIZER MERGE-BUDGET CURVE — the q177/q178 operating-point
+    // discipline applied to the LEARNED tokenizer artifact (q189):
+    // corpus fertility (model tokens per whitespace word) under the
+    // first K learned merges, for each candidate merge budget K — the
+    // table that justifies how large a vocabulary to ship. Billing
+    // runs over the WORD-FREQUENCY DICTIONARY (Σ cnt · tokens(word)),
+    // not the corpus: one corpus-scale pass builds the checkpointed
+    // dictionary and every budget branch is vocab-scale work (the
+    // shared-pass discipline). The oracle replays the SAME persisted
+    // merge parquet with its recursive encoder, reading each budget at
+    // recursion step K — applying ranks 0..K−1 IS the K-budget vocab.
+    "q194_merge_budget" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val merges = s.read.parquet(ensureLearnedMergesFixture(s, dir))
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      val wc = graft.llm.BpeTrain.wordCounts(t.documents)
+        .localCheckpoint() // one dictionary pass feeds every budget
+      mergeBudgets.map { k =>
+        val sym = graft.llm.Bpe.symbolsOfWord(merges.take(k), col("word"))
+        wc.select(col("cnt"),
+            ((length(sym) - length(call_function("replace", sym,
+              lit("|"), lit("")))) / lit(2)).cast("long").as("__wt"))
+          .agg(sum(col("cnt") * col("__wt")).as("bpe_tokens"),
+            sum(col("cnt")).as("ws_tokens"))
+          .select(lit(k.toLong).as("k"), col("bpe_tokens"),
+            col("ws_tokens"),
+            round(col("bpe_tokens").cast("double") /
+              col("ws_tokens"), 9).as("fertility"))
+      }.reduce(_ unionByName _)
     })
   )
+
+  /** q194's candidate merge budgets — prefixes of the q189 learned
+    * table (bpeTrainK = 16 caps the largest).
+    */
+  private val mergeBudgets = Seq(4, 8, 16)
+
+  /** q193's corpus: the q165 training corpus (light quote plants,
+    * source joined back on) plus a HEAVY copy-paste doc per bench item
+    * carrying the fixed question — one host word, 20 quoted tokens of
+    * 21, the class the drop policy exists for.
+    */
+  private def deconPolicyCorpus(t: Tables): DataFrame =
+    deconTrain(t)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .unionByName(t.documents.filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select((col("doc_id") + 980000L).as("doc_id"),
+          concat(lit("pasted"), deconEvalItem(col("doc_id")),
+            lit(" " + deconFixedQ)).as("text"),
+          col("source")))
 
   /** q192's candidate per-token thresholds, nano-units (θ/10⁹ mean
     * per-token log-ratio): at the oracle-checked SF clean docs sit
@@ -6605,6 +6689,101 @@ object LlmQueries {
                ROUND(CAST(COALESCE(n_kept, 0) AS DOUBLE)
                  / CAST(n AS DOUBLE), 9) + 0.0 AS kept_frac
         FROM thetas t LEFT JOIN kept USING (theta_nano) CROSS JOIN tot"""
+    },
+
+    // Decon-policy twin: the q171 cut-list re-derivation over the
+    // train ∪ heavy-paste corpus, then the integer-exact policy CASE
+    // (2·cut ≥ n) and the (source, policy) rollup.
+    "q193_decon_policy" ->
+      s"""WITH $sqlDeconSides,
+          heavy AS (SELECT doc_id + 980000 AS doc_id,
+                      'pasted' || ${sqlEvalItem("doc_id")}
+                        || ' $deconFixedQ' AS text,
+                      source
+                    FROM documents WHERE doc_id % 40 = 0),
+          trainp AS (SELECT t.doc_id, t.text, d.source
+                     FROM train t JOIN documents d USING (doc_id)
+                     UNION ALL
+                     SELECT doc_id, text, source FROM heavy),
+          btk AS (SELECT $sqlToks AS t FROM bench),
+          bg AS (SELECT DISTINCT
+                   md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                 FROM (SELECT t, unnest(range(0, len(t) - 7)) AS i
+                       FROM btk WHERE len(t) >= 8) x),
+          ttk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t, source
+                               FROM trainp),
+          g AS (SELECT doc_id, i + 1 AS start,
+                       md5(array_to_string(list_slice(t, i + 1, i + 8), chr(1))) AS gram
+                FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+                      FROM ttk WHERE len(t) >= 8) x),
+          h AS (SELECT doc_id, start FROM g
+                WHERE gram IN (SELECT gram FROM bg)),
+          brk AS (SELECT doc_id, start,
+                    CASE WHEN start - LAG(start) OVER
+                           (PARTITION BY doc_id ORDER BY start) > 8
+                         THEN 1 ELSE 0 END AS b
+                  FROM h),
+          isl AS (SELECT doc_id, start,
+                    SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS UNBOUNDED PRECEDING) AS island
+                  FROM brk),
+          cuts AS (SELECT doc_id,
+                     CAST(SUM(span_len) AS BIGINT) AS cut FROM (
+                       SELECT doc_id, MAX(start) - MIN(start) + 8 AS span_len
+                       FROM isl GROUP BY doc_id, island) s
+                   GROUP BY doc_id),
+          per AS (SELECT tk.source, CAST(len(tk.t) AS BIGINT) AS n,
+                         CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut
+                  FROM ttk tk LEFT JOIN cuts c USING (doc_id))
+        SELECT source,
+               CASE WHEN cut = 0 THEN 'clean'
+                    WHEN 2 * cut >= n THEN 'drop'
+                    ELSE 'cut' END AS policy,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(cut) AS BIGINT) AS quoted_tokens
+        FROM per
+        GROUP BY 1, 2""",
+
+    // Merge-budget twin: the q190 recursive encoder over the SAME
+    // persisted learned-merges parquet, but each budget K reads the
+    // encoding at recursion step K (ranks 0..K−1 applied = the
+    // K-budget vocabulary); dictionary-weighted token totals.
+    "q194_merge_budget" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"bpe_learned_k${bpeTrainK}_${oracleSfName}_v$bpeTrainVersion/*.parquet"
+      val budgetVals = mergeBudgets.map(k => s"($k)").mkString(", ")
+      s"""WITH RECURSIVE
+          st AS (SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS step,
+                        a, b
+                 FROM read_parquet('$fixture')),
+          occ AS (SELECT unnest($sqlToks) AS word FROM documents),
+          wcnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM occ WHERE length(word) > 0 GROUP BY 1),
+          enc AS (
+            SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s,
+                   CAST(0 AS BIGINT) AS step
+            FROM wcnt
+            UNION ALL
+            SELECT e.word,
+                   replace(e.s, '|' || t.a || '||' || t.b || '|',
+                           '|' || t.a || t.b || '|'),
+                   e.step + 1
+            FROM enc e JOIN st t ON t.step = e.step + 1),
+          wtok AS (SELECT word, step,
+                     CAST((length(s) - length(replace(s, '|', ''))) / 2
+                       AS BIGINT) AS wt
+                   FROM enc),
+          budgets AS (SELECT CAST(k AS BIGINT) AS k
+                      FROM (VALUES $budgetVals) b(k))
+        SELECT b.k, CAST(SUM(c.cnt * w.wt) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(c.cnt) AS BIGINT) AS ws_tokens,
+               ROUND(CAST(SUM(c.cnt * w.wt) AS DOUBLE)
+                 / CAST(SUM(c.cnt) AS DOUBLE), 9) + 0.0 AS fertility
+        FROM budgets b
+        JOIN wtok w ON w.step = b.k
+        JOIN wcnt c USING (word)
+        GROUP BY b.k"""
     }
   )
 }
