@@ -86,30 +86,42 @@ object QualityModel {
     new QualityWeights(arr)
   }
 
-  /** Score + gate every document under a LEARNED broadcast model —
-    * the same zero-shuffle scan-projection shape as [[scoreDocs]],
-    * with the stand-in weight fold replaced by ONE codegen'd
-    * [[graft.functions.HashedMarginNano]] call (O(1) array lookup per
-    * token against the torrent-broadcast table). Output: (id,
-    * n_tokens, margin_nano, score, keep) with score =
-    * round9(margin_nano / (10⁹·n_tokens)) — the mean per-token
-    * log-ratio — and keep ⇔ margin_nano ≥ 0 (empty docs score 0 and
-    * pass, the [[scoreDocs]] convention).
+  /** Append the LEARNED scorer columns (`n_tokens, margin_nano,
+    * score, keep`) to `docs`, PRESERVING every input column — the
+    * passthrough form the streaming gate needs ([[withScores]]'
+    * learned sibling, the ONE formula source for
+    * [[scoreDocsLearned]]): the stand-in weight fold is replaced by
+    * ONE codegen'd [[graft.functions.HashedMarginNano]] call (O(1)
+    * array lookup per token against the torrent-broadcast table).
+    * score = round9(margin_nano / (10⁹·n_tokens)) — the mean
+    * per-token log-ratio; keep ⇔ margin_nano ≥ 0 (empty docs score 0
+    * and pass, the [[scoreDocs]] convention).
+    */
+  def withLearnedScores(docs: DataFrame,
+                        weights: org.apache.spark.broadcast.Broadcast[QualityWeights],
+                        textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("margin_nano",
+        graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)),
+          weights))
+      .withColumn("score",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("margin_nano").cast("double") /
+            (col("n_tokens").cast("double") * 1e9), 9)))
+      .withColumn("keep", col("margin_nano") >= 0)
+
+  /** Score + gate every document under a LEARNED broadcast model:
+    * (id, n_tokens, margin_nano, score, keep) —
+    * [[withLearnedScores]] projected to the batch contract columns.
     */
   def scoreDocsLearned(docs: DataFrame,
                        weights: org.apache.spark.broadcast.Broadcast[QualityWeights],
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val n = TextOps.tokenCount(col(textCol)).cast("long")
-    docs.select(col(idCol), n.as("n_tokens"),
-        graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)),
-          weights).as("margin_nano"))
+                       textCol: String = "text"): DataFrame =
+    withLearnedScores(docs, weights, textCol)
       .select(col(idCol), col("n_tokens"), col("margin_nano"),
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(col("margin_nano").cast("double") /
-            (col("n_tokens").cast("double") * 1e9), 9)).as("score"),
-        (col("margin_nano") >= 0).as("keep"))
-  }
+        col("score"), col("keep"))
 
   /** Append the scorer columns (`n_tokens, margin_milli, score, keep`)
     * to `docs`, PRESERVING every input column — the passthrough form a

@@ -2692,8 +2692,50 @@ object LlmQueries {
             round(col("bpe_tokens").cast("double") /
               col("ws_tokens"), 9).as("fertility"))
       }.reduce(_ unionByName _)
+    }),
+
+    // KEEP-LONGEST NEAR-DUP RESOLUTION — the cluster-resolution policy
+    // real dedup pipelines use instead of keep-min-id (Lee et al.
+    // 2022 keep one member; production keeps the most COMPLETE
+    // version): per near-dup component, keep the member with the most
+    // tokens (id ascending on ties — a total order, so the winner is
+    // engine-exact). The corpus plants both directions: truncated
+    // twins (the longest member is the ORIGINAL, lowest id) and
+    // extended copies of every 4th doc (the longest member is the
+    // EXTENSION, highest id — keep-longest ≠ keep-min-id). The argmax
+    // is one max(struct(n_tokens, −id)) per cluster — no window, no
+    // per-cluster sort.
+    "q195_neardup_keep_longest" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val corpus = keepLongestCorpus(t).localCheckpoint() // pairs + stats
+      val comps = graft.graph.PropertyGraph.pairComponents(
+        NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.6,
+          shingleN = 3, numHashes = 48, bands = 16)
+          .select(col("id_a"), col("id_b")))
+      comps
+        .join(corpus.select(col("doc_id").as("id"),
+          TextOps.tokenCount(col("text")).cast("long").as("__n")), Seq("id"))
+        .select(col("keep_id").as("cluster_id"), col("__n"),
+          struct(col("__n").as("n"), (-col("id")).as("negid")).as("__m"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("__m")).as("__best"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("__best.negid")).as("keep_longest_id"),
+          col("__best.n").as("keep_tokens"))
     })
   )
+
+  /** q195's corpus: documents + truncated twins (the q27 plant) +
+    * EXTENDED copies of every 4th doc (same text plus a fixed 5-token
+    * tail — still Jaccard ≥ 0.6 against the original at ordinary doc
+    * lengths, and the longest member of its cluster).
+    */
+  private def keepLongestCorpus(t: Tables): DataFrame =
+    lshCorpus(t)
+      .unionByName(t.documents.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extension tail words appended here"))
+            .as("text")))
 
   /** q194's candidate merge budgets — prefixes of the q189 learned
     * table (bpeTrainK = 16 caps the largest).
@@ -6784,6 +6826,48 @@ object LlmQueries {
         JOIN wtok w ON w.step = b.k
         JOIN wcnt c USING (word)
         GROUP BY b.k"""
-    }
+    },
+
+    // Keep-longest twin: exact all-pairs Jaccard over the 3-member
+    // corpus (originals + truncated twins + extended copies), the q36
+    // CC recursion, then the (n_tokens DESC, id ASC) winner per
+    // component via ROW_NUMBER — the deterministic total order the
+    // Spark max(struct) reproduces.
+    "q195_neardup_keep_longest" ->
+      s"""WITH RECURSIVE corpus3 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1))
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   text || ' extension tail words appended here'
+            FROM documents WHERE doc_id % 4 = 0),
+          ${sqlPairCtes("corpus3")},
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (
+            SELECT a, LEAST(a, b) FROM edges
+            UNION
+            SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS cluster_id FROM lbl GROUP BY id),
+          tk AS (SELECT doc_id AS id, CAST(len($sqlToks) AS BIGINT) AS n
+                 FROM corpus3),
+          ranked AS (
+            SELECT c.cluster_id, c.id, t.n,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                     ORDER BY t.n DESC, c.id ASC) AS rn
+            FROM comp c JOIN tk t USING (id))
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(CASE WHEN rn = 1 THEN id END) AS BIGINT)
+                 AS keep_longest_id,
+               CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+                 AS keep_tokens
+        FROM ranked
+        GROUP BY cluster_id"""
   )
 }

@@ -60,6 +60,23 @@ object DocStream {
   def modelGate(docs: DataFrame): DataFrame =
     graft.llm.QualityModel.withScores(docs)
 
+  /** Stateless LEARNED-model quality gate (the 22nd stream ≡ batch
+    * twin) — the streaming twin of the batch q191 scorer: arriving
+    * documents scored by the PERSISTED learned weight table shipped
+    * as one torrent broadcast into the codegen'd HashedMarginNano
+    * expression (an O(1) lookup per token inside the scan projection
+    * — zero state, zero shuffle at any feed rate). Scorer columns
+    * APPEND to the input row, so `ts` and friends survive for the
+    * downstream watermark/dedup stages (the [[modelGate]] passthrough
+    * contract). Pass
+    * `spark.sparkContext.broadcast(QualityModel.loadWeights(
+    * spark.read.parquet(modelPath)))`. Stream ≡ batch is
+    * DocStreamSpec-pinned.
+    */
+  def learnedGate(docs: DataFrame,
+                  weights: org.apache.spark.broadcast.Broadcast[graft.llm.QualityWeights]): DataFrame =
+    graft.llm.QualityModel.withLearnedScores(docs, weights)
+
   /** Stateless DSIR gate — the streaming twin of the batch q173
     * scorer: arriving documents scored by the persisted hashed-unigram
     * log-likelihood-ratio model with the model INLINED as a literal

@@ -99,6 +99,44 @@ class DocStreamSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("learnedGate: stream scoring ≡ the batch q191 scorer over the same weights") {
+    // the 22nd stream-≡-batch twin: the learned weight table fits on
+    // planted clean-vs-junk classes, broadcasts once, and the stream
+    // scores bit-identically to the batch path — with every input
+    // column passing through (the modelGate passthrough contract).
+    implicit val sq = spark.sqlContext
+    val clean = Seq((1L, "good clean prose with usual words"),
+      (2L, "more ordinary clean words here")).toDF("doc_id", "text")
+    val junk = Seq((1L, "zzgood zzclean zzprose zzwith zzusual zzwords"),
+      (2L, "zzmore zzordinary zzclean zzwords zzhere")).toDF("doc_id", "text")
+    val w = spark.sparkContext.broadcast(
+      graft.llm.QualityModel.loadWeights(
+        graft.llm.QualityModel.fitWeights(clean, junk)))
+    val feed = Seq(
+      Doc(1, "good clean prose with usual words", ts(1)), // keep
+      Doc(2, "zzmore zzordinary zzclean junkish", ts(2)), // reject
+      Doc(3, "", ts(3)))                                  // empty: keep
+    val source = MemoryStream[Doc]
+    val q = DocStream.learnedGate(source.toDF(), w).writeStream
+      .format("memory").queryName("learnedgate").outputMode("append").start()
+    source.addData(feed: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("learnedgate").columns.toSet ===
+      Set("doc_id", "text", "ts",
+        "n_tokens", "margin_nano", "score", "keep"))
+    val got = spark.table("learnedgate")
+      .select("doc_id", "n_tokens", "margin_nano", "score", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val expected = graft.llm.QualityModel
+      .scoreDocsLearned(feed.toDF().select(col("doc_id"), col("text")), w)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+    val keeps = got.map(r => r._1 -> r._5).toMap
+    assert(keeps === Map(1L -> true, 2L -> false, 3L -> true),
+      s"gate verdicts drifted: $got")
+  }
+
   test("dedup state is watermark-bounded: the same content far later passes again") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Doc]
