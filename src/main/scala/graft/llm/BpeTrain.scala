@@ -56,6 +56,19 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Additive merge of two word-frequency dictionaries — the
+    * SUFFICIENT-STATISTIC maintenance of the tokenizer trainer
+    * (the index-maintenance discipline applied to [[wordCounts]]):
+    * counts add, vocabularies union, the base corpus is never
+    * re-read. A tokenizer refresh after an ingest batch is
+    * mergeDicts + [[learnMerges]] over the vocab-scale dictionary
+    * alone. mergeDicts(wordCounts(a), wordCounts(b)) ≡
+    * wordCounts(a ∪ b) (BpeTrainSpec-pinned).
+    */
+  def mergeDicts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+
   /** Adjacent symbol pairs of the dictionary under `merges`, weighted
     * by word count: (a, b, c). One distributed pass over the
     * dictionary — the per-round statistic of the greedy loop, exposed

@@ -74,6 +74,59 @@ object QualityModel {
                  textCol: String = "text"): DataFrame =
     Dsir.llrTableOver(target, raw, textCol, bucket, NumBuckets)
 
+  /** The learned model's SUFFICIENT STATISTIC — per-bucket token
+    * counts of both classes: (bucket, ct, cr). Every token lands in
+    * exactly one bucket, so the class token totals are Σct / Σcr and
+    * this table alone re-derives [[fitWeights]]' llr exactly
+    * ([[llrFromCounts]], QualityModelSpec-pinned). Counts are exact
+    * integers, so ingest batches absorb by ADDITION ([[mergeCounts]])
+    * — the index-maintenance discipline (gram/band/IVF/PQ/BM25/
+    * SemDeDup/df/LM) applied to this artifact: persist the counts,
+    * not just the log-ratios.
+    */
+  def fitCounts(target: DataFrame, raw: DataFrame,
+                textCol: String = "text"): DataFrame = {
+    def counts(docs: DataFrame, name: String): DataFrame =
+      docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
+        .select(bucket(col("__tok")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    counts(target, "__ct").join(counts(raw, "__cr"), Seq("bucket"),
+        "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__ct"), lit(0L)).as("ct"),
+        coalesce(col("__cr"), lit(0L)).as("cr"))
+  }
+
+  /** Absorb an ingest batch into a persisted [[fitCounts]] table —
+    * counts ADD per bucket, vocabularies union; the base corpus is
+    * never re-read. mergeCounts(fitCounts(t₁,r₁), t₂, r₂) ≡
+    * fitCounts(t₁∪t₂, r₁∪r₂) (QualityModelSpec-pinned).
+    */
+  def mergeCounts(base: DataFrame, batchTarget: DataFrame,
+                  batchRaw: DataFrame, textCol: String = "text"): DataFrame =
+    base.unionByName(fitCounts(batchTarget, batchRaw, textCol))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+
+  /** Re-derive the (bucket, llr) weight table from a [[fitCounts]]
+    * state — one ln pass over the ≤ [[NumBuckets]]-row table
+    * (bit-equal to [[fitWeights]] over the same corpora; the caller
+    * persists the result, the ln-hazard fixture device).
+    */
+  def llrFromCounts(counts: DataFrame): DataFrame = {
+    val d = NumBuckets.toDouble
+    counts
+      .crossJoin(counts.agg(
+        coalesce(sum(col("ct")), lit(0L)).as("__nt"),
+        coalesce(sum(col("cr")), lit(0L)).as("__nr")))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + 1L).cast("double") /
+            (col("__nt").cast("double") + d)) -
+          log((col("cr") + 1L).cast("double") /
+            (col("__nr").cast("double") + d)), 9).as("llr"))
+  }
+
   /** Load a persisted [[fitWeights]] table into executor-ready dense
     * form (nano-unit long per bucket, absent = 0) — KB-bounded by the
     * [[NumBuckets]] contract (the sanctioned driver-side collect).

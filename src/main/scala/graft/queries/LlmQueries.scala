@@ -2722,8 +2722,99 @@ object LlmQueries {
         .select(col("cluster_id"), col("n_members"),
           (-col("__best.negid")).as("keep_longest_id"),
           col("__best.n").as("keep_tokens"))
+    }),
+
+    // INCREMENTAL QUALITY-MODEL MAINTENANCE — the index-maintenance
+    // discipline (gram q164, band q184, IVF q142, PQ q157, BM25 q170,
+    // SemDeDup q169, datasheet q160, df q152, LM q187) applied to the
+    // NEW learned-weights artifact: the persisted state is the
+    // per-bucket COUNT table (the NB sufficient statistic), q152's
+    // ingest batch absorbs by pure addition (QualityModel.mergeCounts
+    // — the corpus is never re-read), ln re-evaluates over the merged
+    // integers IN SPARK, and the q191 mixture PLUS the batch itself
+    // re-score under the UPDATED weights — the batch's 'nv'
+    // vocabulary is now in-model on the clean side, so its margins
+    // flip from the base model's zero. Merged ≡ refit is
+    // QualityModelSpec-pinned.
+    "q196_quality_merged" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val w = graft.llm.QualityModel.loadWeights(
+        s.read.parquet(ensureQualityMergedFixture(s, dir)))
+      graft.llm.QualityModel.scoreDocsLearned(
+        qualityMixed(t).unionByName(incrementalBatch(t)),
+        s.sparkContext.broadcast(w))
+    }),
+
+    // INCREMENTAL TOKENIZER MAINTENANCE — the same discipline for the
+    // learned-merges artifact (q189): the word-frequency DICTIONARY is
+    // the trainer's sufficient statistic, so a tokenizer refresh after
+    // q152's ingest batch is mergeDicts (counts add, vocab unions —
+    // the base corpus is never re-read or re-tokenized past the
+    // persisted dictionary) + the same K-round greedy loop over the
+    // vocab-scale merged table. The batch's doubled copies and 'nv'
+    // words shift pair counts, so the refreshed merge chain can
+    // genuinely differ from q189's. The oracle re-derives everything
+    // from the UNION corpus from scratch — merge-then-refit ≡ rebuild.
+    "q197_bpe_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val merged = graft.llm.BpeTrain.mergeDicts(
+        s.read.parquet(ensureBpeDictFixture(s, dir)),
+        graft.llm.BpeTrain.wordCounts(incrementalBatch(t)))
+      val learned = graft.llm.BpeTrain.learnMerges(merged, bpeTrainK)
+      s.createDataset(learned).toDF()
+        .select(col("rank"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("ab"), col("cnt"))
     })
   )
+
+  // bump when the merged-weights recipe changes
+  private val qualityMergeVersion = 1
+
+  /** Build-once MERGED quality-weights fixture for q196: the base
+    * COUNT state (clean corpus vs its junk derivative) absorbed with
+    * q152's ingest batch (batch clean side + its junk derivative) via
+    * the INCREMENTAL operator only, then one ln pass over the merged
+    * integers IN SPARK (merged ≡ refit is QualityModelSpec-pinned).
+    */
+  private def ensureQualityMergedFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-fixtures"
+    val cntP = s"$base/quality_cnt_${sfName}_v$qualityMergeVersion"
+    val llrP = s"$base/quality_llr_merged_${sfName}_v$qualityMergeVersion"
+    graft.llm.Multimodal.materializeOnce(s, cntP) {
+      val docs = Tables(s, dir).documents
+      graft.llm.QualityModel.fitCounts(docs,
+          docs.select(col("doc_id"), junkText(col("text")).as("text")))
+        .coalesce(1)
+    }
+    graft.llm.Multimodal.materializeOnce(s, llrP) {
+      val batch = incrementalBatch(Tables(s, dir))
+      graft.llm.QualityModel.llrFromCounts(
+          graft.llm.QualityModel.mergeCounts(s.read.parquet(cntP), batch,
+              batch.select(col("doc_id"), junkText(col("text")).as("text")))
+            .localCheckpoint()) // metadata-sized; feeds totals + the select
+        .coalesce(1)
+    }
+    llrP
+  }
+
+  // bump when the dictionary recipe changes
+  private val bpeDictVersion = 1
+
+  /** Build-once persisted word-frequency dictionary of the base
+    * corpus — the tokenizer trainer's sufficient statistic q197
+    * absorbs the ingest batch into.
+    */
+  private def ensureBpeDictFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"bpe_dict_${sfName}_v$bpeDictVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      graft.llm.BpeTrain.wordCounts(Tables(s, dir).documents)
+    }
+    path
+  }
 
   /** q195's corpus: documents + truncated twins (the q27 plant) +
     * EXTENDED copies of every 4th doc (same text plus a fixed 5-token
@@ -2844,6 +2935,50 @@ object LlmQueries {
         .toDF().coalesce(1)
     }
     path
+  }
+
+  /** Independent DuckDB re-derivation of the greedy merge learner
+    * (the q189/q197 twin): the K-step loop unrolled — per step,
+    * adjacent-pair counts over the dictionary's current symbol
+    * strings, the (count DESC, a, b) argmax, and one literal replace.
+    * Integer counts and binary string order make every argmax
+    * engine-exact. `w0From` is the relation the dictionary counts
+    * over; `preCtes` prepends CTEs (e.g. the union corpus) — note the
+    * dictionary is RE-DERIVED from the corpus here, so the q197 twin
+    * checks the merge-then-refit path against a from-scratch rebuild.
+    */
+  private def sqlBpeTrainProgram(w0From: String,
+                                 preCtes: String = ""): String = {
+    val steps = (1 to bpeTrainK).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (
+              SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+              FROM (SELECT cnt,
+                      string_split(substr(s, 2, length(s) - 2), '||') AS syms
+                    FROM w${i - 1}) y
+              WHERE len(syms) >= 2) x
+            GROUP BY 1, 2),
+          m$i AS MATERIALIZED (
+                  SELECT CAST(${i - 1} AS BIGINT) AS rank, a, b, c
+                  FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          w$i AS MATERIALIZED (SELECT w.word, w.cnt,
+                    replace(w.s, '|' || m.a || '||' || m.b || '|',
+                            '|' || m.a || m.b || '|') AS s
+                  FROM w${i - 1} w, m$i m)"""
+    }.mkString(",\n          ")
+    val union = (1 to bpeTrainK)
+      .map(i => s"SELECT rank, a, b, c FROM m$i").mkString(" UNION ALL ")
+    val pre = if (preCtes.isEmpty) "" else s"$preCtes,\n          "
+    s"""WITH ${pre}w0 AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+          FROM (SELECT unnest($sqlToks) AS word FROM $w0From) t
+          WHERE length(word) > 0
+          GROUP BY word),
+        $steps
+      SELECT rank, a, b, a || b AS ab, c AS cnt FROM ($union)"""
   }
 
   /** q152's deterministic ingest batch: every 6th doc an unchanged
@@ -6595,37 +6730,7 @@ object LlmQueries {
     // dictionary's current symbol strings, the (count DESC, a, b)
     // argmax, and one literal replace. Integer counts and binary
     // string order make every argmax engine-exact.
-    "q189_bpe_train" -> {
-      val steps = (1 to bpeTrainK).map { i =>
-        s"""p$i AS MATERIALIZED (
-              SELECT syms[i] AS a, syms[i + 1] AS b,
-                     CAST(SUM(cnt) AS BIGINT) AS c
-              FROM (
-                SELECT cnt, syms, unnest(range(1, len(syms))) AS i
-                FROM (SELECT cnt,
-                        string_split(substr(s, 2, length(s) - 2), '||') AS syms
-                      FROM w${i - 1}) y
-                WHERE len(syms) >= 2) x
-              GROUP BY 1, 2),
-            m$i AS MATERIALIZED (
-                    SELECT CAST(${i - 1} AS BIGINT) AS rank, a, b, c
-                    FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-            w$i AS MATERIALIZED (SELECT w.word, w.cnt,
-                      replace(w.s, '|' || m.a || '||' || m.b || '|',
-                              '|' || m.a || m.b || '|') AS s
-                    FROM w${i - 1} w, m$i m)"""
-      }.mkString(",\n          ")
-      val union = (1 to bpeTrainK)
-        .map(i => s"SELECT rank, a, b, c FROM m$i").mkString(" UNION ALL ")
-      s"""WITH w0 AS (
-            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
-                   regexp_replace(word, '(.)', '|\\1|', 'g') AS s
-            FROM (SELECT unnest($sqlToks) AS word FROM documents) t
-            WHERE length(word) > 0
-            GROUP BY word),
-          $steps
-        SELECT rank, a, b, a || b AS ab, c AS cnt FROM ($union)"""
-    },
+    "q189_bpe_train" -> sqlBpeTrainProgram("documents"),
 
     // Learned-vocab token counts: replay the SAME persisted learned-
     // merges parquet by the recursive rank-ascending encoder (the
@@ -6868,6 +6973,58 @@ object LlmQueries {
                CAST(MIN(CASE WHEN rn = 1 THEN n END) AS BIGINT)
                  AS keep_tokens
         FROM ranked
-        GROUP BY cluster_id"""
+        GROUP BY cluster_id""",
+
+    // Merged-weights twin: the q191 scoring program over the mixture
+    // PLUS q152's ingest batch, against the MERGED persisted weights
+    // (read_parquet — the ln-hazard fixture device). The batch's 'nv'
+    // buckets are in the merged model's clean side, so those rows
+    // score positive where the base model gave zero.
+    "q196_quality_merged" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"quality_llr_merged_${oracleSfName}_v$qualityMergeVersion/*.parquet"
+      s"""WITH $sqlQualityMixed,
+          batch AS (
+            SELECT doc_id + 900000 AS doc_id, text
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT doc_id + 910000,
+                   regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3),
+          scored_in AS (SELECT doc_id, text FROM mixed
+                        UNION ALL SELECT doc_id, text FROM batch),
+          tk AS (SELECT doc_id, $sqlToks AS t FROM scored_in),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          m AS (SELECT bucket, CAST(ROUND(llr * 1e9, 0) AS BIGINT) AS nano
+                FROM read_parquet('$fixture')),
+          sums AS (SELECT doc_id, CAST(SUM(nano) AS BIGINT) AS s
+                   FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096
+                             AS bucket
+                         FROM tok) x
+                   JOIN m USING (bucket)
+                   GROUP BY doc_id)
+        SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(s.s, 0) AS BIGINT) AS margin_nano,
+               CASE WHEN len(k.t) = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(s.s, 0) AS DOUBLE)
+                      / (CAST(len(k.t) AS DOUBLE) * 1e9), 9) END + 0.0
+                 AS score,
+               COALESCE(s.s, 0) >= 0 AS keep
+        FROM tk k LEFT JOIN sums s USING (doc_id)"""
+    },
+
+    // Tokenizer-refresh twin: the SAME K-step greedy program, but the
+    // dictionary derives from the UNION corpus from scratch — so the
+    // Spark side's merge-then-refit over the persisted dictionary must
+    // equal a full rebuild.
+    "q197_bpe_refresh" -> sqlBpeTrainProgram("corpus2",
+      preCtes = """corpus2 AS (
+            SELECT text FROM documents
+            UNION ALL
+            SELECT text FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT regexp_replace(text, '(\S+)', 'nv\1', 'g')
+            FROM documents WHERE doc_id % 6 = 3)""")
   )
 }

@@ -73,4 +73,22 @@ class BpeTrainSpec extends SparkSpec {
       .as[Long].collect()
     assert(n.forall(_ > 0))
   }
+
+  test("dictionary merge ≡ rebuild over the union corpus (q197's contract)") {
+    val a = corpus("the theme", "than the")
+    val b = corpus("the thin", "nvnew nvnew")
+    val merged = BpeTrain.mergeDicts(
+        BpeTrain.wordCounts(a), BpeTrain.wordCounts(b))
+      .as[(String, Long)].collect().toMap
+    val rebuilt = BpeTrain.wordCounts(a.unionByName(b))
+      .as[(String, Long)].collect().toMap
+    assert(merged === rebuilt)
+    // and the refit merges over the merged dictionary equal the
+    // from-scratch training on the union corpus
+    val viaMerge = BpeTrain.learnMerges(BpeTrain.mergeDicts(
+      BpeTrain.wordCounts(a), BpeTrain.wordCounts(b)), k = 4)
+    val viaRebuild = BpeTrain.learnMerges(
+      BpeTrain.wordCounts(a.unionByName(b)), k = 4)
+    assert(viaMerge === viaRebuild)
+  }
 }

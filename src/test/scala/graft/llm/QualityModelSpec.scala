@@ -144,6 +144,26 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("count state re-derives the weights; batch merge ≡ full refit") {
+    val t1 = Seq("aa bb", "bb cc aa").toDF("text")
+    val r1 = Seq("aa dd", "dd dd ee").toDF("text")
+    val t2 = Seq("ff aa", "").toDF("text")
+    val r2 = Seq("gg gg dd").toDF("text")
+    // sufficient statistic: llrFromCounts ∘ fitCounts ≡ fitWeights
+    val viaCounts = QualityModel.llrFromCounts(QualityModel.fitCounts(t1, r1))
+      .as[(Long, Double)].collect().toMap
+    val direct = QualityModel.fitWeights(t1, r1)
+      .as[(Long, Double)].collect().toMap
+    assert(viaCounts === direct)
+    // incremental maintenance: mergeCounts ≡ fitCounts over the union
+    val merged = QualityModel.mergeCounts(
+        QualityModel.fitCounts(t1, r1), t2, r2)
+      .as[(Long, Long, Long)].collect().toSet
+    val refit = QualityModel.fitCounts(t1.unionByName(t2), r1.unionByName(r2))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === refit)
+  }
+
   test("learned weights are antisymmetric under the zz-junk twin") {
     // equal class sizes + add-one smoothing ⇒ llr(clean fit) =
     // −llr(junk fit with classes swapped); q191/q192's mixture

@@ -27,10 +27,11 @@ class BenchLineSpec extends AnyFunSuite {
         "in Bench.compactLine before adding more queries")
   }
 
-  test("compact line format: metric/value/queries only, 1-decimal values") {
+  test("compact line format: value/queries only, 1-decimal values") {
     val line = graft.Bench.compactLine(Seq("q07_x" -> 1.23, "q104_y" -> 10.06))
-    assert(line == """{"metric":"total","value":11.3,"queries":{"7":1.2,"104":10.1}}""")
+    assert(line == """{"value":11.3,"queries":{"7":1.2,"104":10.1}}""")
     // the round-16 overflow was exactly these re-added wrapper fields
-    assert(!line.contains("\"unit\"") && !line.contains("\"sf\""))
+    assert(!line.contains("\"metric\"") && !line.contains("\"unit\"") &&
+      !line.contains("\"sf\""))
   }
 }
