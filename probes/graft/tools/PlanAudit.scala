@@ -28,13 +28,18 @@ object PlanAudit {
         // string field — normalize \" to " so both that wrapper and a
         // raw bench stdout line parse identically
         val js = js0.replace("\\\"", "\"")
-        // the authoritative record is the LAST compact "metric" line
+        // the authoritative record is the LAST compact summary line
         // (earlier fragments in the tail would double-count); its
-        // queries object uses bare-number keys
-        val tail = { val i = js.lastIndexOf("\"metric\""); if (i >= 0) js.substring(i) else js }
+        // queries object uses bare-number keys. The line leads with
+        // "value" since round 17 (the "metric" wrapper was dropped
+        // for the 2 KB stdout-tail budget).
+        val tail = { val i = js.lastIndexOf("{\"value\""); if (i >= 0) js.substring(i) else js }
         val total = "\"value\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(tail).map(_.group(1))
+        // the compact line carries no sf field by contract; the file
+        // name records the run (e.g. bench_r17_close) — default sf0.1,
+        // the driver's bench scale
         val sf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r.findFirstMatchIn(js)
-          .map(m => "sf" + m.group(1))
+          .map(m => "sf" + m.group(1)).orElse(Some("sf0.1 (driver bench scale)"))
         val nq = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(tail).map { m =>
           val close = tail.indexOf("}", m.end)
           tail.substring(m.end, if (close < 0) tail.length else close).count(_ == ':')
