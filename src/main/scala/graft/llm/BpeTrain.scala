@@ -86,14 +86,40 @@ object BpeTrain {
       .agg(sum(col("cnt")).as("c"))
   }
 
-  /** Learn up to `k` merges greedily from a (word, cnt) dictionary.
-    * Stops early when no adjacent pair remains. The dictionary is
-    * localCheckpointed once (consumed k times); each round re-derives
-    * the current symbol strings by folding the merges learned so far
-    * into the projection (k ≤ a few dozen — re-deriving beats k
-    * checkpoint writes).
+  /** Learn up to `k` merges greedily from a (word, cnt) dictionary —
+    * SIZE-GATED plan choice (the `PropertyGraph.pairComponents`
+    * driver-union-find discipline): at or below `localCutoff`
+    * dictionary rows the greedy loop runs DRIVER-SIDE over the
+    * collected table ([[learnMergesLocal]]) — ONE Spark job total
+    * instead of k pair-count jobs, which is what makes a 50k-merge
+    * production vocabulary feasible (50k sequential distributed
+    * rounds are not; the dictionary is vocab-scale by construction
+    * and heavy-tail bounded, so it fits a driver comfortably at the
+    * default cutoff) — above it, the per-round distributed loop
+    * ([[learnMergesDistributed]]) runs unchanged. Identical labels by
+    * construction and by pin: BpeTrainProps checks BOTH paths against
+    * an independent in-memory reference on random corpora, and
+    * BpeTrainSpec pins them equal on a non-ASCII corpus (the
+    * tie-break's UTF-8-byte-order edge).
     */
-  def learnMerges(wordCounts: DataFrame, k: Int): Seq[LearnedMerge] = {
+  def learnMerges(wordCounts: DataFrame, k: Int,
+                  localCutoff: Long = 1L << 20): Seq[LearnedMerge] = {
+    require(k >= 1, s"learnMerges: k=$k")
+    val wc = wordCounts.localCheckpoint()
+    if (wc.count() <= localCutoff)
+      learnMergesLocal(
+        wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, k)
+    else learnMergesDistributed(wc, k)
+  }
+
+  /** The at-scale distributed loop: each round is one pair-count over
+    * the (checkpointed) dictionary plus a 1-row argmax collect; each
+    * round re-derives the current symbol strings by folding the
+    * merges learned so far into the projection (k ≤ a few dozen on
+    * this path — re-deriving beats k checkpoint writes; a larger k
+    * belongs on the gated local path).
+    */
+  def learnMergesDistributed(wordCounts: DataFrame, k: Int): Seq[LearnedMerge] = {
     require(k >= 1, s"learnMerges: k=$k")
     val wc = wordCounts.localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
@@ -105,6 +131,85 @@ object BpeTrain {
       if (top.isEmpty) exhausted = true
       else out += LearnedMerge(out.length.toLong,
         top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+    }
+    out.toSeq
+  }
+
+  /** `x <binary> y` under UTF-8 byte order — UTF8String's comparison
+    * (and DuckDB's memcmp). Java String order would diverge on
+    * supplementary characters (UTF-16 surrogates sort below high BMP
+    * code points), so the local path compares raw UTF-8 bytes.
+    */
+  private def byteLt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver-side greedy loop over a collected dictionary — the exact
+    * semantics of the distributed rounds: initial symbols are CODE
+    * POINTS (the `(.)` regex unit in both engines), pair counts sum
+    * EVERY adjacent index, the argmax breaks ties by (count DESC,
+    * a ASC, b ASC) under UTF-8 byte order, and the merge applies
+    * non-overlapping left-to-right (the `|a||b|` → `|ab|` string
+    * replace). Stops early when no adjacent pair remains.
+    */
+  def learnMergesLocal(dict: Seq[(String, Long)], k: Int): Seq[LearnedMerge] = {
+    require(k >= 1, s"learnMergesLocal: k=$k")
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    var words: Vector[(Vector[String], Long)] = dict.iterator
+      .filter(_._1.nonEmpty).map { case (w, c) => codePoints(w) -> c }.toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
+    var done = false
+    while (out.length < k && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (byteLt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && byteLt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((a, b), c) = best
+        out += LearnedMerge(out.length.toLong, a, b, c)
+        words = words.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val merged = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2 // non-overlapping left-to-right
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.result(), cnt)
+          }
+        }
+      }
     }
     out.toSeq
   }

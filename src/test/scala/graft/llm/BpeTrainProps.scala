@@ -80,11 +80,23 @@ object BpeTrainProps extends Properties("bpeTrain") {
     out.toSeq
   }
 
-  property("learnMerges == in-memory greedy reference") =
+  property("learnMerges (gated→local) == in-memory greedy reference") =
     Prop.forAll(corpus) { texts =>
       import spark.implicits._
       val wc = BpeTrain.wordCounts(texts.toDF("text"))
       val got = BpeTrain.learnMerges(wc, k = 5)
+        .map(m => (m.rank, m.a, m.b, m.cnt))
+      val want = refMerges(texts, k = 5)
+      if (got != want)
+        println(s"corpus=$texts\n got=$got\nwant=$want")
+      got == want
+    }
+
+  property("learnMergesDistributed == in-memory greedy reference") =
+    Prop.forAll(corpus) { texts =>
+      import spark.implicits._
+      val wc = BpeTrain.wordCounts(texts.toDF("text"))
+      val got = BpeTrain.learnMergesDistributed(wc, k = 5)
         .map(m => (m.rank, m.a, m.b, m.cnt))
       val want = refMerges(texts, k = 5)
       if (got != want)

@@ -74,6 +74,18 @@ class BpeTrainSpec extends SparkSpec {
     assert(n.forall(_ > 0))
   }
 
+  test("gated local path ≡ distributed loop, including non-ASCII symbols") {
+    // multi-byte code points exercise BOTH local-path edges: the
+    // code-point symbol split (the `(.)` regex unit) and the UTF-8
+    // byte-order tie-break
+    val c = corpus("的是 的是 的的是", "ab ab 的b", "xy xy xy")
+    val wc = BpeTrain.wordCounts(c).localCheckpoint()
+    val local = BpeTrain.learnMerges(wc, k = 6) // gated → local (tiny dict)
+    val dist = BpeTrain.learnMergesDistributed(wc, k = 6)
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
   test("dictionary merge ≡ rebuild over the union corpus (q197's contract)") {
     val a = corpus("the theme", "than the")
     val b = corpus("the thin", "nvnew nvnew")
