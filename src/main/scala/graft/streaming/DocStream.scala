@@ -246,17 +246,19 @@ object DocStream {
     * within the watermark; everything else is scan work — the margin
     * folds in the projection, the doc's L-grams md5 inside ONE
     * `transform` (once per window position, the [[spanProbeFlags]]
-    * gram shape) and probe the bench gram set as an InSet literal
-    * (metadata-sized by the `decontaminateCuts` broadcast contract —
-    * the [[dsirGate]] inline-model device). No stream-stream join, no
-    * aggregation state. Stream ≡ batch is DocStreamSpec-pinned on a
-    * planted corpus with a bench quote, a negative-margin doc, and an
-    * exact duplicate.
+    * gram shape) and probe the bench gram set through ONE codegen'd
+    * [[graft.functions.AnyInBroadcastSet]] call (the set ships as a
+    * torrent broadcast, not an InSet literal re-serialized per task —
+    * production bench suites run to ~10⁵ grams). No stream-stream
+    * join, no aggregation state. Stream ≡ batch is DocStreamSpec-
+    * pinned on a planted corpus with a bench quote, a negative-margin
+    * doc, and an exact duplicate.
     */
   def releaseGate(docs: DataFrame, benchGrams: Set[String], L: Int,
                   watermarkDelay: String = "1 hour"): DataFrame = {
     require(L >= 2, s"span threshold L must be >= 2 tokens, got $L")
     require(benchGrams.nonEmpty, "empty benchmark gram set")
+    val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
     val fp = docs.withColumn("__fp", md5(col("text")))
     val deduped = (if (docs.isStreaming)
         fp.withWatermark("ts", watermarkDelay)
@@ -272,7 +274,7 @@ object DocStream {
             sequence(lit(1), size(col("__t")) - L + 1),
             p => md5(concat_ws(graft.llm.ExactSubstr.Sep,
               slice(col("__t"), p, lit(L)))))))
-      .filter(!exists(col("__g"), g => g.isInCollection(benchGrams)))
+      .filter(!graft.functions.AnyInBroadcastSet(col("__g"), bc))
       .select(col("doc_id"), col("ts"), col("n_tokens"),
         col("margin_milli"),
         length(col("text")).cast("long").as("clean_len"),
