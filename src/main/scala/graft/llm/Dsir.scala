@@ -112,28 +112,35 @@ object Dsir {
           .as("score"))
   }
 
-  /** [[scoreDocs]] with the model INLINED as a literal map — the
+  /** [[scoreDocs]] with the model shipped EXECUTOR-SIDE — the
     * zero-shuffle/zero-state form for a stream (or any caller that
     * can hold the ≤ [[NumBuckets]]-entry model driver-side): the
-    * whole score folds inside the scan projection, so a streaming
-    * gate needs no aggregation state at all. Bit-identical to
-    * [[scoreDocs]] over the same persisted model (DsirSpec pins it):
-    * both sum the identical nano-units. `llrNano` is the persisted
-    * table's (bucket → round9(llr)·10⁹) entries.
+    * model densifies into a [[QualityWeights]] array (bucket = index;
+    * the expression's modulus is the array length, so a
+    * [[NumBuckets]]-long array reproduces [[bucket]] exactly) and one
+    * torrent broadcast feeds the codegen'd
+    * [[graft.functions.HashedMarginNano]] fold — O(1) per token,
+    * where the pre-round-17 `typedLit` literal map paid an O(width)
+    * `element_at` scan per token AND re-shipped the map with every
+    * task closure. Bit-identical to [[scoreDocs]] over the same
+    * persisted model (DsirSpec pins it): both sum the identical
+    * nano-units. `llrNano` is the persisted table's
+    * (bucket → round9(llr)·10⁹) entries.
     */
   def scoreDocsInline(docs: DataFrame, llrNano: Map[Long, Long],
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     require(llrNano.nonEmpty && llrNano.size <= NumBuckets,
       s"model must hold 1..$NumBuckets buckets, got ${llrNano.size}")
-    val m = typedLit(llrNano)
-    val sum = aggregate(
-      transform(TextOps.tokens(col(textCol)),
-        t => coalesce(element_at(m, bucket(t)), lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    require(llrNano.keysIterator.forall(b => b >= 0 && b < NumBuckets),
+      s"bucket keys must sit in [0, $NumBuckets)")
+    val arr = new Array[Long](NumBuckets)
+    llrNano.foreach { case (b, v) => arr(b.toInt) = v }
+    val bc = docs.sparkSession.sparkContext.broadcast(new QualityWeights(arr))
     docs.select(col(idCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      round(sum.cast("double") / 1e9, 9).as("score"))
+      round(graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)), bc)
+        .cast("double") / 1e9, 9).as("score"))
   }
 
   /** Load a persisted [[llrTable]] into the inline-model form —
