@@ -39,7 +39,11 @@ object PlanAudit {
         // name records the run (e.g. bench_r17_close) — default sf0.1,
         // the driver's bench scale
         val sf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r.findFirstMatchIn(js)
-          .map(m => "sf" + m.group(1)).orElse(Some("sf0.1 (driver bench scale)"))
+          // honest default: the compact line carries no sf field by
+          // contract, so a non-sf0.1 artifact would be mislabeled —
+          // the label says "assumed" for exactly that reason
+          .map(m => "sf" + m.group(1))
+          .orElse(Some("sf0.1 (assumed; line carries no sf field)"))
         val nq = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(tail).map { m =>
           val close = tail.indexOf("}", m.end)
           tail.substring(m.end, if (close < 0) tail.length else close).count(_ == ':')

@@ -13,15 +13,21 @@ import org.apache.spark.sql.SparkSession
   * Failures are NOT swallowed: a broken query fails the bench loudly.
   */
 object Bench {
-  /** 1-decimal trailing-zero-trimmed rendering for the compact line
-    * (~0.05 s quantization — below box noise; full 3-decimal raw
-    * triples remain in the bench_runs detail line).
+  /** Trailing-zero-trimmed HALF_UP rendering at `scale` decimals —
+    * the ONE number formatter for both the compact line (1 decimal:
+    * ~0.05 s quantization, below box noise) and the peak-MB detail
+    * line (2 decimals).
     */
-  def j1(v: Double): String = {
-    val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+  def trim(v: Double, scale: Int): String = {
+    val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
     if (t.isEmpty) "0" else t
   }
+
+  /** 1-decimal rendering for the compact line (full 3-decimal raw
+    * triples remain in the bench_runs detail line).
+    */
+  def j1(v: Double): String = trim(v, 1)
 
   /** Bare query number: "q073_foo" → "73" (maps back via bench_names). */
   def num(k: String): String = k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
@@ -141,11 +147,7 @@ object Bench {
     // scaladoc for the size contract; BenchLineSpec pins it ≤ 1,900 B
     // for the current surface).
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    def j2(v: Double): String = {
-      val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-      val t = s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      if (t.isEmpty) "0" else t
-    }
+    def j2(v: Double): String = trim(v, 2)
     val namesJson = named.map { case (k, _) =>
       "\"" + num(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")

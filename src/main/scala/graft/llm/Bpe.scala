@@ -102,10 +102,14 @@ object Bpe {
   /** Delimited symbol string of a SINGLE word (no `#` joiner) — the
     * unit [[BpeTrain]]'s dictionary loop works on. The caller
     * guarantees `word` is delimiter-free (wordCounts guards the raw
-    * text).
+    * text). `(?s)` makes Java's `.` match line-terminator code points
+    * too (U+0085/U+2028/U+2029 survive the ASCII `\\s+` tokenizer and
+    * RE2's `.`/the local path's codePointAt both treat them as
+    * ordinary symbols — without DOTALL the Spark side alone would
+    * skip them and corrupt the delimiter invariant).
     */
   def symbolsOfWord(merges: Seq[(String, String)], word: Column): Column =
-    foldMerges(merges, regexp_replace(word, "(.)", "|$1|"))
+    foldMerges(merges, regexp_replace(word, "(?s)(.)", "|$1|"))
 
   /** The delimited symbol string after all pinned merges. */
   def symbols(text: Column): Column = symbolsWith(Merges, text)

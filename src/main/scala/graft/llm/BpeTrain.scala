@@ -109,7 +109,7 @@ object BpeTrain {
     if (wc.count() <= localCutoff)
       learnMergesLocal(
         wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq, k)
-    else learnMergesDistributed(wc, k)
+    else distributedLoop(wc, k) // already checkpointed — no second write
   }
 
   /** The at-scale distributed loop: each round is one pair-count over
@@ -121,7 +121,11 @@ object BpeTrain {
     */
   def learnMergesDistributed(wordCounts: DataFrame, k: Int): Seq[LearnedMerge] = {
     require(k >= 1, s"learnMerges: k=$k")
-    val wc = wordCounts.localCheckpoint()
+    distributedLoop(wordCounts.localCheckpoint(), k)
+  }
+
+  /** The round loop over an ALREADY-materialized dictionary. */
+  private def distributedLoop(wc: DataFrame, k: Int): Seq[LearnedMerge] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
     var exhausted = false
     while (out.length < k && !exhausted) {

@@ -39,8 +39,18 @@ object Dsir {
     * one map-side-combined aggregate, ≤ [[NumBuckets]] output rows.
     */
   def bucketCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    bucketCountsOver(docs, textCol, bucket)
+
+  /** [[bucketCounts]] generalized over the bucket function — the ONE
+    * per-bucket count aggregate behind the DSIR fit, the learned
+    * quality weights ([[llrTableOver]]) and their count-state
+    * maintenance ([[QualityModel.fitCounts]]); a bucketing-contract
+    * change lands exactly once.
+    */
+  def bucketCountsOver(docs: DataFrame, textCol: String,
+                       bucketOf: Column => Column): DataFrame =
     docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .select(bucket(col("__tok")).as("bucket"))
+      .select(bucketOf(col("__tok")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
 
   /** The fitted DSIR model: (bucket, llr) for every bucket seen in
@@ -65,12 +75,10 @@ object Dsir {
   def llrTableOver(target: DataFrame, raw: DataFrame, textCol: String,
                    bucketOf: Column => Column, width: Int): DataFrame = {
     val d = width.toDouble
-    def counts(docs: DataFrame): DataFrame =
-      docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
-        .select(bucketOf(col("__tok")).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-    val tb = counts(target).withColumnRenamed("c", "__ct")
-    val rb = counts(raw).withColumnRenamed("c", "__cr")
+    val tb = bucketCountsOver(target, textCol, bucketOf)
+      .withColumnRenamed("c", "__ct")
+    val rb = bucketCountsOver(raw, textCol, bucketOf)
+      .withColumnRenamed("c", "__cr")
     val tn = target.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
       .agg(coalesce(sum(col("__n")), lit(0L)).as("__nt"))
     val rn = raw.select(TextOps.tokenCount(col(textCol)).cast("long").as("__n"))

@@ -85,17 +85,14 @@ object QualityModel {
     * not just the log-ratios.
     */
   def fitCounts(target: DataFrame, raw: DataFrame,
-                textCol: String = "text"): DataFrame = {
-    def counts(docs: DataFrame, name: String): DataFrame =
-      docs.select(explode(TextOps.tokens(col(textCol))).as("__tok"))
-        .select(bucket(col("__tok")).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
-    counts(target, "__ct").join(counts(raw, "__cr"), Seq("bucket"),
-        "full_outer")
+                textCol: String = "text"): DataFrame =
+    Dsir.bucketCountsOver(target, textCol, bucket)
+      .withColumnRenamed("c", "__ct")
+      .join(Dsir.bucketCountsOver(raw, textCol, bucket)
+        .withColumnRenamed("c", "__cr"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("__ct"), lit(0L)).as("ct"),
         coalesce(col("__cr"), lit(0L)).as("cr"))
-  }
 
   /** Absorb an ingest batch into a persisted [[fitCounts]] table —
     * counts ADD per bucket, vocabularies union; the base corpus is

@@ -74,16 +74,16 @@ object LlmQueries {
     """mixed AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 950000,
+          SELECT doc_id + 3000000,
                  regexp_replace(text, '(\S+)', 'zz\1', 'g')
           FROM documents WHERE doc_id % 2 = 0
           UNION ALL
-          SELECT doc_id + 960000,
+          SELECT doc_id + 4000000,
                  text || ' ' || text || ' '
                       || regexp_replace(text, '(\S+)', 'zz\1', 'g')
           FROM documents WHERE doc_id % 3 = 0
           UNION ALL
-          SELECT doc_id + 970000,
+          SELECT doc_id + 5000000,
                  text || ' ' || regexp_replace(text, '(\S+)', 'zz\1', 'g')
                       || ' ' || regexp_replace(text, '(\S+)', 'zz\1', 'g')
           FROM documents WHERE doc_id % 5 = 0)"""
@@ -2877,16 +2877,22 @@ object LlmQueries {
     val d = t.documents
     d.select(col("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .select((col("doc_id") + 950000L).as("doc_id"),
+        .select((col("doc_id") + 3000000L).as("doc_id"),
           junkText(col("text")).as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select((col("doc_id") + 960000L).as("doc_id"),
+        .select((col("doc_id") + 4000000L).as("doc_id"),
           concat(col("text"), lit(" "), col("text"), lit(" "),
             junkText(col("text"))).as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 970000L).as("doc_id"),
+        .select((col("doc_id") + 5000000L).as("doc_id"),
           concat(col("text"), lit(" "), junkText(col("text")), lit(" "),
             junkText(col("text"))).as("text")))
+    // offsets are 10⁶-spaced: base ids stay < 950000 at every fixture
+    // SF (FreshIdContractSpec) AND at the 10× soak (~905000), so the
+    // three planted bands can never alias each other or the base —
+    // the pre-round-17 +950000/+960000/+970000 bands sat 10⁴ apart
+    // and aliased at soak scale (per-doc_id oracle grouping would
+    // merge two different texts' margins)
   }
 
   // bump when the learned-weights recipe changes
@@ -6928,7 +6934,11 @@ object LlmQueries {
                ROUND(CAST(SUM(c.cnt * w.wt) AS DOUBLE)
                  / CAST(SUM(c.cnt) AS DOUBLE), 9) + 0.0 AS fertility
         FROM budgets b
-        JOIN wtok w ON w.step = b.k
+        -- clamp to the learned-table size: Spark's merges.take(k) of a
+        -- shorter (early-exhausted) table applies ALL of it, and the
+        -- recursion has no step past the last merge
+        JOIN wtok w ON w.step =
+          LEAST(b.k, (SELECT COALESCE(MAX(step), 0) FROM st))
         JOIN wcnt c USING (word)
         GROUP BY b.k"""
     },

@@ -260,10 +260,20 @@ object DocStream {
     require(benchGrams.nonEmpty, "empty benchmark gram set")
     val bc = docs.sparkSession.sparkContext.broadcast(benchGrams)
     val fp = docs.withColumn("__fp", md5(col("text")))
+    // stream: first ARRIVAL survives (watermark-bounded state); batch:
+    // q185's min-id rule — a bare dropDuplicates would keep a
+    // partition-order-dependent arbitrary row, so the twin pin could
+    // flake. Equal on closed batches where arrival order is id order
+    // (the twin contract).
     val deduped = (if (docs.isStreaming)
         fp.withWatermark("ts", watermarkDelay)
           .dropDuplicatesWithinWatermark("__fp")
-      else fp.dropDuplicates("__fp")).drop("__fp")
+      else {
+        val fpc = fp.localCheckpoint() // feeds the min table AND the semi join
+        fpc.join(fpc.groupBy(col("__fp"))
+            .agg(min(col("doc_id")).as("doc_id")),
+          Seq("__fp", "doc_id"), "left_semi")
+      }).drop("__fp")
     val gated = graft.llm.QualityModel.withScores(deduped)
       .filter(col("keep"))
     gated
