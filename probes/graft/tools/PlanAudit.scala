@@ -44,7 +44,10 @@ object PlanAudit {
           // the label says "assumed" for exactly that reason
           .map(m => "sf" + m.group(1))
           .orElse(Some("sf0.1 (assumed; line carries no sf field)"))
-        val nq = "\"queries\"\\s*:\\s*\\{".r.findFirstMatchIn(tail).map { m =>
+        // round 18 renamed the per-query map "queries" -> "queries_ds"
+        // (integer deciseconds; the suffix is the unit). Accept both so
+        // pre-r18 artifacts still render a truthful header.
+        val nq = "\"queries(?:_ds)?\"\\s*:\\s*\\{".r.findFirstMatchIn(tail).map { m =>
           val close = tail.indexOf("}", m.end)
           tail.substring(m.end, if (close < 0) tail.length else close).count(_ == ':')
         }.getOrElse(0)

@@ -8,11 +8,11 @@ package graft.tools
   * mix (q181), model-score drift (q183), band-index growth (q184).
   * One run each: wall time + plan shuffle/broadcast counts, which
   * must match the sf0.01 PlanAudit rows — a scale step changes data
-  * volume, never plan shape. (At soak scale the +900000 fresh-id
-  * batch offsets of q175/q184 alias the copy-9 id band 900000-904999
-  * — a fixture-contract artifact that skews those two queries'
-  * semantic counts, not their cost or shape; the fixture SFs the
-  * driver checks stay collision-free per FreshIdContractSpec.)
+  * volume, never plan shape. (The pre-round-18 +900000 fresh-id
+  * batch offsets of q175/q184 used to alias the copy-9 id band
+  * 900000-904999 at soak scale; round 18 moved the whole offset
+  * family to ≥ 10⁶ per the round-17 ADVICE, so the soak is now
+  * collision-free too — FreshIdContractSpec pins both bands.)
   * Diagnostic main, not part of the driver contract.
   */
 object SoakR16Selection {

@@ -32,28 +32,37 @@ object Bench {
   /** Bare query number: "q073_foo" → "73" (maps back via bench_names). */
   def num(k: String): String = k.drop(1).takeWhile(_.isDigit).dropWhile(_ == '0')
 
+  /** Integer DECISECONDS (HALF_UP) for the compact line's per-query
+    * values: "1.23 s" → 12, "10.06 s" → 101. A decisecond (~0.1 s) is
+    * below box noise, and dropping the decimal point buys ~1.5 B/query
+    * on the size-capped final line.
+    */
+  def ds(v: Double): Long =
+    BigDecimal(v * 10).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** The driver-contract FINAL stdout line, as a pure function so
     * BenchLineSpec can render it for the CURRENT surface and fail the
     * build before the driver's 2,000-byte stdout-tail retention clips
     * it (round 16: the line hit 2,006 B and BENCH_r16.json came back
-    * `parsed: null`). Contract (round-11 fix, tightened round 14,
-    * re-tightened round 17): total + per-query medians keyed by BARE
-    * query number, 1-decimal trailing-zero-trimmed values, NO metric
-    * field, NO unit field (always seconds), NO sf field (the driver's
-    * artifact wrapper records sf itself — the round-16
-    * "self-describing" metric+unit+sf re-add was exactly the 45-byte
-    * overflow; round 17 drops "metric":"total" too, per the round-16
-    * verdict's prescription, to stay under the guard at 197 queries).
-    * If the surface must grow past ~197, the next squeeze is
-    * structural: integer DECISECONDS under a self-describing key
-    * ("queries_ds") — ~1.5 B/query back — coordinated with the judge
-    * in that round's notes, not slipped in silently.
+    * `parsed: null`). Contract (round-11 fix, tightened round 14/17,
+    * re-squeezed round 18 per the round-17 verdict's prescription):
+    * `"value"` = total seconds (1-decimal, trailing-zero-trimmed) and
+    * `"queries_ds"` = per-query medians keyed by BARE query number in
+    * integer DECISECONDS (the self-describing `_ds` suffix IS the
+    * unit). No metric/unit/sf wrapper fields (the round-16 overflow
+    * was exactly those 45 bytes; the driver's artifact wrapper records
+    * sf itself). The decisecond switch bought ~1.5 B/query — at the
+    * 197-query round-17 surface the pessimistic render dropped 1,890 →
+    * ~1,700 B, re-opening ~25 queries of growth under the 1,900 B
+    * guard. Format changes here must be coordinated in PLANS.md round
+    * notes so the driver/judge parse the new key, never slipped in
+    * silently.
     */
   def compactLine(results: Seq[(String, Double)]): String = {
-    val qs = results.map { case (k, v) => "\"" + num(k) + "\":" + j1(v) }
+    val qs = results.map { case (k, v) => "\"" + num(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"value":${j1(total)},"queries":$qs}"""
+    s"""{"value":${j1(total)},"queries_ds":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -58,13 +58,23 @@ object Bpe {
     "t" -> "a", "ta" -> "b", "tab" -> "le", "c" -> "an", "s" -> "can",
     "or" -> "t", "s" -> "ort", "r" -> "e", "a" -> "m")
 
-  // consistency check: every operand is a char or an earlier output —
-  // the property that makes rank-ascending passes ≡ greedy BPE
+  /** One BPE base symbol = one Unicode CODE POINT — the unit
+    * learnMergesLocal's codePointAt walk, the `(?s)(.)` symbolizer
+    * regex, and byteLt's tie-break all use. A UTF-16-length test here
+    * would wrongly reject learned merges whose operand is a
+    * supplementary character (emoji, CJK Ext-B: String.length == 2,
+    * one code point) — the round-17 ADVICE bug.
+    */
+  private def isBaseSymbol(s: String): Boolean =
+    s.codePointCount(0, s.length) == 1
+
+  // consistency check: every operand is a code point or an earlier
+  // output — the property that makes rank-ascending passes ≡ greedy BPE
   locally {
     val outputs = scala.collection.mutable.Set.empty[String]
     Merges.foreach { case (a, b) =>
-      Seq(a, b).foreach(s => require(s.length == 1 || outputs.contains(s),
-        s"Bpe.Merges inconsistent: operand '$s' is neither a char nor an earlier output"))
+      Seq(a, b).foreach(s => require(isBaseSymbol(s) || outputs.contains(s),
+        s"Bpe.Merges inconsistent: operand '$s' is neither a code point nor an earlier output"))
       outputs += a + b
     }
   }
@@ -77,8 +87,8 @@ object Bpe {
   private def foldMerges(merges: Seq[(String, String)], init: Column): Column = {
     val outputs = scala.collection.mutable.Set.empty[String]
     merges.foreach { case (a, b) =>
-      Seq(a, b).foreach(s => require(s.length == 1 || outputs.contains(s),
-        s"Bpe: merge table inconsistent: operand '$s' is neither a char nor an earlier output"))
+      Seq(a, b).foreach(s => require(isBaseSymbol(s) || outputs.contains(s),
+        s"Bpe: merge table inconsistent: operand '$s' is neither a code point nor an earlier output"))
       outputs += a + b
     }
     merges.foldLeft(init) { case (s, (a, b)) =>

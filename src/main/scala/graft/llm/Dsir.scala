@@ -192,4 +192,58 @@ object Dsir {
         floor(col("__n").cast("double") / denom).cast("long"))
       .select(col(idCol), col("__rank").as("rank"), col("score"))
   }
+
+  /** Seeded Gumbel resampling keys — the STOCHASTIC selection step the
+    * published recipe actually specifies (Xie et al. 2023 resamples
+    * raw documents ∝ exp(score/T); the Gumbel-top-k identity [Kool et
+    * al. 2019] turns that into one deterministic rank): per document,
+    *
+    *   u    = (md5_32(seed # id) + 0.5) / 2^32          ∈ (0,1)
+    *   gkey = round9( score/T − ln(−ln u) )
+    *
+    * Engine-reproducible by construction: `u` derives from the md5-hex
+    * device (no RNG state, stable under repartitioning, and the ±0.5
+    * centering keeps u strictly inside (0,1) so both ln calls are
+    * finite — noise spans ≈ [−3.2, +22.9] at 32 bits). ln IS the
+    * cross-engine hazard, so callers compute this ONCE in Spark and
+    * persist (the ln-hazard fixture device); selection then ranks the
+    * persisted keys. One per-row projection — no shuffle, no state.
+    * Keep |score|/temperature below ~8·10⁶ so the round-9 nano re-key
+    * in [[resampleTopFraction]] stays inside double's 2^53 exact-long
+    * range.
+    */
+  def gumbelKeys(scored: DataFrame, seed: Long, temperature: Double,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(temperature > 0, s"gumbelKeys: temperature=$temperature")
+    val u = (conv(substring(md5(concat_ws("#", lit(seed.toString),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    scored.select(col(idCol), col("score"),
+      round(col("score") / temperature - log(-log(u)), 9).as("gkey"))
+  }
+
+  /** Gumbel-top-⌊n/denom⌋ selection over PERSISTED [[gumbelKeys]] —
+    * the stochastic twin of [[selectTopFraction]] with the identical
+    * pipeline shape: exact nano re-key from the public round-9 `gkey`,
+    * global rank on DistributedRank.prefix over a constant group (a
+    * bare global window would funnel the corpus through ONE sort
+    * task), corpus total from prefix's own `__n` (single consumption).
+    * As T→0 the score term dominates the bounded noise and the
+    * selected SET converges to [[selectTopFraction]]'s
+    * (DsirResampleSpec pins it). Output: (id, rank, gkey).
+    */
+  def resampleTopFraction(keyed: DataFrame, denom: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(denom >= 1)
+    val ranked = graft.operators.DistributedRank.prefix(
+      keyed.select(col(idCol), col("gkey"),
+          round(col("gkey") * 1e9, 0).cast("long").as("__g"))
+        .withColumn("__negg", -col("__g"))
+        .withColumn("__all", lit(0)),
+      Seq("__all"), Seq("__negg", idCol))
+    ranked
+      .filter(col("__rank") <=
+        floor(col("__n").cast("double") / denom).cast("long"))
+      .select(col(idCol), col("__rank").as("rank"), col("gkey"))
+  }
 }

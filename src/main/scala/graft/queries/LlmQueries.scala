@@ -2090,7 +2090,7 @@ object LlmQueries {
       val index = graft.llm.Bm25Index(
         s.read.parquet(postP), s.read.parquet(lensP),
         st.getAs[Long]("n_docs"), st.getAs[Long]("tot_len"))
-      val qIds = Seq(1L, 7L, 900012L, 910003L, 910009L)
+      val qIds = Seq(1L, 7L, 1000012L, 1010003L, 1010009L)
       val qs = t.documents.select(col("doc_id"), col("text"))
         .unionByName(incrementalBatch(t))
         .filter(col("doc_id").isin(qIds: _*))
@@ -2765,6 +2765,132 @@ object LlmQueries {
       s.createDataset(learned).toDF()
         .select(col("rank"), col("a"), col("b"),
           concat(col("a"), col("b")).as("ab"), col("cnt"))
+    }),
+
+    // SEEDED GUMBEL DSIR RESAMPLING — completes the published
+    // algorithm (Xie et al. 2023 resamples ∝ exp(score/T); q174's
+    // deterministic cut was the stand-in): per-doc Gumbel keys
+    // score/T − ln(−ln u) with u md5-derived from (seed, doc_id),
+    // computed ONCE in Spark and PERSISTED (the ln-hazard fixture
+    // device — both engines rank the same parquet), then the same
+    // DistributedRank top-⌊n/5⌋ as q174. DsirResampleSpec pins seeded
+    // determinism and T→0 convergence to the deterministic cut.
+    "q198_dsir_resample" -> ((s, dir) =>
+      graft.llm.Dsir.resampleTopFraction(
+        s.read.parquet(ensureGumbelFixture(s, dir)), denom = 5)),
+
+    // RELEASE FUNNEL UNDER A RESOLUTION POLICY — q179's funnel
+    // re-billed under BOTH near-dup cluster policies side by side
+    // (round-17 verdict: a real release applies ONE policy end-to-end,
+    // and q195's keep-longest was not wired into the funnel): stages
+    // 1-2 (md5, fingerprint keep-first) are policy-independent; stage
+    // 3 resolves each verified near-dup cluster once per policy —
+    // keep-min-id (Lee et al. 2022) vs keep-longest (q195's
+    // max(struct) device, no window). The released DOC count is
+    // identical by construction (each cluster keeps exactly one
+    // member); the released TOKEN mass is not — the planted extended
+    // copies make keep-longest keep the bigger member, so
+    // tokens_keep_longest > tokens_minid and divergent_clusters > 0
+    // is the oracle-checked signal. One LSH pass over stage-2
+    // survivors; cluster stats are one aggregate each.
+    "q199_funnel_policy" -> ((s, dir) => {
+      val corpus = policyFunnelCorpus(Tables(s, dir)).localCheckpoint()
+      val kept1 = corpus.join(
+        corpus.groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val kept2 = kept1.join(
+        kept1.groupBy(TextOps.fingerprint(col("text")).as("__f"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      val comps = graft.graph.PropertyGraph.pairComponents(
+        NearDup.nearDupPairs(kept2, "doc_id", "text", threshold = 0.6,
+          shingleN = 3, numHashes = 48, bands = 16)
+          .select(col("id_a"), col("id_b")))
+      val withN = comps.join(
+        kept2.select(col("doc_id").as("id"),
+          TextOps.tokenCount(col("text")).cast("long").as("__n")), Seq("id"))
+      val clusters = withN.groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("__sz"), sum(col("__n")).as("__tot"),
+          max(struct(col("__n").as("n"), (-col("id")).as("negid")))
+            .as("__best"),
+          max(when(col("id") === col("keep_id"), col("__n"))).as("__minid_n"))
+        .select(col("keep_id"), col("__sz"), col("__tot"),
+          col("__best.n").as("__win_n"), (-col("__best.negid")).as("__win_id"),
+          col("__minid_n"))
+      val clAgg = clusters.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("__sz") - 1), lit(0L)).as("__nd"),
+        coalesce(sum(col("__tot") - col("__minid_n")), lit(0L)).as("__dmin"),
+        coalesce(sum(col("__tot") - col("__win_n")), lit(0L)).as("__dlong"),
+        coalesce(sum(when(col("__win_id") =!= col("keep_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("divergent_clusters"))
+      corpus.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(kept1.agg(count(lit(1)).as("n_after_exact")))
+        .crossJoin(kept2.agg(count(lit(1)).as("n_after_fingerprint"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("__tok2")))
+        .crossJoin(clAgg)
+        .select(col("n_raw"), col("n_after_exact"),
+          col("n_after_fingerprint"), col("n_clusters"),
+          (col("n_after_fingerprint") - col("__nd")).as("n_released"),
+          (col("__tok2") - col("__dmin")).as("tokens_minid"),
+          (col("__tok2") - col("__dlong")).as("tokens_keep_longest"),
+          col("divergent_clusters"))
+    }),
+
+    // GUMBEL-FED RELEASE MIX — q181's temperature weights turned into
+    // per-source document QUOTAS and filled by SEEDED SAMPLING instead
+    // of a deterministic cut (closing the last deterministic-only
+    // selection stage, the round-17 verdict's item 8): quota_s =
+    // ⌊w_nano·R/10⁹⌋ over a release budget R = ⌊N/4⌋ (integer `div` —
+    // both engines floor positive longs), and each source fills its
+    // quota by Gumbel-top-quota over the PERSISTED q198 noise — noise
+    // re-derives EXACTLY from the key fixture (gkey − score: two
+    // round-9 columns → one integer nano subtraction, no new ln
+    // anywhere). Per-source rank on DistributedRank.prefix (source
+    // groups — no global sort); output is the source-count-sized mix
+    // manifest with a selected-id checksum so the SELECTION is
+    // oracle-checked, not just the counts.
+    "q200_resampled_mix" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val noise = s.read.parquet(ensureGumbelFixture(s, dir))
+        .select(col("doc_id"),
+          (round(col("gkey") * 1e9, 0).cast("long") -
+            round(col("score") * 1e9, 0).cast("long")).as("__noise"))
+      val docs = t.documents.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("__n"))
+      val per = docs.groupBy(col("source"))
+        .agg(sum(col("__n")).as("n_tokens"), count(lit(1)).as("n_docs"))
+        .localCheckpoint() // source-count-sized; feeds totals + ratios
+      val wq = per
+        .crossJoin(per.agg(sum(col("n_tokens")).as("__N"),
+          sum(col("n_docs")).as("__nd")))
+        .select(col("source"), col("n_docs"),
+          round(round(sqrt(col("n_tokens").cast("double") / col("__N")), 9)
+            * 1e9, 0).cast("long").as("__sqn"),
+          floor(col("__nd").cast("double") / 4).cast("long").as("__R"))
+      val quotas = wq.crossJoin(wq.agg(sum(col("__sqn")).as("__z")))
+        .withColumn("weight",
+          round(col("__sqn").cast("double") / col("__z").cast("double"), 9))
+        .withColumn("__wnano",
+          round(col("weight") * 1e9, 0).cast("long"))
+        .withColumn("quota", expr("(__wnano * __R) div 1000000000"))
+        .select(col("source"), col("n_docs"), col("weight"), col("quota"))
+        .localCheckpoint() // source-count-sized; feeds the join + output
+      val ranked = graft.operators.DistributedRank.prefix(
+        docs.join(noise, Seq("doc_id"))
+          .withColumn("__negnoise", -col("__noise")),
+        Seq("source"), Seq("__negnoise", "doc_id"))
+      val sel = ranked
+        .join(broadcast(quotas.select(col("source"), col("quota"))),
+          Seq("source"))
+        .filter(col("__rank") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__nsel"), sum(col("doc_id")).as("__chk"))
+      quotas.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("weight"), col("quota"),
+          coalesce(col("__nsel"), lit(0L)).as("n_selected"),
+          coalesce(col("__chk"), lit(0L)).as("selected_id_sum"))
     })
   )
 
@@ -2828,6 +2954,22 @@ object LlmQueries {
           concat(col("text"), lit(" extension tail words appended here"))
             .as("text")))
 
+  /** q199's corpus: q195's keep-longest plants (documents + truncated
+    * twins + extended copies of every 4th doc) PLUS a planted drop for
+    * the two upstream funnel stages — verbatim copies (exact stage)
+    * and uppercased copies (fingerprint stage), q179's device. Bands
+    * are 10⁶-spaced; originals carry the smallest ids.
+    */
+  private def policyFunnelCorpus(t: Tables): DataFrame = {
+    val d = t.documents
+    keepLongestCorpus(t)
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+  }
+
   /** q194's candidate merge budgets — prefixes of the q189 learned
     * table (bpeTrainK = 16 caps the largest).
     */
@@ -2842,7 +2984,7 @@ object LlmQueries {
     deconTrain(t)
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .unionByName(t.documents.filter(pmod(col("doc_id"), lit(40)) === 0)
-        .select((col("doc_id") + 980000L).as("doc_id"),
+        .select((col("doc_id") + 1080000L).as("doc_id"),
           concat(lit("pasted"), deconEvalItem(col("doc_id")),
             lit(" " + deconFixedQ)).as("text"),
           col("source")))
@@ -2887,12 +3029,13 @@ object LlmQueries {
         .select((col("doc_id") + 5000000L).as("doc_id"),
           concat(col("text"), lit(" "), junkText(col("text")), lit(" "),
             junkText(col("text"))).as("text")))
-    // offsets are 10⁶-spaced: base ids stay < 950000 at every fixture
-    // SF (FreshIdContractSpec) AND at the 10× soak (~905000), so the
-    // three planted bands can never alias each other or the base —
-    // the pre-round-17 +950000/+960000/+970000 bands sat 10⁴ apart
-    // and aliased at soak scale (per-doc_id oracle grouping would
-    // merge two different texts' margins)
+    // offsets are 10⁶-spaced: FreshIdContractSpec pins base ids below
+    // the 10⁶ fresh-id floor at every fixture SF, and the 10× soak's
+    // copy bands top out at ~905000 — so the three planted bands can
+    // never alias each other or the base. (The pre-round-17
+    // +950000/+960000/+970000 bands sat 10⁴ apart and aliased at soak
+    // scale: per-doc_id oracle grouping would merge two different
+    // texts' margins.)
   }
 
   // bump when the learned-weights recipe changes
@@ -2993,9 +3136,9 @@ object LlmQueries {
     */
   private def incrementalBatch(t: Tables): DataFrame =
     t.documents.filter(pmod(col("doc_id"), lit(6)) === 0)
-      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionByName(t.documents.filter(pmod(col("doc_id"), lit(6)) === 3)
-        .select((col("doc_id") + 910000L).as("doc_id"),
+        .select((col("doc_id") + 1010000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
 
   /** q156's corpus with planted repeated spans: every 9th doc appends
@@ -3045,20 +3188,23 @@ object LlmQueries {
     * exercises the batch-internal duplicate path specifically).
     */
   private def spanBatch(t: Tables): DataFrame = {
-    // Fresh-id contract: corpus doc_ids stay < 900000 at every fixture
-    // SF (FreshIdContractSpec pins this), so +950000..+990000 offsets
-    // cannot collide and the q162 oracle's `doc_id >= 950000` batch
-    // cut is exact. Move the offsets AND that threshold together.
+    // Fresh-id contract: corpus doc_ids stay < 1000000 at every fixture
+    // SF AND at the 10× soak (FreshIdContractSpec pins the fixtures;
+    // the soak's copy bands top out ~905000 — the round-17 ADVICE
+    // breach that moved this whole family from the 9x0000 band to
+    // ≥ 10⁶), so +1050000..+1090000 offsets cannot collide and the
+    // q162 oracle's `doc_id >= 1050000` batch cut is exact. Move the
+    // offsets AND that threshold together.
     val d = t.documents
     def pref(p: String) = regexp_replace(col("text"), "(\\S+)", p + "$1")
     d.filter(pmod(col("doc_id"), lit(11)) === 0)
-      .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1050000L).as("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 5)
-        .select((col("doc_id") + 960000L).as("doc_id"), pref("nv").as("text")))
+        .select((col("doc_id") + 1060000L).as("doc_id"), pref("nv").as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 2)
-        .select((col("doc_id") + 980000L).as("doc_id"), pref("vb").as("text")))
+        .select((col("doc_id") + 1080000L).as("doc_id"), pref("vb").as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 2)
-        .select((col("doc_id") + 990000L).as("doc_id"), pref("vb").as("text")))
+        .select((col("doc_id") + 1090000L).as("doc_id"), pref("vb").as("text")))
   }
 
   /** q165/q168's fixed 12-token benchmark question — appears VERBATIM
@@ -3105,7 +3251,10 @@ object LlmQueries {
   }
 
   // bump when the merged-index recipe changes
-  private val bm25MergeVersion = 1
+  // v2: round 18 moved the fresh-id batch band to ≥ 10⁶ (the ADVICE
+  // fix); the merged postings/lens embed batch doc_ids, so a v1 cache
+  // would carry the old 9x0000 ids
+  private val bm25MergeVersion = 2
 
   /** Build-once MERGED BM25 fixture for q170 — the base persisted
     * index absorbed with q152's ingest batch via the INCREMENTAL
@@ -3181,6 +3330,34 @@ object LlmQueries {
     graft.llm.Multimodal.materializeOnce(s, path) {
       val docs = Tables(s, dir).documents
       graft.llm.Dsir.llrTable(docs.filter(col("lang") === "en"), docs)
+        .coalesce(1)
+    }
+    path
+  }
+
+  // bump when the resampling recipe changes; seed/T are part of the
+  // artifact contract (q198's fixture name does NOT carry them — the
+  // version bump is the invalidation channel)
+  private val dsirResampleVersion = 1
+  private val dsirResampleSeed = 42L
+  private val dsirResampleT = 1.0
+
+  /** Build-once persisted Gumbel resampling keys for q198: the q173
+    * scores under the persisted DSIR model, re-keyed by
+    * [[graft.llm.Dsir.gumbelKeys]] (seed 42, T = 1 — the published
+    * default temperature) and written ONCE in Spark. ln runs only
+    * here; both engines RANK the same parquet (the ln-hazard fixture
+    * device, exactly q175's LM-table discipline).
+    */
+  private def ensureGumbelFixture(s: SparkSession, dir: String): String = {
+    val sfName = raw"sf[0-9.]+".r.findFirstIn(dir).getOrElse("default")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+      s"dsir_gumbel_${sfName}_v$dsirResampleVersion"
+    graft.llm.Multimodal.materializeOnce(s, path) {
+      graft.llm.Dsir.gumbelKeys(
+        graft.llm.Dsir.scoreDocs(Tables(s, dir).documents,
+          s.read.parquet(ensureDsirFixture(s, dir))),
+        dsirResampleSeed, dsirResampleT)
         .coalesce(1)
     }
     path
@@ -3289,12 +3466,12 @@ object LlmQueries {
   private def lmBatch(t: Tables): DataFrame = {
     val d = t.documents
     d.filter(pmod(col("doc_id"), lit(6)) === 0)
-      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 3)
-        .select((col("doc_id") + 910000L).as("doc_id"),
+        .select((col("doc_id") + 1010000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
       .unionByName(d.filter(pmod(col("doc_id"), lit(6)) === 1)
-        .select((col("doc_id") + 920000L).as("doc_id"),
+        .select((col("doc_id") + 1020000L).as("doc_id"),
           array_join(reverse(graft.llm.TextOps.tokens(col("text"))), " ")
             .as("text")))
   }
@@ -3550,9 +3727,9 @@ object LlmQueries {
     */
   private def datasheetBatch(t: Tables): DataFrame =
     t.documents.filter(pmod(col("doc_id"), lit(6)) === 0)
-      .select((col("doc_id") + 900000L).as("doc_id"), col("lang"), col("text"))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))
       .unionByName(t.documents.filter(pmod(col("doc_id"), lit(6)) === 3)
-        .select((col("doc_id") + 910000L).as("doc_id"), lit("nv").as("lang"),
+        .select((col("doc_id") + 1010000L).as("doc_id"), lit("nv").as("lang"),
           regexp_replace(col("text"), "(\\S+)", "nv$1").as("text")))
 
   /** q121's doubled corpus (non-heldout docs + truncated near-twins). */
@@ -5152,10 +5329,10 @@ object LlmQueries {
     // \\1 vs Java's $1 — same semantics), same additive merge.
     "q152_incremental_df" ->
       s"""WITH batch AS (
-            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1010000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3),
           bdf AS (
             SELECT term, COUNT(*) AS df FROM (
@@ -5583,16 +5760,16 @@ object LlmQueries {
     // equivalence the incremental operator claims.
     "q162_incremental_spans" ->
       s"""WITH batch AS (
-            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            SELECT doc_id + 1050000 AS doc_id, text FROM documents
             WHERE doc_id % 11 = 0
             UNION ALL
-            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1060000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 11 = 5
             UNION ALL
-            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1080000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2
             UNION ALL
-            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1090000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2),
           allc AS (SELECT doc_id, text FROM documents
                    UNION ALL SELECT doc_id, text FROM batch),
@@ -5604,7 +5781,7 @@ object LlmQueries {
           dup AS (SELECT gram FROM g GROUP BY gram
                   HAVING MIN(doc_id) <> MAX(doc_id)),
           h AS (SELECT doc_id, start FROM g
-                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 950000),
+                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 1050000),
           brk AS (SELECT doc_id, start,
                     CASE WHEN start - LAG(start) OVER
                            (PARTITION BY doc_id ORDER BY start) > 8
@@ -5676,16 +5853,16 @@ object LlmQueries {
     // batch and the anti-joined novel set, recomputed from raw text.
     "q164_gram_index_growth" ->
       s"""WITH batch AS (
-            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            SELECT doc_id + 1050000 AS doc_id, text FROM documents
             WHERE doc_id % 11 = 0
             UNION ALL
-            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1060000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 11 = 5
             UNION ALL
-            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1080000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2
             UNION ALL
-            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1090000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2),
           ctk AS (SELECT doc_id, $sqlToks AS t FROM documents),
           btk AS (SELECT doc_id, $sqlToks AS t FROM batch),
@@ -5739,16 +5916,16 @@ object LlmQueries {
     // ids), then the q163 keep/reconstruct over the BATCH tokens.
     "q166_ingest_span_clean" ->
       s"""WITH batch AS (
-            SELECT doc_id + 950000 AS doc_id, text FROM documents
+            SELECT doc_id + 1050000 AS doc_id, text FROM documents
             WHERE doc_id % 11 = 0
             UNION ALL
-            SELECT doc_id + 960000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1060000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 11 = 5
             UNION ALL
-            SELECT doc_id + 980000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1080000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2
             UNION ALL
-            SELECT doc_id + 990000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
+            SELECT doc_id + 1090000, regexp_replace(text, '(\\S+)', 'vb\\1', 'g')
             FROM documents WHERE doc_id % 11 = 2),
           allc AS (SELECT doc_id, text FROM documents
                    UNION ALL SELECT doc_id, text FROM batch),
@@ -5761,7 +5938,7 @@ object LlmQueries {
           dup AS (SELECT gram FROM g GROUP BY gram
                   HAVING MIN(doc_id) <> MAX(doc_id)),
           h AS (SELECT doc_id, start FROM g
-                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 950000),
+                WHERE gram IN (SELECT gram FROM dup) AND doc_id >= 1050000),
           brk AS (SELECT doc_id, start,
                     CASE WHEN start - LAG(start) OVER
                            (PARTITION BY doc_id ORDER BY start) > 8
@@ -5880,10 +6057,10 @@ object LlmQueries {
       s"""WITH allc AS MATERIALIZED (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1010000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3),
           tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM allc),
           tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -5894,7 +6071,7 @@ object LlmQueries {
           idf AS (SELECT term, idf FROM read_parquet('$fixture')),
           qt AS (SELECT DISTINCT doc_id AS query_id, unnest($sqlToks) AS term
                  FROM allc
-                 WHERE doc_id IN (1, 7, 900012, 910003, 910009)),
+                 WHERE doc_id IN (1, 7, 1000012, 1010003, 1010009)),
           scored AS (
             SELECT q.query_id, f.doc_id,
               CAST(SUM(CAST(ROUND(ROUND(
@@ -6152,13 +6329,13 @@ object LlmQueries {
       val f1 = s"$base/lm_w1_lp_$oracleSfName" + s"_v$lmVersion/*.parquet"
       val f0 = s"$base/lm_stats_$oracleSfName" + s"_v$lmVersion/*.parquet"
       s"""WITH batch AS (
-            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1010000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3
             UNION ALL
-            SELECT doc_id + 920000, array_to_string(list_reverse($sqlToks), ' ')
+            SELECT doc_id + 1020000, array_to_string(list_reverse($sqlToks), ' ')
             FROM documents WHERE doc_id % 6 = 1),
           btk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM batch),
           bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -6455,10 +6632,10 @@ object LlmQueries {
     // identical derived family; new buckets by EXCEPT.
     "q184_band_index_growth" ->
       s"""WITH batch AS (
-            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1010000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3),
           ${sqlMd5BandCtes("c", "documents")},
           ${sqlMd5BandCtes("b", "batch")},
@@ -6633,13 +6810,13 @@ object LlmQueries {
       val f1 = s"$base/lm2_w1_lp_$oracleSfName" + s"_v$lmMergeVersion/*.parquet"
       val f0 = s"$base/lm2_stats_$oracleSfName" + s"_v$lmMergeVersion/*.parquet"
       s"""WITH batch AS (
-            SELECT doc_id + 900000 AS doc_id, text FROM documents
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
+            SELECT doc_id + 1010000, regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3
             UNION ALL
-            SELECT doc_id + 920000, array_to_string(list_reverse($sqlToks), ' ')
+            SELECT doc_id + 1020000, array_to_string(list_reverse($sqlToks), ' ')
             FROM documents WHERE doc_id % 6 = 1),
           btk AS MATERIALIZED (SELECT doc_id, $sqlToks AS t FROM batch),
           bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -6849,7 +7026,7 @@ object LlmQueries {
     // (2·cut ≥ n) and the (source, policy) rollup.
     "q193_decon_policy" ->
       s"""WITH $sqlDeconSides,
-          heavy AS (SELECT doc_id + 980000 AS doc_id,
+          heavy AS (SELECT doc_id + 1080000 AS doc_id,
                       'pasted' || ${sqlEvalItem("doc_id")}
                         || ' $deconFixedQ' AS text,
                       source
@@ -6995,10 +7172,10 @@ object LlmQueries {
         s"quality_llr_merged_${oracleSfName}_v$qualityMergeVersion/*.parquet"
       s"""WITH $sqlQualityMixed,
           batch AS (
-            SELECT doc_id + 900000 AS doc_id, text
+            SELECT doc_id + 1000000 AS doc_id, text
             FROM documents WHERE doc_id % 6 = 0
             UNION ALL
-            SELECT doc_id + 910000,
+            SELECT doc_id + 1010000,
                    regexp_replace(text, '(\\S+)', 'nv\\1', 'g')
             FROM documents WHERE doc_id % 6 = 3),
           scored_in AS (SELECT doc_id, text FROM mixed
@@ -7036,5 +7213,149 @@ object LlmQueries {
             UNION ALL
             SELECT regexp_replace(text, '(\S+)', 'nv\1', 'g')
             FROM documents WHERE doc_id % 6 = 3)""")
+      ,
+
+    // Gumbel-resampling twin: rank the SAME persisted Spark-written
+    // key parquet (ln never runs here — the ln-hazard fixture device)
+    // by the exact nano re-key (round-9 doubles recover their integer
+    // k·10⁻⁹ under ×10⁹ re-rounding), cut at ⌊n/5⌋ by FLOOR of one
+    // double division; n = the key table's own row count (one row per
+    // corpus doc by construction).
+    "q198_dsir_resample" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"dsir_gumbel_$oracleSfName" + s"_v$dsirResampleVersion/*.parquet"
+      s"""WITH k AS (SELECT doc_id, gkey,
+                       CAST(ROUND(gkey * 1e9, 0) AS BIGINT) AS g
+                     FROM read_parquet('$fixture')),
+          ranked AS (SELECT doc_id, gkey,
+                       ROW_NUMBER() OVER (ORDER BY g DESC, doc_id) AS rank
+                     FROM k)
+        SELECT doc_id, rank, gkey + 0.0 AS gkey
+        FROM ranked
+        WHERE rank <= CAST(FLOOR(CAST(
+          (SELECT COUNT(*) FROM k) AS DOUBLE) / 5) AS BIGINT)"""
+    },
+
+    // Policy-funnel twin: the q179 funnel program over the extended
+    // corpus, then per-cluster resolution under BOTH policies from ONE
+    // window pass (rn=1 is the keep-longest winner; id=keep is the
+    // min-id winner — keep IS the component min by construction), and
+    // the exact token re-billing. CC is the same recursive
+    // label-propagation CTE; pairs are exact all-pairs Jaccard.
+    "q199_funnel_policy" ->
+      s"""WITH RECURSIVE pcorpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substring(text, 1, greatest(length(text) - 10, 1))
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   text || ' extension tail words appended here'
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 4000000, upper(text)
+            FROM documents WHERE doc_id % 13 = 0),
+          k1 AS MATERIALIZED (
+            SELECT c.doc_id, c.text FROM pcorpus c
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM pcorpus
+                  GROUP BY md5(text)) k USING (doc_id)),
+          k2 AS MATERIALIZED (
+            SELECT c.doc_id, c.text FROM k1 c
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM k1
+                  GROUP BY md5(trim(regexp_replace(regexp_replace(
+                    lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))
+              k USING (doc_id)),
+          ${sqlPairCtes("k2")},
+          edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          lbl(id, k) AS (SELECT a, LEAST(a, b) FROM edges
+                         UNION
+                         SELECT e.a, l.k FROM edges e, lbl l WHERE l.id = e.b),
+          comp AS (SELECT id, MIN(k) AS keep FROM lbl GROUP BY id),
+          tkn AS (SELECT doc_id AS id, CAST(len($sqlToks) AS BIGINT) AS n
+                  FROM k2),
+          ranked AS (
+            SELECT c.keep, c.id, t.n,
+                   ROW_NUMBER() OVER (PARTITION BY c.keep
+                     ORDER BY t.n DESC, c.id ASC) AS rn
+            FROM comp c JOIN tkn t USING (id)),
+          cl AS (
+            SELECT keep, COUNT(*) AS sz, SUM(n) AS tot,
+                   MIN(CASE WHEN rn = 1 THEN n END) AS win_n,
+                   MIN(CASE WHEN rn = 1 THEN id END) AS win_id,
+                   MIN(CASE WHEN id = keep THEN n END) AS minid_n
+            FROM ranked GROUP BY keep),
+          ag AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(COALESCE(SUM(sz - 1), 0) AS BIGINT) AS nd,
+                   CAST(COALESCE(SUM(tot - minid_n), 0) AS BIGINT) AS dmin,
+                   CAST(COALESCE(SUM(tot - win_n), 0) AS BIGINT) AS dlong,
+                   CAST(COALESCE(SUM(CASE WHEN win_id <> keep
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS dvg
+            FROM cl),
+          tot2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+                          CAST(SUM(len($sqlToks)) AS BIGINT) AS t2
+                   FROM k2)
+        SELECT (SELECT COUNT(*) FROM pcorpus) AS n_raw,
+               (SELECT COUNT(*) FROM k1) AS n_after_exact,
+               n2 AS n_after_fingerprint,
+               n_clusters,
+               n2 - nd AS n_released,
+               t2 - dmin AS tokens_minid,
+               t2 - dlong AS tokens_keep_longest,
+               dvg AS divergent_clusters
+        FROM ag CROSS JOIN tot2""",
+
+    // Gumbel-mix twin: q181's weight program (sqrt is IEEE-correctly
+    // rounded in both engines), integer quota division, noise
+    // re-derived from the SAME persisted key parquet by the identical
+    // nano subtraction, per-source ROW_NUMBER fill, and the
+    // selected-id checksum.
+    "q200_resampled_mix" -> {
+      val fixture = s"${sys.props("java.io.tmpdir")}/graft-fixtures/" +
+        s"dsir_gumbel_$oracleSfName" + s"_v$dsirResampleVersion/*.parquet"
+      s"""WITH nz AS (SELECT doc_id,
+                        CAST(ROUND(gkey * 1e9, 0) AS BIGINT)
+                          - CAST(ROUND(score * 1e9, 0) AS BIGINT) AS noise
+                      FROM read_parquet('$fixture')),
+          d AS (SELECT doc_id, source,
+                       CAST(len($sqlToks) AS BIGINT) AS n
+                FROM documents),
+          per AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                         COUNT(*) AS n_docs
+                  FROM d GROUP BY source),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS N,
+                         CAST(SUM(n_docs) AS BIGINT) AS nd
+                  FROM per),
+          sq AS (SELECT source, n_docs,
+                   CAST(ROUND(ROUND(sqrt(CAST(n_tokens AS DOUBLE)
+                     / CAST(N AS DOUBLE)), 9) * 1e9, 0) AS BIGINT) AS sqn,
+                   CAST(FLOOR(CAST(nd AS DOUBLE) / 4) AS BIGINT) AS r
+                 FROM per CROSS JOIN tot),
+          z AS (SELECT CAST(SUM(sqn) AS BIGINT) AS z FROM sq),
+          wq AS (SELECT source, n_docs,
+                   ROUND(CAST(sqn AS DOUBLE) / CAST(z AS DOUBLE), 9) + 0.0
+                     AS weight,
+                   (CAST(ROUND(ROUND(CAST(sqn AS DOUBLE)
+                      / CAST(z AS DOUBLE), 9) * 1e9, 0) AS BIGINT) * r)
+                     // 1000000000 AS quota
+                 FROM sq CROSS JOIN z),
+          rk AS (SELECT d.source, d.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY d.source
+                     ORDER BY nz.noise DESC, d.doc_id) AS rn
+                 FROM d JOIN nz USING (doc_id)),
+          sel AS (SELECT r.source, COUNT(*) AS nsel,
+                         CAST(SUM(r.doc_id) AS BIGINT) AS chk
+                  FROM rk r JOIN wq USING (source)
+                  WHERE r.rn <= wq.quota GROUP BY r.source)
+        SELECT w.source, w.n_docs, w.weight,
+               CAST(w.quota AS BIGINT) AS quota,
+               CAST(COALESCE(s.nsel, 0) AS BIGINT) AS n_selected,
+               COALESCE(s.chk, 0) AS selected_id_sum
+        FROM wq w LEFT JOIN sel s USING (source)"""
+    }
   )
 }

@@ -77,6 +77,29 @@ object DocStream {
                   weights: org.apache.spark.broadcast.Broadcast[graft.llm.QualityWeights]): DataFrame =
     graft.llm.QualityModel.withLearnedScores(docs, weights)
 
+  /** Stateless LEARNED-VOCAB token billing (the 23rd stream ≡ batch
+    * twin) — the batch q190 scorer streamed, so the intake path can
+    * enforce token budgets with the SAME learned-merges artifact the
+    * shard packer (q176) and the billing report (q190) consume:
+    * arriving documents bill `n_learned_tokens` under the persisted
+    * rank-ordered merge table (the [[graft.llm.Bpe.tokenCountWith]]
+    * replace chain — whole-stage-codegen'd string work inside the scan
+    * projection, zero state, zero shuffle at any feed rate) next to
+    * the whitespace `n_ws_tokens` the fertility reports divide by.
+    * Columns APPEND to the input row ([[modelGate]]'s passthrough
+    * contract, so `ts` survives for downstream watermark stages). Pass
+    * the collected rank-ordered merges — vocab-scale and
+    * driver-bounded by the trainer's contract
+    * ([[graft.llm.BpeTrain.learnMerges]]). Stream ≡ batch is
+    * DocStreamSpec-pinned against the q190 projection.
+    */
+  def tokenBillingGate(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame =
+    docs
+      .withColumn("n_learned_tokens",
+        graft.llm.Bpe.tokenCountWith(merges, col("text")))
+      .withColumn("n_ws_tokens", TextOps.tokenCount(col("text")).cast("long"))
+
   /** Stateless DSIR gate — the streaming twin of the batch q173
     * scorer: arriving documents scored by the persisted hashed-unigram
     * log-likelihood-ratio model with the model INLINED as a literal

@@ -86,6 +86,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("supplementary code points train, re-apply, and bill (round-17 ADVICE)") {
+    // 😀 (U+1F600) and 𠀀 (U+20000, CJK Ext-B) are ONE code point but
+    // String.length == 2 — the old UTF-16-length consistency test in
+    // Bpe.foldMerges rejected any learned merge with such an operand,
+    // so learnMergesDistributed crashed at round 2 (pairCounts →
+    // symbolsOfWord replays round-1 merges) and learned tables from
+    // such corpora were unusable in tokenCountWith. This pins the
+    // whole loop: train (both gated paths), replay, bill.
+    // words: 😀😀 ×1, 😀a ×1, 𠀀b ×2
+    //   round 0: (𠀀,b) ×2 wins                       => (𠀀, b, 2)
+    //   round 1: (😀,😀) ×1 ties (😀,a) ×1; right operand breaks it
+    //            under UTF-8 bytes: 'a'=0x61 < 😀=F0.. => (😀, a, 1)
+    //   round 2: only (😀,😀) ×1 remains               => (😀, 😀, 1)
+    //   round 3: no pairs left => early stop at 3 merges
+    val c = corpus("😀😀 😀a", "𠀀b 𠀀b")
+    val wc = BpeTrain.wordCounts(c).localCheckpoint()
+    val local = BpeTrain.learnMerges(wc, k = 4)
+    val dist = BpeTrain.learnMergesDistributed(wc, k = 4)
+    assert(local === dist)
+    assert(local == Seq(
+      BpeTrain.LearnedMerge(0, "𠀀", "b", 2),
+      BpeTrain.LearnedMerge(1, "😀", "a", 1),
+      BpeTrain.LearnedMerge(2, "😀", "😀", 1)))
+    // the learned table (supplementary operands throughout) must pass
+    // foldMerges' consistency check and bill end-to-end: every word
+    // above merges to exactly ONE token, so each text bills 2
+    val merges = local.map(m => (m.a, m.b))
+    val n = c.select(Bpe.tokenCountWith(merges, col("text")).as("n"))
+      .as[Long].collect().toSeq
+    assert(n == Seq(2L, 2L))
+  }
+
   test("dictionary merge ≡ rebuild over the union corpus (q197's contract)") {
     val a = corpus("the theme", "than the")
     val b = corpus("the thin", "nvnew nvnew")

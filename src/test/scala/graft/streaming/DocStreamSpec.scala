@@ -137,6 +137,46 @@ class DocStreamSpec extends SparkSpec {
       s"gate verdicts drifted: $got")
   }
 
+  test("tokenBillingGate: stream billing ≡ the batch q190 scorer over the same merges") {
+    // the 23rd stream-≡-batch twin: merges LEARNED from a planted
+    // corpus (the q189 trainer), then the stream bills arriving docs
+    // identically to the batch q190 projection — with every input
+    // column passing through (the modelGate passthrough contract).
+    implicit val sq = spark.sqlContext
+    val trainCorpus = Seq("the the then than that", "than the theme")
+      .toDF("text")
+    val merges = graft.llm.BpeTrain.learnMerges(
+      graft.llm.BpeTrain.wordCounts(trainCorpus), k = 6).map(m => (m.a, m.b))
+    val feed = Seq(
+      Doc(1, "the than theme", ts(1)),
+      Doc(2, "entirely novel words", ts(2)),
+      Doc(3, "", ts(3)))
+    val source = MemoryStream[Doc]
+    val q = DocStream.tokenBillingGate(source.toDF(), merges).writeStream
+      .format("memory").queryName("tokenbilling").outputMode("append").start()
+    source.addData(feed: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tokenbilling").columns.toSet ===
+      Set("doc_id", "text", "ts", "n_learned_tokens", "n_ws_tokens"))
+    val got = spark.table("tokenbilling")
+      .select("doc_id", "n_learned_tokens", "n_ws_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = feed.toDF().select(col("doc_id"),
+        graft.llm.Bpe.tokenCountWith(merges, col("text"))
+          .as("n_learned_tokens"),
+        graft.llm.TextOps.tokenCount(col("text")).cast("long")
+          .as("n_ws_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+    // the learned merges genuinely compress: doc 1 is 12 letters, so
+    // per-char (untrained) billing would be 12 model tokens — the
+    // trained table must land strictly below; the empty doc bills 0
+    val billed = got.map(r => r._1 -> r._2).toMap
+    assert(billed(1L) < 12L, s"billing looks untrained: $got")
+    assert(billed(3L) === 0L)
+  }
+
   test("dedup state is watermark-bounded: the same content far later passes again") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Doc]
