@@ -110,7 +110,7 @@ object Parity {
         StandardOpenOption.TRUNCATE_EXISTING)
       println(s"PARITY $label supervised=${supMed}s (${triple(sups)}) " +
         s"auc=$meanAuc embed=$nNodes nodes in ${embMed}s (${triple(embs)}; " +
-        s"${nodesPerSec.toLong}/s) -> $outMd")
+        s"${math.round(nodesPerSec)}/s) -> $outMd")
     } finally spark.stop()
   }
 }

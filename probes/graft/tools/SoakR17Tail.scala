@@ -11,6 +11,10 @@ package graft.tools
   * changes data volume, never plan shape. (The q185/q188 deconTrain
   * plants and the q191/q192 junk mixture derive from doc_id
   * arithmetic, so they scale with the corpus by construction.)
+  * Round 18 (the round-17 verdict's "What's wrong" 4): the row count
+  * now rides the SAME noop pass as the timing via an Observation
+  * metric — each target runs once, not twice (the SoakR18Tail
+  * discipline, backported).
   * Diagnostic main, not part of the driver contract.
   */
 object SoakR17Tail {
@@ -29,10 +33,14 @@ object SoakR17Tail {
       val lines = plan.split("\n")
       val broadcasts = lines.count(_.contains("BroadcastExchange"))
       val shuffles = lines.count(_.contains("Exchange")) - broadcasts
+      val obs = org.apache.spark.sql.Observation(s"rows_$name")
       val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      fn(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = fn(spark, dir).count()
+      val rows = obs.get("n").asInstanceOf[Long]
       println(f"SOAK $name rows=$rows sec=$sec%.2f shuffles=$shuffles broadcasts=$broadcasts")
     }
     spark.stop()

@@ -7,9 +7,16 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
   * (pair argmax, count) must match an in-memory greedy BPE that counts
   * adjacent pairs over the word-frequency dictionary with the same
   * non-overlapping occurrence rule and the same (count DESC, a ASC,
-  * b ASC) tie-break. Small alphabets force dense pair ties (the
-  * tie-break's worst case) and repeated letters force the overlap
-  * rule ("aaa" is ONE "aa" occurrence) to matter.
+  * b ASC) tie-break — operands ordered by UTF-8 BYTES, like
+  * UTF8String and DuckDB memcmp. Small alphabets force dense pair
+  * ties (the tie-break's worst case) and repeated letters force the
+  * overlap rule ("aaa" is ONE "aa" occurrence) to matter. Since round
+  * 18 the alphabet also draws multi-byte and SUPPLEMENTARY code
+  * points (the round-17 ADVICE bug class): 的 (3-byte BMP),
+  * ａ (high BMP, E0.. UTF-8) and an emoji (4-byte supplementary)
+  * — the latter two ORDER DIFFERENTLY under UTF-16 vs UTF-8, so a
+  * Java-String-ordered reference would silently diverge; the
+  * reference splits by code point and compares raw UTF-8 bytes.
   */
 object BpeTrainProps extends Properties("bpeTrain") {
 
@@ -23,9 +30,16 @@ object BpeTrainProps extends Properties("bpeTrain") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(6)
 
+  // weight concentrates on a/b/c for dense ties; the three wide
+  // symbols exercise code-point splitting and UTF-8-byte ordering
+  private val sym: Gen[String] = Gen.frequency(
+    4 -> Gen.const("a"), 4 -> Gen.const("b"), 3 -> Gen.const("c"),
+    1 -> Gen.const("的"), 1 -> Gen.const("ａ"),
+    1 -> Gen.const(new String(Character.toChars(0x1F600))))
+
   private val word: Gen[String] = for {
     n <- Gen.chooseNum(1, 6)
-    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    cs <- Gen.listOfN(n, sym)
   } yield cs.mkString
 
   private val corpus: Gen[List[String]] = for {
@@ -40,10 +54,20 @@ object BpeTrainProps extends Properties("bpeTrain") {
     * a ASC, b ASC), merge applied non-overlapping left-to-right.
     */
   private def refMerges(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
     var dict: Map[Vector[String], Long] = texts
       .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, xs) =>
-        w.map(_.toString).toVector -> xs.size.toLong
+        codePoints(w) -> xs.size.toLong
       }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
@@ -62,8 +86,12 @@ object BpeTrainProps extends Properties("bpeTrain") {
       }
       if (counts.isEmpty) done = true
       else {
+        // UTF-8 byte order, NOT Java String order — they disagree on
+        // supplementary vs high-BMP operands (surrogates sort low)
+        def bytes(s: String): Seq[Int] = s.getBytes("UTF-8").map(_ & 0xff).toSeq
+        import scala.math.Ordering.Implicits.seqOrdering
         val ((a, b), c) = counts.toSeq
-          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+          .sortBy { case ((x, y), n) => (-n, bytes(x), bytes(y)) }.head
         out += ((out.size.toLong, a, b, c))
         dict = dict.toSeq.map { case (syms, cnt) =>
           val merged = scala.collection.mutable.ArrayBuffer.empty[String]
