@@ -38,12 +38,16 @@ object Parity {
       val embWalls = Vector.newBuilder[Double]
       val aucs = Vector.newBuilder[Double]
       var nNodes = 0L
-      // the unsupervised pipeline's inputs cache once — every rep (the
-      // first included) sees the same warmed graph, so the interleaved
-      // walls measure the pipeline, not cache builds
+      // the unsupervised pipeline's inputs cache once and MATERIALIZE
+      // here (cache() alone is lazy — without the counts, rep 1's
+      // timed wall would silently include the merge-pipeline cache
+      // build; round-18 review), so every rep including the first
+      // measures the pipeline, not cache builds
       val parts = Seq("0", "1").map { pid =>
         val m = MergePipeline.merge(spark, storeDir, storeDir, "4", pid)
-        pid -> PropertyGraph(m.nodes, m.edges).cache()
+        val g = PropertyGraph(m.nodes, m.edges).cache()
+        g.nodes.count(); g.edges.count()
+        pid -> g
       }
       for (rep <- 1 to reps) {
         // --- supervised: the reference README's canonical run shape —
@@ -69,7 +73,13 @@ object Parity {
         s"AUC not bit-identical across reps: $aucList — the determinism " +
           "contract broke; do not record a parity row")
       val meanAuc = aucList.head
-      def median(xs: Vector[Double]): Double = xs.sorted.apply(xs.size / 2)
+      // true median for even rep counts too (upper-mid alone would
+      // over-report the wall when a caller passes reps=4)
+      def median(xs: Vector[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       def triple(xs: Vector[Double]): String =
         xs.map(x => f"$x%.1f").mkString("/")
       val supMed = median(sups); val embMed = median(embs)

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.SoakGen [srcSfDir] [outDir]
   */
 object SoakGen {
+
+  /** Soak-corpus construction constants — FreshIdContractSpec derives
+    * the soak doc_id ceiling from THESE (maxBase + (Copies−1)·DocIdStep),
+    * so growing the soak can never silently re-breach the fresh-id
+    * band the way the round-17 ADVICE found (the +900000 copy band
+    * sat inside the old [900000, 990000] offsets).
+    */
+  val Copies = 10
+  val DocIdStep = 100000L
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/sf1soak")
@@ -33,10 +43,10 @@ object SoakGen {
     val t = graft.Tables(spark, src)
 
     val docs = t.documents
-    val copies = (0 until 10).map { c =>
+    val copies = (0 until Copies).map { c =>
       if (c == 0) docs
       else docs.select(
-        (col("doc_id") + c * 100000L).as("doc_id"),
+        (col("doc_id") + c * DocIdStep).as("doc_id"),
         // splice "copyN" after every 3rd token
         array_join(flatten(transform(
           graft.llm.TextOps.tokens(col("text")),

@@ -6,15 +6,14 @@ package graft.tools
   * (q186), incremental-LM merge (q187), multi-benchmark decon
   * attribution (q188), BPE merge training + learned-vocab billing
   * (q189/q190), and the learned quality gate + calibration
-  * (q191/q192). One run each: wall time + plan shuffle/broadcast
-  * counts, which must match the sf0.01 PlanAudit rows — a scale step
-  * changes data volume, never plan shape. (The q185/q188 deconTrain
-  * plants and the q191/q192 junk mixture derive from doc_id
-  * arithmetic, so they scale with the corpus by construction.)
-  * Round 18 (the round-17 verdict's "What's wrong" 4): the row count
-  * now rides the SAME noop pass as the timing via an Observation
-  * metric — each target runs once, not twice (the SoakR18Tail
-  * discipline, backported).
+  * (q191/q192). One run each via [[SoakRunner]] (round 18 factored the
+  * shared loop out and fixed the round-17 double-execution wart — row
+  * counts ride the timed noop pass as an Observation metric): wall
+  * time + plan shuffle/broadcast counts, which must match the sf0.01
+  * PlanAudit rows — a scale step changes data volume, never plan
+  * shape. (The q185/q188 deconTrain plants and the q191/q192 junk
+  * mixture derive from doc_id arithmetic, so they scale with the
+  * corpus by construction.)
   * Diagnostic main, not part of the driver contract.
   */
 object SoakR17Tail {
@@ -23,26 +22,10 @@ object SoakR17Tail {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.GraftSession.local(cpus, "soak-r17-tail")
     spark.sparkContext.setLogLevel("WARN")
-    val targets = Seq("q185_release_pipeline", "q186_retrieval_eval",
-      "q187_lm_merged", "q188_multi_bench_decon",
+    SoakRunner.run(spark, dir, Seq("q185_release_pipeline",
+      "q186_retrieval_eval", "q187_lm_merged", "q188_multi_bench_decon",
       "q189_bpe_train", "q190_bpe_learned_tokens",
-      "q191_quality_learned", "q192_learned_calibration")
-    targets.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val lines = plan.split("\n")
-      val broadcasts = lines.count(_.contains("BroadcastExchange"))
-      val shuffles = lines.count(_.contains("Exchange")) - broadcasts
-      val obs = org.apache.spark.sql.Observation(s"rows_$name")
-      val t0 = System.nanoTime()
-      fn(spark, dir)
-        .observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n"))
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val rows = obs.get("n").asInstanceOf[Long]
-      println(f"SOAK $name rows=$rows sec=$sec%.2f shuffles=$shuffles broadcasts=$broadcasts")
-    }
+      "q191_quality_learned", "q192_learned_calibration"))
     spark.stop()
   }
 }

@@ -208,9 +208,11 @@ object Dsir {
     * cross-engine hazard, so callers compute this ONCE in Spark and
     * persist (the ln-hazard fixture device); selection then ranks the
     * persisted keys. One per-row projection — no shuffle, no state.
-    * Keep |score|/temperature below ~8·10⁶ so the round-9 nano re-key
-    * in [[resampleTopFraction]] stays inside double's 2^53 exact-long
-    * range.
+    * |gkey| must stay below [[GumbelKeyBound]] so the round-9 nano
+    * re-key in [[resampleTopFraction]] stays inside double's 2^53
+    * exact-long range — ENFORCED with a loud raise_error (a silent
+    * violation would flip ranks near the cut cross-engine instead of
+    * pointing at the too-small temperature).
     */
   def gumbelKeys(scored: DataFrame, seed: Long, temperature: Double,
                  idCol: String = "doc_id"): DataFrame = {
@@ -218,9 +220,25 @@ object Dsir {
     val u = (conv(substring(md5(concat_ws("#", lit(seed.toString),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
       lit(4294967296.0)
+    val raw = col("score") / temperature - log(-log(u))
     scored.select(col(idCol), col("score"),
-      round(col("score") / temperature - log(-log(u)), 9).as("gkey"))
+      round(guardKeyRange(raw), 9).as("gkey"))
   }
+
+  /** Nano-exactness bound for Gumbel keys: |gkey|·10⁹ must stay under
+    * 2^53, the largest range where every long is a double — 9·10⁶
+    * leaves margin. Above it the Spark and DuckDB ROUND(gkey·10⁹)
+    * re-keys could disagree by 1 ulp and silently flip ranks.
+    */
+  val GumbelKeyBound: Double = 9.0e6
+
+  private def guardKeyRange(key: Column): Column =
+    when(abs(key) >= GumbelKeyBound,
+      raise_error(concat(
+        lit(s"Dsir: |gumbel key| >= $GumbelKeyBound breaks the 2^53 " +
+          "nano-exact re-key contract (temperature too small for the " +
+          "score scale): "), key.cast("string"))))
+      .otherwise(key)
 
   /** Gumbel-top-⌊n/denom⌋ selection over PERSISTED [[gumbelKeys]] —
     * the stochastic twin of [[selectTopFraction]] with the identical
@@ -235,9 +253,10 @@ object Dsir {
   def resampleTopFraction(keyed: DataFrame, denom: Int,
                           idCol: String = "doc_id"): DataFrame = {
     require(denom >= 1)
+    // persisted keys come from anywhere — re-enforce the nano contract
     val ranked = graft.operators.DistributedRank.prefix(
       keyed.select(col(idCol), col("gkey"),
-          round(col("gkey") * 1e9, 0).cast("long").as("__g"))
+          round(guardKeyRange(col("gkey")) * 1e9, 0).cast("long").as("__g"))
         .withColumn("__negg", -col("__g"))
         .withColumn("__all", lit(0)),
       Seq("__all"), Seq("__negg", idCol))

@@ -134,11 +134,16 @@ object NearDup {
     * candidate volume IS its cost model. The release-gating truth
     * recipe is a different artifact with a different rule: 48/16 +
     * exact verify, PROVEN equal to exact all-pairs (the next spec).
-    * Measured curve at the checked SF (truth = exact all-pairs, 599
-    * pairs): (32,2) recall 1.0 / 752 candidates / precision 0.797;
-    * (16,4) recall 0.9967 / 600 / 0.995; (8,8) recall 0.9766 / 585 /
-    * 1.0 — (16,4) is the cheapest config inside the SLO, trading 0.3%
-    * recall at the J≈0.6 boundary for 20% fewer verifies
+    * Measured curves at the checked SF (truth = exact all-pairs, 599
+    * pairs) — the spec grades the NATIVE xxhash64 family, the one
+    * bandIndex actually ships (grading only the md5-derived family
+    * would re-open the asserted-by-analogy gap): native (32,2) recall
+    * 1.0 / 700 candidates / precision 0.856; (16,4) 0.9983 / 599 /
+    * 0.9983; (8,8) 0.9699 / 581 / 1.0. The md5-derived family agrees
+    * on the decision ((32,2) 1.0/752/0.797; (16,4) 0.9967/600/0.995;
+    * (8,8) 0.9766/585/1.0) — (16,4) is the cheapest config inside the
+    * SLO in BOTH families, trading ≤ 0.3% recall at the J≈0.6
+    * boundary for 14-20% fewer verifies
     * (1−(1−J⁴)¹⁶ ≈ 0.89 at J = 0.6, ≈ 1 at J ≥ 0.75).
     */
   val ProductionBandConfig: (Int, Int) = (16, 4)
@@ -269,7 +274,8 @@ object NearDup {
                        configs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8)),
                        truthNumHashes: Int = 48, truthBands: Int = 16,
                        seed: Long = 42L,
-                       truthPairs: Option[DataFrame] = None): DataFrame = {
+                       truthPairs: Option[DataFrame] = None,
+                       native: Boolean = false): DataFrame = {
     require(configs.nonEmpty, "at least one (bands, rowsPerBand) config")
     configs.foreach { case (b, r) =>
       require(b * r == numHashes,
@@ -277,15 +283,30 @@ object NearDup {
     }
     val spark = df.sparkSession
     import spark.implicits._
+    // `native = true` grades the PRODUCTION hash family — the xxhash64
+    // minhashSignature/lshBands pair bandIndex actually ships (the
+    // round-18 review finding: grading only the md5-derived family
+    // would re-open the asserted-by-analogy gap the grading exists to
+    // close; the two families' per-slot hashes are differently
+    // correlated, so their curves need not agree). The md5 family
+    // stays the default: it is the oracle-able one (q177's curve).
     val sigs = shingleSets(df, idCol, textCol, shingleN)
-      .select(col("__id"), minhashMd5Sig(col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"),
+        (if (native) minhashSignature(col("__sh"), numHashes, seed)
+         else minhashMd5Sig(col("__sh"), numHashes)).as("__sig"))
       .localCheckpoint() // one signature scan feeds every config
     val bandRows = configs.map { case (b, r) =>
       sigs.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("__id"),
-          explode(md5LshBands(col("__sig"), b, r)).as("__bb"))
+          explode(
+            if (native) lshBands(col("__sig"), b, r, seed)
+            else md5LshBands(col("__sig"), b, r)).as("__bb"))
         .select(col("bands"), col("rows_per_band"), col("__id"),
-          col("__bb.band").as("band"), col("__bb.bh").as("bh"))
+          (if (native) col("__bb.bucket").cast("string")
+           else col("__bb.bh")).as("bh"),
+          col("__bb.band").as("band"))
+        .select(col("bands"), col("rows_per_band"), col("__id"),
+          col("band"), col("bh"))
     }.reduce(_ unionByName _).localCheckpoint() // both self-join sides
     val cand = bandRows.as("l")
       .join(bandRows.as("r"),

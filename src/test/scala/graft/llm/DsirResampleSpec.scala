@@ -89,4 +89,17 @@ class DsirResampleSpec extends SparkSpec {
     val n = scored.select("score").distinct().count()
     assert(n == 40, s"expected 40 distinct scores, got $n")
   }
+
+  test("keys beyond the 2^53 nano-exact range fail LOUDLY, not silently") {
+    // a too-small temperature pushes |score/T| past GumbelKeyBound —
+    // past that, Spark and DuckDB ROUND(gkey·1e9) re-keys can disagree
+    // by 1 ulp and silently flip ranks near the cut; the guard must
+    // point at the violated contract instead (round-18 review)
+    val ex = intercept[Exception] {
+      Dsir.gumbelKeys(scored, seed = 1L, temperature = 1e-9).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("nano-exact")), s"wrong failure: $ex")
+  }
 }

@@ -57,9 +57,12 @@ class LshOperatingPointSpec extends SparkSpec {
     val corpus = tuningCorpus
     val truth = NearDup.prefixJaccardPairs(corpus, "doc_id", "text",
       threshold = 0.6, shingleN = 3)
+    // native = true: grade the xxhash64 minhashSignature/lshBands pair
+    // bandIndex ACTUALLY ships — grading the md5-derived family here
+    // would re-open the asserted-by-analogy gap (round-18 review)
     val rows = NearDup.bandTuningReport(corpus, "doc_id", "text",
         numHashes = 64, configs = Seq((32, 2), (16, 4), (8, 8)),
-        truthPairs = Some(truth))
+        truthPairs = Some(truth), native = true)
       .collect()
     assert(rows.length === 3, "three graded configs")
     val byCfg = rows.map(r => (r.getAs[Int]("bands"),

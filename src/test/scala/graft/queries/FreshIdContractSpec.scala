@@ -33,17 +33,22 @@ class FreshIdContractSpec extends SparkSpec {
 
   test("the 10x soak's copy bands stay below the fresh-id floor too") {
     // the round-17 ADVICE breach class: SoakGen replicates the sf0.1
-    // corpus under +100000*c copy offsets (c <= 9), so the soak's max
-    // doc_id is maxBase + 900000 (~905000 in practice) — which sat
-    // INSIDE the old [900000, 990000] offset band. Assert the
-    // construction keeps it under the new 10^6 floor.
+    // corpus under +DocIdStep*c copy offsets (c < Copies), so the
+    // soak's max doc_id is maxBase + (Copies-1)*DocIdStep (~905000 in
+    // practice) — which sat INSIDE the old [900000, 990000] offset
+    // band. The ceiling DERIVES from SoakGen's own constants (round-18
+    // review: a hardcoded +900000 here would stay green if the soak
+    // ever grew to 12 copies while the corpus re-breached).
+    val maxOffset =
+      (graft.tools.SoakGen.Copies - 1) * graft.tools.SoakGen.DocIdStep
     val path = "/root/testdata/sf0.1/documents.parquet"
     if (new java.io.File("/root/testdata/sf0.1").exists) {
       val mx = spark.read.parquet(path)
         .agg(max(col("doc_id"))).collect().head.getLong(0)
-      assert(mx + 900000L < 1000000L,
-        s"sf0.1 max doc_id $mx + the soak's +900000 copy band reaches " +
-          "the fresh-id floor — shrink the soak band or raise the floor")
+      assert(mx + maxOffset < 1000000L,
+        s"sf0.1 max doc_id $mx + the soak's +$maxOffset copy band " +
+          "reaches the fresh-id floor — shrink the soak band or raise " +
+          "the floor")
     }
   }
 }
