@@ -151,6 +151,32 @@ object Dsir {
         .cast("double") / 1e9, 9).as("score"))
   }
 
+  /** [[scoreDocsInline]] with FULL PASSTHROUGH — the scorer columns
+    * (`n_tokens`, `score`) APPEND to the input row instead of
+    * projecting it away, so `ts`, `text` and friends survive for
+    * downstream watermark/dedup stages (the gate-family contract
+    * `QualityModel.withScores`/`withLearnedScores` established;
+    * round-18 review: `DocStream.dsirGate` silently dropped every
+    * input column and could only ever sit LAST in an intake chain).
+    * Bit-identical scores to [[scoreDocsInline]] — same broadcast,
+    * same codegen'd fold.
+    */
+  def withInlineScores(docs: DataFrame, llrNano: Map[Long, Long],
+                       textCol: String = "text"): DataFrame = {
+    require(llrNano.nonEmpty && llrNano.size <= NumBuckets,
+      s"model must hold 1..$NumBuckets buckets, got ${llrNano.size}")
+    require(llrNano.keysIterator.forall(b => b >= 0 && b < NumBuckets),
+      s"bucket keys must sit in [0, $NumBuckets)")
+    val arr = new Array[Long](NumBuckets)
+    llrNano.foreach { case (b, v) => arr(b.toInt) = v }
+    val bc = docs.sparkSession.sparkContext.broadcast(new QualityWeights(arr))
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("score",
+        round(graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)), bc)
+          .cast("double") / 1e9, 9))
+  }
+
   /** Load a persisted [[llrTable]] into the inline-model form —
     * KB-bounded by the [[NumBuckets]] contract (the one sanctioned
     * driver-side collect in this family).

@@ -53,6 +53,26 @@ object ExactSubstr {
   // streaming span-probe gate (DocStream.spanProbeFlags)
   private[graft] val Sep = "\u0001"
 
+  /** THE L-gram fingerprint: md5 of the [[Sep]]-joined L-token window
+    * starting at 1-based `pos` of token array `toks`. Every producer
+    * and prober — [[gramTable]] and the streaming span probes
+    * (`DocStream.spanProbeFlags` / `releaseGate`) — builds grams
+    * through here, so the definition (separator, hash, slice shape)
+    * cannot silently fork from the persisted index it probes
+    * (round-18 review: three hand-copies of this formula).
+    */
+  def gramAt(toks: Column, pos: Column, L: Int): Column =
+    md5(concat_ws(Sep, slice(toks, pos, lit(L))))
+
+  /** 1-based window-start positions of `toks` under threshold L —
+    * empty for docs shorter than L tokens (sequence(1, n) DESCENDS
+    * when n < 1, so the guard is part of the definition, not a
+    * call-site convention).
+    */
+  def gramStarts(toks: Column, L: Int): Column =
+    when(size(toks) < L, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(toks) - L + 1))
+
   /** (doc_id, start, gram) — md5 fingerprints of every L-token window.
     * Pure projection; docs shorter than L tokens contribute no rows.
     */
@@ -70,8 +90,7 @@ object ExactSubstr {
       // stage and the token array is dropped before any exchange.
       // sequence(1, n) DESCENDS when n < 1 — guard short docs.
       .select(col("doc_id"), col("__t"),
-        when(size(col("__t")) < L, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), size(col("__t")) - L + 1)).as("__s"))
+        gramStarts(col("__t"), L).as("__s"))
       // explode_OUTER + null filter, NOT explode: the inner generate
       // lets InferFiltersFromGenerate push a size(__s) > 0 predicate
       // into the parquet scan with the generator-child expression
@@ -83,7 +102,7 @@ object ExactSubstr {
       .select(col("doc_id"), col("__t"), explode_outer(col("__s")).as("__p"))
       .filter(col("__p").isNotNull)
       .select(col("doc_id"), col("__p").cast("long").as("start"),
-        md5(concat_ws(Sep, slice(col("__t"), col("__p"), lit(L)))).as("gram"))
+        gramAt(col("__t"), col("__p"), L).as("gram"))
   }
 
   /** The cut list: (doc_id, start_word, span_len) — maximal spans of

@@ -102,14 +102,18 @@ object DocStream {
 
   /** Stateless DSIR gate — the streaming twin of the batch q173
     * scorer: arriving documents scored by the persisted hashed-unigram
-    * log-likelihood-ratio model with the model INLINED as a literal
-    * map (≤ 1024 entries by the Dsir.NumBuckets contract), so the
-    * whole score folds inside the scan projection — zero state, zero
-    * shuffle. Pass `Dsir.loadModel(spark.read.parquet(modelPath))`.
-    * Stream ≡ batch is DocStreamSpec-pinned.
+    * log-likelihood-ratio model shipped as one torrent broadcast into
+    * the codegen'd fold (≤ 1024 entries by the Dsir.NumBuckets
+    * contract), so the whole score computes inside the scan projection
+    * — zero state, zero shuffle. Scorer columns (`n_tokens`, `score`)
+    * APPEND to the input row (the [[modelGate]] passthrough contract —
+    * round-18 review: the old projection dropped `ts`/`text`, so the
+    * gate could only sit last in an intake chain). Pass
+    * `Dsir.loadModel(spark.read.parquet(modelPath))`. Stream ≡ batch
+    * is DocStreamSpec-pinned.
     */
   def dsirGate(docs: DataFrame, llrNano: Map[Long, Long]): DataFrame =
-    graft.llm.Dsir.scoreDocsInline(docs, llrNano)
+    graft.llm.Dsir.withInlineScores(docs, llrNano)
 
   /** The composed intake: dedup within the watermark, then gate and
     * scrub — the streaming twin of the batch pipeline's first stages.
@@ -231,17 +235,19 @@ object DocStream {
   def spanProbeFlags(docs: DataFrame, gramIndex: DataFrame, L: Int,
                      watermarkDelay: String = "1 hour"): DataFrame = {
     require(L >= 2, s"span threshold L must be >= 2 tokens, got $L")
+    // gram definition comes from ExactSubstr.gramAt/gramStarts — the
+    // ONE formula the persisted index was built with (round-18 review:
+    // a hand-copied formula here could silently de-sync from the index
+    // and return zero hits)
     val grams = docs
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"), TextOps.tokens(col("text")).as("__t"))
       .select(col("doc_id"), col("ts"), col("__t"),
-        when(size(col("__t")) < L, array().cast("array<int>"))
-          .otherwise(sequence(lit(1), size(col("__t")) - L + 1)).as("__s"))
+        graft.llm.ExactSubstr.gramStarts(col("__t"), L).as("__s"))
       .select(col("doc_id"), col("ts"), col("__t"),
         explode(col("__s")).as("__p"))
       .select(col("doc_id"), col("ts"),
-        md5(concat_ws(graft.llm.ExactSubstr.Sep,
-          slice(col("__t"), col("__p"), lit(L)))).as("gram"))
+        graft.llm.ExactSubstr.gramAt(col("__t"), col("__p"), L).as("gram"))
     val flagged = grams
       .join(gramIndex.select(col("gram")), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("ts"))
@@ -301,12 +307,12 @@ object DocStream {
       .filter(col("keep"))
     gated
       .withColumn("__t", TextOps.tokens(col("text")))
+      // grams via ExactSubstr.gramAt/gramStarts — the shared formula
+      // (see spanProbeFlags); transform shape instead of explode, one
+      // array per doc probed by the broadcast set
       .withColumn("__g",
-        when(size(col("__t")) < L, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(1), size(col("__t")) - L + 1),
-            p => md5(concat_ws(graft.llm.ExactSubstr.Sep,
-              slice(col("__t"), p, lit(L)))))))
+        transform(graft.llm.ExactSubstr.gramStarts(col("__t"), L),
+          p => graft.llm.ExactSubstr.gramAt(col("__t"), p, L)))
       .filter(!graft.functions.AnyInBroadcastSet(col("__g"), bc))
       .select(col("doc_id"), col("ts"), col("n_tokens"),
         col("margin_milli"),
@@ -393,8 +399,7 @@ object DocStream {
   def sourceQualityTimeline(docs: DataFrame): Dataset[QualityPoint] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def r9(x: Double): Double = graft.util.Round9.r9(x)
     docs
       .select(col("source"), unix_timestamp(col("ts")).as("epoch"),
         TextOps.qualityScore(col("text")).cast("long").as("q"))

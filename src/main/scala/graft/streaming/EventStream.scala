@@ -30,8 +30,13 @@ object EventStream {
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
                            n_events: Int, total_value: Double)
 
-  // public: the state encoder's generated code instantiates it
-  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  // public: the state encoder's generated code instantiates it.
+  // `totalScaled` carries the session value sum in EXACT 10^-4 units
+  // (the DECIMAL(18,4) device sessionWindows sums with) — a raw
+  // running double would be order-dependent and diverge from the
+  // built-in twin on >4-decimal values (round-18 review).
+  final case class SessionState(start: Long, last: Long, n: Int,
+                                totalScaled: Long)
 
   final case class Transition(user_id: Long, from_type: String,
                               to_type: String, ts: Timestamp)
@@ -234,7 +239,10 @@ object EventStream {
     val winMs = windowMinutes * 60000L
     events
       .withWatermark("ts", s"$windowMinutes minutes")
-      .groupByKey(e => e.ts.getTime / winMs * winMs)
+      // floorDiv, not truncating /: a pre-1970 ts (negative getTime)
+      // must land in its own window, not collapse into epoch 0 — the
+      // same rule retention/funnel/driftTimeline already use
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, winMs) * winMs)
       .flatMapGroupsWithState[TrendState, Trending](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (winStart: Long, rows: Iterator[Event], state: GroupState[TrendState]) =>
@@ -439,7 +447,11 @@ object EventStream {
                                  epoch: Long, n_1h: Long, mean_1h: Double)
   final case class RollEntry(epoch: Long, eventId: Long, value: Double)
   // ascending (epoch, eventId); pruned to the trailing window each batch
-  final case class RollState(entries: List[RollEntry])
+  // sumScaled = running exact window sum in 10^-6 units (the
+  // DECIMAL(18,6) device) — maintained add-on-insert/subtract-on-evict
+  // so each epoch pays O(new + evicted), not an O(window) refold of
+  // the whole buffer (round-18 review)
+  final case class RollState(entries: List[RollEntry], sumScaled: Long)
 
   /** ROLLING TRAILING-WINDOW streaming twin (q131): per event type,
     * the trailing `windowSecs` event count and exact-decimal mean at
@@ -468,25 +480,38 @@ object EventStream {
             .map(e => RollEntry(Math.floorDiv(e.ts.getTime, 1000L), e.event_id, e.value))
             .sortBy(e => (e.epoch, e.eventId))
           val out = Seq.newBuilder[RollingUpdate]
+          // exact 10^-6 units of one value — the per-value
+          // DECIMAL(18,6) HALF_UP cast of the batch plan
+          def scaled6(v: Double): Long =
+            java.math.BigDecimal.valueOf(v)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
           var buf = state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+          // running exact sum: add on insert, subtract on evict —
+          // identical to refolding the window (long units are the
+          // decimal's unscaled value; addition is order-free) at
+          // O(new + evicted) per epoch instead of O(window)
+          var sumScaled = state.getOption.map(_.sumScaled).getOrElse(0L)
           var i = 0
           while (i < sorted.length) {
             val epoch = sorted(i).epoch
             var j = i
             while (j < sorted.length && sorted(j).epoch == epoch) j += 1
-            buf = (buf ++ sorted.slice(i, j)).dropWhile(_.epoch <= epoch - windowSecs)
+            val incoming = sorted.slice(i, j)
+            incoming.foreach(e => sumScaled += scaled6(e.value))
+            val merged = buf ++ incoming
+            val (evicted, kept) = merged.span(_.epoch <= epoch - windowSecs)
+            evicted.foreach(e => sumScaled -= scaled6(e.value))
+            buf = kept
             val n = buf.size.toLong
-            val sumDec = buf.foldLeft(java.math.BigDecimal.ZERO)((acc, e) =>
-              acc.add(java.math.BigDecimal.valueOf(e.value)
-                .setScale(6, java.math.RoundingMode.HALF_UP)))
-            val mean = java.math.BigDecimal.valueOf(sumDec.doubleValue() / n)
-              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+            val sumDouble = java.math.BigDecimal.valueOf(sumScaled, 6).doubleValue()
+            val mean = graft.util.Round9.r9(sumDouble / n)
             while (i < j) {
               out += RollingUpdate(sorted(i).eventId, typ, epoch, n, mean)
               i += 1
             }
           }
-          if (buf.nonEmpty) state.update(RollState(buf.toList))
+          if (buf.nonEmpty) state.update(RollState(buf.toList, sumScaled))
           out.result().iterator
       }
   }
@@ -522,9 +547,8 @@ object EventStream {
       val num = (prev.keySet ++ cur.keySet).toSeq.map { b =>
         (BigInt(cur.getOrElse(b, 0L)) * m - BigInt(prev.getOrElse(b, 0L)) * n).abs
       }.sum
-      (m, n, java.math.BigDecimal.valueOf(
-        num.toDouble / (m.toDouble * n.toDouble * 2.0))
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+      (m, n, graft.util.Round9.r9(
+        num.toDouble / (m.toDouble * n.toDouble * 2.0)))
     }
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[DriftState, DriftPoint](
@@ -578,6 +602,18 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    // value -> exact 10^-4 units, HALF_UP — byte-identical to the
+    // DECIMAL(18,4) cast the built-in sessionWindows sums, so the two
+    // forms agree on total_value for ANY event order and any decimal
+    // tail (round-18 review: the raw running double diverged on
+    // >4-decimal values and was order-dependent on ts ties)
+    def scaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def emit(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n,
+        java.math.BigDecimal.valueOf(s.totalScaled, 4).doubleValue())
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -587,26 +623,44 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(emit(userId, s))
           } else {
             // fold the micro-batch's events into (possibly several)
-            // sessions; emit every closed one, keep the open one in state
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            // sessions; emit every closed one, keep the open one in
+            // state. Sort by the repo's (ts, event_id) total order —
+            // ts alone left the fold order run-dependent on ties.
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                case Some(s) if t < s.start - gapMs =>
+                  // out-of-order ISLAND strictly more than a gap before
+                  // the open session: session_window keeps it a separate
+                  // (already-closed) session — it must not merge through
+                  // the open one's start. DEFENSIVE under current Spark:
+                  // the stateful operator filters rows below the
+                  // watermark, and watermark = maxSeen − gap ≥ s.start −
+                  // gap, so such rows never arrive today — but the
+                  // branch keeps the semantics right if fMGWS late-row
+                  // filtering ever loosens (it is version-dependent).
+                  closed += emit(userId, SessionState(t, t, 1,
+                    scaled(e.value)))
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.total + e.value))
+                  // math.min on start: a watermark-allowed OUT-OF-ORDER
+                  // event within a gap of the open extent can EXTEND it
+                  // backwards — session_window lowers the start the
+                  // same way (round-18 review: max-only start froze at
+                  // the first-seen event)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t),
+                    s.n + 1, s.totalScaled + scaled(e.value)))
                 case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  closed += emit(userId, s)
+                  cur = Some(SessionState(t, t, 1, scaled(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, scaled(e.value)))
               }
             }
             cur.foreach { s =>

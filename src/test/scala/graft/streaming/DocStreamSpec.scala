@@ -91,7 +91,12 @@ class DocStreamSpec extends SparkSpec {
     source.addData(rawDocs: _*)
     q.processAllAvailable()
     q.stop()
+    // passthrough contract (round-18 review): scorer columns APPEND —
+    // ts/text survive for downstream watermark/dedup stages
+    assert(spark.table("dsirgate").columns.toSet ===
+      Set("doc_id", "text", "ts", "n_tokens", "score"))
     val got = spark.table("dsirgate")
+      .select("doc_id", "n_tokens", "score")
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     val expected = graft.llm.Dsir.scoreDocs(raw, llr)
       .select(col("doc_id"), col("n_tokens"), col("score"))

@@ -73,6 +73,43 @@ class EventStreamSpec extends SparkSpec {
     assert(u200.map(_.n_events).toSeq === Seq(1, 1))
   }
 
+  test("sessionize: watermark-allowed out-of-order event extends the session backwards, decimal-exact totals") {
+    // round-18 review findings, pinned: (1) an out-of-order event
+    // (above the watermark — Spark 4 DOES filter late rows for
+    // flatMapGroupsWithState, so the frontier is the reachable window)
+    // that merges into the open session LOWERS its start
+    // (session_window semantics; the old max-only start froze at the
+    // first-seen event); (2) totals accumulate in exact DECIMAL(18,4)
+    // units like sessionWindows, so a >4-decimal value rounds half-up
+    // instead of leaking raw double digits into an order-dependent sum.
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = sessionize(source.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("sessions_ooo").outputMode("append").start()
+    source.addData(
+      Event(1, 7, "a", 1.0, ts(140)),
+      Event(2, 27, "a", 1.0, ts(1)),
+      Event(3, 27, "a", 2.0, ts(2)),
+      Event(4, 999, "sentinel", 0.0, ts(140))) // watermark -> 110
+    q.processAllAvailable()
+    // 115 >= watermark(110), 25 min before the open session's start:
+    // merges and EXTENDS it backwards; 0.00005 rounds to 0.0001 in the
+    // decimal units (old raw-double total would read 1.00005)
+    source.addData(Event(5, 7, "a", 0.00005, ts(115)))
+    q.processAllAvailable()
+    source.addData(Event(6, 999, "later", 0.0, ts(5000))) // close everything
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions_ooo").as[Session].collect()
+      .filter(_.user_id != 999).sortBy(s => (s.user_id, s.start.getTime))
+    val u7 = sessions.filter(_.user_id == 7)
+    assert(u7.map(s => (s.start, s.end, s.n_events, s.total_value)).toSeq ===
+      Seq((ts(115), ts(140), 2, 1.0001)),
+      s"out-of-order session extent/total drifted: ${u7.toSeq}")
+    val u27 = sessions.filter(_.user_id == 27)
+    assert(u27.map(s => (s.n_events, s.total_value)).toSeq === Seq((2, 3.0)))
+  }
+
   test("streaming dedup drops in-window duplicate event ids") {
     implicit val sq = spark.sqlContext
     val source = MemoryStream[Event]
