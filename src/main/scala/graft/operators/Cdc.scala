@@ -72,6 +72,14 @@ object Cdc {
     require(missing.isEmpty,
       s"key column(s) not in the snapshots: ${missing.mkString(",")} " +
         s"(have: ${old.columns.sorted.mkString(",")})")
+    // reserved output/scratch names (the AsOfJoin guard discipline —
+    // round-18 review): a snapshot "op" VALUE column would emit two
+    // columns both named op; an "op" KEY would be silently overwritten
+    // with the I/D/U marker; __ov/__nv/__v would collide with scratch
+    val reserved = Seq("op", "__ov", "__nv", "__v").filter(old.columns.contains)
+    require(reserved.isEmpty,
+      s"diff reserves column name(s) ${reserved.mkString(",")} for its " +
+        "change markers/scratch — rename them in the snapshots first")
     val valueCols = old.columns.filterNot(keys.contains).toSeq
     // keys-only snapshots are legal (membership diff): the comparison
     // payload degenerates to a constant, so "U" can never fire and the

@@ -165,8 +165,11 @@ object DistributedRank {
       .cast("int")
   }
 
-  /** Exact integer division (SQL `div`) in the Column DSL. */
-  private def idiv(a: Column, b: Column): Column =
+  /** Exact integer division (SQL `div`) in the Column DSL — shared
+    * with RangeJoin.binOf (round-18 review: a `/` there promoted to
+    * double and lost bin exactness past 2^53).
+    */
+  private[operators] def idiv(a: Column, b: Column): Column =
     ColumnShim.column(new IntegralDivide(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 

@@ -77,10 +77,16 @@ object EditDistanceJoin {
     require(k >= 1, "EditDistanceJoin.selfJoin: k must be >= 1")
     require(len > k, s"EditDistanceJoin.selfJoin: len=$len must exceed k=$k")
     require(hotThreshold >= 1, "EditDistanceJoin.selfJoin: hotThreshold must be >= 1")
-    // enforce the fixed-length contract loudly, inside the scan
+    // enforce the fixed-length contract loudly, inside the scan — with
+    // an explicit isNull arm (the IntervalJoin device): length(null)
+    // =!= len is NULL, which falls to `otherwise` and would silently
+    // drop the row through null segment keys instead of failing
+    // (round-18 review)
     val checked = df.select(col(idCol).as("__id"),
-      when(length(col(strCol)) =!= len, raise_error(concat(
-        lit(s"EditDistanceJoin: string not of length $len: "), col(strCol))))
+      when(col(strCol).isNull, raise_error(
+        lit(s"EditDistanceJoin: null string (fixed-length $len contract)")))
+        .when(length(col(strCol)) =!= len, raise_error(concat(
+          lit(s"EditDistanceJoin: string not of length $len: "), col(strCol))))
         .otherwise(col(strCol)).as("__s"))
     val bounds = (0 to k + 1).map(i => i * len / (k + 1))
     val segs = (0 to k).map(i => (i, bounds(i), bounds(i + 1) - bounds(i)))

@@ -31,7 +31,12 @@ object Expectations {
     def name = s"matches($c)"
   }
   /** `cols` must be unique across the table. Violations = extra copies
-    * (n_rows − distinct key count).
+    * among FULLY NON-NULL keys (rows with any null key column are
+    * exempt — the ANSI UNIQUE-constraint semantics; pair with NotNull
+    * to forbid them. Round-18 review: `count(*) − countDistinct` counted
+    * every null-key row as a violation, because countDistinct skips
+    * rows with any null — a 1%-null key column alerted ~1% "duplicates"
+    * on a perfectly unique table).
     */
   final case class Unique(cs: Seq[String]) extends Rule {
     def name = s"unique(${cs.mkString(",")})"
@@ -50,7 +55,12 @@ object Expectations {
         r.name -> sum(when(col(c).isNotNull && !col(c).rlike(re), 1L)
           .otherwise(0L))
       case r @ Unique(cs) =>
-        r.name -> (count(lit(1)) - countDistinct(cs.head, cs.tail: _*))
+        // both terms range over fully-non-null keys: countDistinct
+        // skips any-null rows by SQL semantics, so the row count must
+        // apply the same restriction
+        val allNN = cs.map(col(_).isNotNull).reduce(_ && _)
+        r.name -> (sum(when(allNN, 1L).otherwise(0L)) -
+          countDistinct(cs.head, cs.tail: _*))
     }
     val aggs = (count(lit(1)).as("__n") +:
       measures.zipWithIndex.map { case ((_, m), i) => m.as(s"__m$i") })

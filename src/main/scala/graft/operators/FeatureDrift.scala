@@ -54,13 +54,28 @@ object FeatureDrift {
       .localCheckpoint() // feeds both sides of the day-shift self-join
     val prev = hist.select((g :+ (col("day") + 1).as("day") :+
       col("__bin") :+ col("__c").as("__p")): _*)
-    val joined = hist.join(prev, groupCols :+ "day" :+ "__bin", "full_outer")
-      .select((g :+ col("day") :+ col("__bin") :+
-        coalesce(col("__c"), lit(0L)).as("__c") :+
-        coalesce(col("__p"), lit(0L)).as("__p")): _*)
+    // NULL-SAFE join keys (<=>), not a USING join: a null group key or
+    // null bin never equi-matches, so its rows would split into
+    // (__c, 0) and (0, __p) pairs and the numerator telescopes to
+    // 2·N·M — TVD = 1.0 exactly, a guaranteed false alarm for the null
+    // bucket (round-18 review; DistributedRank.prefix documents the
+    // same trap)
+    val keys = groupCols :+ "day" :+ "__bin"
+    val h = hist.as("h"); val p = prev.as("p")
+    val joined = h.join(p,
+        keys.map(k => col(s"h.$k") <=> col(s"p.$k")).reduce(_ && _),
+        "full_outer")
+      .select((keys.map(k => coalesce(col(s"h.$k"), col(s"p.$k")).as(k)) :+
+        coalesce(col("h.__c"), lit(0L)).as("__c") :+
+        coalesce(col("p.__p"), lit(0L)).as("__p")): _*)
     val totals = joined.groupBy((g :+ col("day")): _*)
       .agg(sum(col("__c")).as("n_cur"), sum(col("__p")).as("n_prev"))
-    joined.join(totals, groupCols :+ "day")
+    val tkeys = groupCols :+ "day"
+    val j2 = joined.as("j"); val t2 = totals.as("t")
+    j2.join(t2, tkeys.map(k => col(s"j.$k") <=> col(s"t.$k")).reduce(_ && _))
+      .select((tkeys.map(k => col(s"j.$k").as(k)) :+ col("j.__bin") :+
+        col("j.__c").as("__c") :+ col("j.__p").as("__p") :+
+        col("t.n_cur").as("n_cur") :+ col("t.n_prev").as("n_prev")): _*)
       .filter(col("n_cur") > 0 && col("n_prev") > 0) // boundary days out
       .groupBy((g :+ col("day")): _*)
       .agg(first(col("n_prev")).as("n_prev"), first(col("n_cur")).as("n_cur"),
@@ -88,15 +103,25 @@ object FeatureDrift {
     val b = binned(batch, "__nb")
     // the joined bin table feeds BOTH the totals re-agg and the final
     // fold — checkpoint it (metadata-sized: groups × bins) so the two
-    // consumers don't each re-scan the corpus through the agg subtrees
-    val joined = t.join(b, groupCols :+ "__bin", "full_outer")
-      .select((g :+ col("__bin") :+
+    // consumers don't each re-scan the corpus through the agg subtrees.
+    // NULL-SAFE keys (<=>), not a USING join — see tvdTimeline: a null
+    // group/bin would otherwise telescope to a false TVD = 1.0.
+    val keys = groupCols :+ "__bin"
+    val joined = t.join(b,
+        keys.map(k => t(k) <=> b(k)).reduce(_ && _), "full_outer")
+      .select((keys.map(k => coalesce(t(k), b(k)).as(k)) :+
         coalesce(col("__nt"), lit(0L)).as("__nt") :+
         coalesce(col("__nb"), lit(0L)).as("__nb")): _*)
       .localCheckpoint()
     val totals = joined.groupBy(g: _*)
       .agg(sum(col("__nt")).as("n_train"), sum(col("__nb")).as("n_new"))
-    joined.join(totals, groupCols)
+    val j2 = joined.as("j"); val t2 = totals.as("t")
+    j2.join(t2,
+        groupCols.map(k => col(s"j.$k") <=> col(s"t.$k")).reduce(_ && _))
+      .select((groupCols.map(k => col(s"j.$k").as(k)) :+
+        col("j.__bin") :+ col("j.__nt").as("__nt") :+
+        col("j.__nb").as("__nb") :+ col("t.n_train").as("n_train") :+
+        col("t.n_new").as("n_new")): _*)
       .groupBy(g: _*)
       .agg(first(col("n_train")).as("n_train"), first(col("n_new")).as("n_new"),
         sum(abs(col("__nb") * col("n_train") - col("__nt") * col("n_new"))

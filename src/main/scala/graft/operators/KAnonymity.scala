@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm (iterative local recoding over bucket widths):
   * for each width w in the ascending ladder, bucket the numeric
-  * quasi-identifier to `value div w · w`, count cells OVER THE ROWS
+  * quasi-identifier to its FLOOR multiple `value − pmod(value, w)`
+  * (floor, not `div`'s truncate-toward-zero: a negative value — a
+  * balance, a temperature — must release a `[bucket_lo, bucket_lo+w)`
+  * label that actually CONTAINS it, and DuckDB's `//` floors, so
+  * floor is also the cross-engine agreement; round-18 review), count
+  * cells OVER THE ROWS
   * STILL UNRELEASED, release the rows of ≥ k cells at this width, and
   * carry the rest to the next (coarser) width. Rows still sub-k after
   * the coarsest width are SUPPRESSED (dropped). Counting over the
@@ -85,7 +90,7 @@ object KAnonymity {
     for (((w, stars), i) <- rungs.zipWithIndex) {
       val generalized = stars.foldLeft(remaining)((d, c) => d.withColumn(c, lit("*")))
       val withCell = generalized.withColumn("__cell",
-        expr(s"$valueCol div ${w}L * ${w}L").cast("long"))
+        expr(s"$valueCol - pmod($valueCol, ${w}L)").cast("long"))
       val counts = withCell.groupBy((q :+ col("__cell")): _*)
         .agg(count(lit(1)).as("__n"))
       // broadcast only driver-small cell tables; the count is itself a

@@ -57,7 +57,13 @@ object QuantileSketch {
                 lo: Double, hi: Double, bins: Int = 256): DataFrame = {
     val bin = binExpr(col(valueCol), lo, hi, bins)
     val keyCols = groupCols.map(col) :+ col(bucketName)
-    df.select((groupCols.map(col) :+ bucketExpr.as(bucketName) :+
+    // null values are EXCLUDED, the ExactQuantile convention — without
+    // the filter, floor(null-lo/w) is null and Spark's null-skipping
+    // greatest(null, 0) silently lands every null row in bin 0 as a
+    // lo-valued observation, shifting all merged percentiles low
+    // (round-18 review); NaN stays the documented clamp-to-top edge
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ bucketExpr.as(bucketName) :+
         bin.as("__bin")): _*)
       .groupBy((keyCols :+ col("__bin")): _*)
       .agg(count(lit(1)).as("__cnt"))

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** exact floor division of a long column (pmod keeps it floor, not
-    * truncate-toward-zero, for pre-epoch timestamps) */
+    * truncate-toward-zero, for pre-epoch timestamps; the final divide
+    * is INTEGRAL `div` — `/` promotes to double and loses exactness
+    * past 2^53, where a one-ulp rounding of the numerator can shift a
+    * point one bin off and silently drop a contained pair — round-18
+    * review; the numerator is an exact multiple of w, so div ≡ floor) */
   private def binOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    DistributedRank.idiv(c - pmod(c, lit(w)), lit(w))
 
   /** Inner join of `points` rows onto the `intervals` rows whose
     * `[startCol, endCol]` (inclusive) contains `ptCol`. All columns of

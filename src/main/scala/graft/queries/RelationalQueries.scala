@@ -1673,7 +1673,10 @@ object RelationalQueries {
       val t = Tables(s, dir)
       t.documents
         .select(col("lang"), col("source"),
-          expr("n_chars div 100 * 100").as("size_bucket"))
+          // floor multiple (matches DuckDB's flooring `//` and the
+          // KAnonymity.enforce device — `div` truncates toward zero
+          // and would mislabel negative quasi values)
+          expr("n_chars - pmod(n_chars, 100)").as("size_bucket"))
         .groupBy(col("lang"), col("source"), col("size_bucket"))
         .agg(count(lit(1)).as("n"))
         .filter(col("n") < 5)
@@ -2532,11 +2535,14 @@ object RelationalQueries {
            n_rows FROM n
          UNION ALL
          SELECT 'unique(l_orderkey,l_linenumber)',
-           (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+           (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
            n_rows FROM n
          UNION ALL
          SELECT 'unique(l_orderkey)',
-           (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem),
+           (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey) FROM lineitem
+            WHERE l_orderkey IS NOT NULL),
            n_rows FROM n""",
     // CDC twin: the same change batch, latest-seq compaction, delete
     // filter, and key anti-join.

@@ -135,6 +135,9 @@ object EventStream {
                       watermarkDelay: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
+      // null values excluded — the QuantileSketch.histogram convention
+      // (a null would otherwise clamp into bin 0 as a lo-valued row)
+      .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), s"$windowMinutes minutes").as("win"),
         col("event_type"),
         graft.operators.QuantileSketch.binExpr(col("value"), lo, hi, bins).as("bin"))

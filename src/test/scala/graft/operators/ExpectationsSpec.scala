@@ -34,6 +34,28 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("unique(k)") === ((1L, 4L)))
   }
 
+  test("Unique: null keys are exempt (ANSI UNIQUE semantics), duplicates still count") {
+    // round-18 review: count(*) − countDistinct counted every null-key
+    // row as a violation (countDistinct skips any-null rows) — a table
+    // with unique non-null keys plus nulls must report 0
+    val d = Seq(Some(1L), Some(2L), None, None)
+      .toDF("k")
+    val got = check(d, Seq(Unique(Seq("k"))))
+      .as[(String, Long, Long)].collect().head
+    assert(got === (("unique(k)", 0L, 4L)), s"null keys counted: $got")
+    // a genuine duplicate among non-null keys still counts, nulls still exempt
+    val d2 = Seq(Some(1L), Some(1L), None).toDF("k")
+    val got2 = check(d2, Seq(Unique(Seq("k"))))
+      .as[(String, Long, Long)].collect().head
+    assert(got2 === (("unique(k)", 1L, 3L)))
+    // multi-column: a null in ANY key column exempts the row
+    val d3 = Seq((Some(1L), Some(1L)), (Some(1L), None), (Some(1L), Some(1L)))
+      .toDF("a", "b")
+    val got3 = check(d3, Seq(Unique(Seq("a", "b"))))
+      .as[(String, Long, Long)].collect().head
+    assert(got3 === (("unique(a,b)", 1L, 3L)))
+  }
+
   test("the whole report is one aggregate pass: a single scan in the plan") {
     val plan = check(df, Seq(NotNull("v"), InRange("v", 0.0, 10.0),
         Matches("s", "x"), Unique(Seq("k"))))

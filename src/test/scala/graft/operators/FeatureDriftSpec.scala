@@ -48,6 +48,24 @@ class FeatureDriftSpec extends SparkSpec {
     assert(g2("x") == ((2L, 3L, want)))
   }
 
+  test("null group keys and null values drift-compare like any other bucket") {
+    // round-18 review: the USING full-outer join never equi-matched
+    // null keys, so a null group (or the null-value bin) split into
+    // one-sided rows and telescoped to a guaranteed-false TVD = 1.0.
+    // Identical null-group distributions must report 0.
+    val tr = Seq((Option.empty[String], Some(1.0)),
+      (None, Some(2.0)), (Some("a"), Some(1.0)), (Some("a"), None))
+    val bt = Seq((Option.empty[String], Some(1.0)),
+      (None, Some(2.0)), (Some("a"), Some(1.0)), (Some("a"), None))
+    val got = FeatureDrift.tvd(tr.toDF("g", "v"), bt.toDF("g", "v"),
+        Seq("g"), "v", 10.0)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(None) === ((2L, 2L, 0.0)), s"null group false-alarmed: $got")
+    assert(got(Some("a")) === ((2L, 2L, 0.0)),
+      s"null-value bin false-alarmed: $got")
+  }
+
   test("deterministic under partitioning") {
     val rng = new scala.util.Random(7)
     val tr = (0 until 500).map(_ => (s"g${rng.nextInt(3)}", rng.nextDouble() * 100))

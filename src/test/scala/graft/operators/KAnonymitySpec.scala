@@ -53,6 +53,22 @@ class KAnonymitySpec extends SparkSpec {
     assert(out.collect().map(_.toSeq).toSet === b)
   }
 
+  test("negative quasi values: released bucket CONTAINS the value (floor, not truncate)") {
+    // round-18 review: `div` truncates toward zero, so -15 bucketed at
+    // width 10 claimed [-10, 0) — an interval that excludes it — and
+    // values -9..9 collapsed into one 19-wide cell labeled width 10.
+    // Floor bucketing puts -15 in [-20, -10) and keeps cells honest.
+    val neg = (0 until 6).map(i => (i.toLong, "en", "web", -15L - i)) ++ // all in [-20,-10)
+      (0 until 6).map(i => (50L + i, "en", "web", 5L + i % 5))           // all in [0,10)
+    val rel = KAnonymity.enforce(neg.toDF("doc_id", "lang", "source", "n_chars"),
+      Seq("lang", "source"), "n_chars", widths = Seq(10L, 50L), k = 5L)
+    val bad = rel.filter(col("n_chars") < col("bucket_lo") ||
+      col("n_chars") >= col("bucket_lo") + col("bucket_width"))
+    assert(bad.count() === 0L,
+      s"released interval excludes its value:\n${rel.collect().mkString("\n")}")
+    assert(rel.count() === 12L) // both bands qualify at some rung
+  }
+
   test("starLadder releases rows pure suppression would drop, at the right rung") {
     // zh/api (rows 200..202, values 10000/13000/16000) dies in every
     // numeric rung; four more sub-k zh groups land in the [10000,12000)

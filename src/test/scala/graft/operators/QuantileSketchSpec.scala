@@ -40,6 +40,24 @@ class QuantileSketchSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("null values are excluded, not counted as lo-valued bin-0 rows") {
+    // round-18 review: floor(null−lo/w) is null and Spark's
+    // null-skipping greatest(null, 0) clamped every null row into
+    // bin 0, shifting all merged percentiles low. Nulls must not
+    // contribute at all — the ExactQuantile convention.
+    val clean = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", Some(30.0)))
+    val withNulls = clean ++ Seq(("a", Option.empty[Double]),
+      ("a", Option.empty[Double]))
+    def p50(rows: Seq[(String, Option[Double])]) = asMap(
+      QuantileSketch.percentiles(
+        QuantileSketch.histogram(rows.toDF("g", "value"), "value",
+          Seq("g"), lit(0), "all", 0.0, 40.0, 8),
+        Seq("g"), Seq("p50" -> 0.5, "p90" -> 0.9), 0.0, 40.0, 8))
+    val a = p50(clean); val b = p50(withNulls)
+    assert(a === b, s"nulls moved the sketch: clean=$a withNulls=$b")
+    assert(a("a")._3 === 3L, "n must count only non-null values")
+  }
+
   test("sketch table round-trips through parquet unchanged") {
     val daily = QuantileSketch.histogram(events, "value", Seq("event_type"),
       col("day"), "day", lo, hi, bins)
