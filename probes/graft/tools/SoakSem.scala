@@ -42,7 +42,7 @@ object SoakSem {
 
     val k = 256 // cells of ~n/k ≈ 400 rows: the SemDeDup operating point
     def pairs = graft.llm.Similarity.semanticPairs(corpus, tau = 0.9,
-      k = k, iters = 2, trainFraction = 0.25, dim = dim)
+      k = k, iters = 2, trainFraction = 0.25)
     val plan = pairs.queryExecution.executedPlan.toString.split("\n")
     val broadcasts = plan.count(_.contains("BroadcastExchange"))
     val shuffles = plan.count(_.contains("Exchange")) - broadcasts

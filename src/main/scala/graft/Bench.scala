@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
   * query on SPARK_GRAFT_SF_DIR. Detail lines (name map, raw run
@@ -68,26 +67,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.maxPlanStringLength", "262144")
-      .config("spark.ui.enabled", "false")
-      // managed tables (q42's bucketed layout) land in a per-process tmp
-      // dir (cleaned on exit), so a prior run's warehouse can never
-      // collide with this one
-      // cached layouts must keep advertising their partitioning (the
-      // PageRankFixed edge layout plans zero-exchange src-joins against
-      // its cache); AQE-inside-InMemoryRelation would hide it behind an
-      // unknown-partitioning adaptive root
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "false")
-      .config("spark.sql.warehouse.dir",
-        TempWarehouse.dir("graft-warehouse-bench"))
-      .getOrCreate()
+    // the shared factory — one config block for tests/Verify/Bench, so
+    // Bench measures exactly the engine configuration Verify verifies
+    val spark = GraftSession.local(cpus.toInt, "graft-bench",
+      warehousePrefix = "graft-warehouse-bench")
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up: run EVERY query once at sf0.001 (uncounted)
     // so no measured run absorbs classloading, parquet footer reads, or

@@ -47,8 +47,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table("events")
     val adapted = raw.schema("ts").dataType match {
-      // TIMESTAMP(NANOS) surfaced as a long (nanosAsLong): floor to micros.
-      case LongType         => timestamp_micros(expr("ts div 1000"))
+      // TIMESTAMP(NANOS) surfaced as a long (nanosAsLong): floor to
+      // micros. `div` alone truncates toward zero — a pre-epoch nano
+      // value would round UP a microsecond; subtracting the nonneg
+      // pmod first makes the numerator an exact multiple, so div ≡
+      // floor (the KAnonymity/RangeJoin bucket device).
+      case LongType         => timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000"))
       // timestamp[us] isAdjustedToUTC=false: session is pinned UTC above,
       // so the NTZ→TZ cast is value-identical.
       case TimestampNTZType => col("ts").cast(TimestampType)
@@ -87,8 +91,20 @@ object Tables {
       if (f.isDirectory) Option(f.listFiles).iterator.flatten.flatMap(walk)
       else Iterator.single(f)
     val files = walk(new java.io.File(dir)).toVector
-    val maxM = if (files.isEmpty) 0L else files.map(_.lastModified).max
-    s"${files.size}:$maxM"
+    // fold every (path, length, mtime) into the key — count + max
+    // mtime alone missed a same-file-count regen landing inside the
+    // FS timestamp granularity (1-2 s on some filesystems), which is
+    // exactly the staleness this fingerprint exists to catch; a regen
+    // identical in every path, size AND mtime is indistinguishable,
+    // and with the deterministic driver generator also identical data
+    var h = 1125899906842597L
+    files.map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+      .foreach { case (p, len, m) =>
+        h = h * 31 + p.hashCode
+        h = h * 31 + len
+        h = h * 31 + m
+      }
+    s"${files.size}:$h"
   }
 
   /** `corpusFingerprint` folded to 8 hex chars — for cache keys that
@@ -128,12 +144,17 @@ object TempWarehouse {
 }
 
 object GraftSession {
-  /** Session factory used by tests and ad-hoc mains (Verify/Bench build
-    * their own per the driver contract). local[32] stand-in for a real
-    * cluster: shuffle partitions sized to cores, AQE on for runtime
-    * re-planning (skew joins, partition coalescing at scale).
+  /** The ONE session factory — tests, ad-hoc mains, AND the Verify /
+    * Bench driver-contract mains (their builders had already drifted
+    * once: Verify lost `adaptive.enabled`, benign only because Spark 4
+    * defaults it on; the next legacy flag would not be). local[N]
+    * stand-in for a real cluster: shuffle partitions sized to cores,
+    * AQE on for runtime re-planning (skew joins, partition coalescing
+    * at scale). `warehousePrefix` keeps each main's managed tables
+    * (q42's bucketed layout) in its own per-process tmp dir.
     */
-  def local(cores: Int = 4, app: String = "graft"): SparkSession =
+  def local(cores: Int = 4, app: String = "graft",
+            warehousePrefix: String = "graft-warehouse"): SparkSession =
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(app)
@@ -155,6 +176,6 @@ object GraftSession {
       // unknown-partitioning adaptive root
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "false")
-      .config("spark.sql.warehouse.dir", TempWarehouse.dir("graft-warehouse"))
+      .config("spark.sql.warehouse.dir", TempWarehouse.dir(warehousePrefix))
       .getOrCreate()
 }

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,25 +10,10 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.maxPlanStringLength", "262144")
-      .config("spark.ui.enabled", "false")
-      // managed tables (q42's bucketed layout) land in a per-process tmp
-      // dir (cleaned on exit), so a prior run's warehouse can never
-      // collide with this one
-      // cached layouts must keep advertising their partitioning (the
-      // PageRankFixed edge layout plans zero-exchange src-joins against
-      // its cache); AQE-inside-InMemoryRelation would hide it behind an
-      // unknown-partitioning adaptive root
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "false")
-      .config("spark.sql.warehouse.dir",
-        TempWarehouse.dir("graft-warehouse-verify"))
-      .getOrCreate()
+    // the shared factory — one config block for tests/Verify/Bench, so
+    // a tuning flag can no longer land in one main and not the others
+    val spark = GraftSession.local(cpus.toInt, "graft-verify",
+      warehousePrefix = "graft-warehouse-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // fixture-reading oracles must point at THIS sf's fixtures (the

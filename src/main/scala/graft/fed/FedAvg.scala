@@ -56,6 +56,9 @@ object FedAvg {
     w.map(t => (t.layer, t.shape, new Array[Double](t.values.length)))
 
   private def axpy(acc: Acc, a: Double, w: Weights): Acc = {
+    // zip TRUNCATES silently — reject a differing layer count before it
+    require(acc.length == w.length,
+      s"layer count mismatch in FedAvg: ${acc.length} vs ${w.length}")
     acc.zip(w).map { case ((l, s, av), t) =>
       require(l == t.layer && s == t.shape,
         s"layer/shape mismatch in FedAvg: ($l,$s) vs (${t.layer},${t.shape})")
@@ -65,12 +68,22 @@ object FedAvg {
     }
   }
 
-  private def addInPlace(a: Acc, b: Acc): Acc =
-    a.zip(b).map { case ((l, s, av), (_, _, bv)) =>
+  // the tree path's cross-CLIENT check: axpy above only ever compares a
+  // client against its own zeroLike there, so without this a stale
+  // client with extra layers was silently dropped mid-treeReduce (and
+  // one with fewer crashed far from the cause) — breaking the
+  // documented fold ≡ tree equivalence, whose fold side rejects loudly
+  private def addInPlace(a: Acc, b: Acc): Acc = {
+    require(a.length == b.length,
+      s"layer count mismatch in FedAvg: ${a.length} vs ${b.length}")
+    a.zip(b).map { case ((l, s, av), (bl, bs, bv)) =>
+      require(l == bl && s == bs,
+        s"layer/shape mismatch in FedAvg: ($l,$s) vs ($bl,$bs)")
       var i = 0
       while (i < av.length) { av(i) += bv(i); i += 1 }
       (l, s, av)
     }
+  }
 
   private def finalize_(acc: Acc, totalN: Double): Weights =
     acc.map { case (l, s, av) =>

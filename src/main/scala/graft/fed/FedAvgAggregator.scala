@@ -47,6 +47,10 @@ object FedAvgAggregator
 
   def reduce(b: Buf, in: (Long, Seq[LayerTensor])): Buf = {
     val (n, w) = in
+    // an empty weight list would leave the buffer in its "zero"
+    // empty-template state while tn accumulated — merge would then
+    // discard that buffer's example count entirely
+    require(w.nonEmpty, "client update with an empty weight list")
     val (tn, tmpl, acc0) = b
     val (shapes, acc) =
       if (tmpl.isEmpty) (w.map(t => (t.layer, t.shape)), newAcc(w))
@@ -54,6 +58,9 @@ object FedAvgAggregator
     require(shapes.length == w.length, "client weight arity mismatch")
     var l = 0
     while (l < w.length) {
+      require(shapes(l) == ((w(l).layer, w(l).shape)),
+        s"client layer/shape mismatch at layer $l: " +
+          s"got (${w(l).layer},${w(l).shape}), expected ${shapes(l)}")
       require(w(l).values.length == acc(l).length,
         s"client weight length mismatch at layer $l: " +
           s"got ${w(l).values.length} values, expected ${acc(l).length}")
@@ -68,7 +75,13 @@ object FedAvgAggregator
     else if (b._2.isEmpty) a
     else {
       val (an, shapes, aa) = a
-      val (bn, _, ba) = b
+      val (bn, bShapes, ba) = b
+      // reduce only validates clients against the template FIRST SEEN
+      // in their own partition — two partitions that saw different
+      // architectures must collide HERE, not silently truncate or
+      // crash mid-sum
+      require(shapes == bShapes,
+        s"partition template mismatch in FedAvg merge: $shapes vs $bShapes")
       var l = 0
       while (l < aa.length) {
         val x = aa(l); val y = ba(l)

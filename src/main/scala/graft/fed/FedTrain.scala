@@ -81,9 +81,13 @@ object FedTrain {
       val m = MergePipeline.merge(spark, storeDir, storeDir, graphId, pid)
       val g = PropertyGraph(m.nodes, m.edges).cache()
       try {
-        val cost = MemCost.ramGB(g.numNodes, g.numEdges)
         val ref = BundleIO.write(spark, s"$outDir/bundles", s"${graphId}_$pid", g,
           seed = hp.seed)
+        // bill the partition's REAL feature width — the cost model's
+        // nFeatures default is Cora's 1433, which under-admits any
+        // wider-featured graph straight into the OOM this budget exists
+        // to prevent
+        val cost = MemCost.ramGB(g.numNodes, g.numEdges, ref.numFeatures)
         (ref, cost)
       } finally g.unpersist()
     }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** True iff ANY element of a string array is in a BROADCAST string
   * set — the membership-probe sibling of [[HashedMarginNano]] (same
@@ -36,17 +37,38 @@ case class AnyInBroadcastSet(child: Expression,
 
   override def dataType: DataType = BooleanType
 
+  /** The broadcast set re-keyed by UTF8String, built lazily per
+    * deserialized expression instance (the [[WordHits]] idiom): the
+    * old probe decoded every array element to java.lang.String per
+    * ROW just to test membership; this probes the scan's UTF8String
+    * zero-copy. The one-time rebuild cost is |set| inserts per task —
+    * noise against per-row decode at production bench-set sizes.
+    */
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val v = set.value
+    val s = new java.util.HashSet[UTF8String](v.size * 2)
+    v.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
   override def nullSafeEval(input: Any): Any =
-    AnyInBroadcastSet.probe(input.asInstanceOf[ArrayData], set.value)
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and codegen: one hash probe per non-null element. */
+  def compute(arr: ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && utf8Set.contains(arr.getUTF8String(i)))
+        return true
+      i += 1
+    }
+    false
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bc = ctx.addReferenceObj("anyInSetBc", set,
-      classOf[Broadcast[scala.collection.immutable.Set[String]]].getName)
-    // the companion CASE CLASS suppresses static forwarders, so the
-    // generated Java calls the object through MODULE$
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.AnyInBroadcastSet$$.MODULE$$.probe($c,
-         |  (scala.collection.immutable.Set) $bc.value());""".stripMargin)
+    val ref = ctx.addReferenceObj("anyInSet", this, classOf[AnyInBroadcastSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): AnyInBroadcastSet =
@@ -56,18 +78,6 @@ case class AnyInBroadcastSet(child: Expression,
 }
 
 object AnyInBroadcastSet {
-  /** Shared by eval and codegen: one hash probe per non-null element. */
-  def probe(arr: ArrayData, set: scala.collection.immutable.Set[String]): Boolean = {
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i).toString))
-        return true
-      i += 1
-    }
-    false
-  }
-
   /** Column-level API over a broadcast set. */
   def apply(arr: Column, set: Broadcast[scala.collection.immutable.Set[String]]): Column =
     ColumnShim.column(AnyInBroadcastSet(ColumnShim.expression(arr), set))

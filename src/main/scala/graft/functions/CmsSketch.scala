@@ -30,48 +30,23 @@ import org.apache.spark.util.sketch.CountMinSketch
 case class CmsMergeAgg(child: Expression,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[CountMinSketch] with UnaryLike[Expression] {
+    extends SketchMergeAgg[CountMinSketch] {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"cms_merge takes the BINARY output of count_min_sketch, got ${other.simpleString}")
+  override protected def producerName: String = "count_min_sketch"
+
+  override protected def readSketch(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+
+  override protected def writeSketch(sketch: CountMinSketch): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    sketch.writeTo(out)
+    out.toByteArray
   }
 
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  override def createAggregationBuffer(): CountMinSketch = null
-
-  override def update(buffer: CountMinSketch, input: InternalRow): CountMinSketch = {
-    val v = child.eval(input)
-    if (v == null) buffer
-    else {
-      val s = CountMinSketch.readFrom(
-        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
-      if (buffer == null) s else { buffer.mergeInPlace(s); buffer }
-    }
+  override protected def mergeInto(acc: CountMinSketch,
+                                   other: CountMinSketch): CountMinSketch = {
+    acc.mergeInPlace(other); acc
   }
-
-  override def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch =
-    if (b1 == null) b2
-    else if (b2 == null) b1
-    else { b1.mergeInPlace(b2); b1 }
-
-  override def eval(buffer: CountMinSketch): Any =
-    if (buffer == null) null else serialize(buffer)
-
-  override def serialize(buffer: CountMinSketch): Array[Byte] =
-    if (buffer == null) Array.emptyByteArray
-    else {
-      val out = new ByteArrayOutputStream()
-      buffer.writeTo(out)
-      out.toByteArray
-    }
-
-  override def deserialize(bytes: Array[Byte]): CountMinSketch =
-    if (bytes.isEmpty) null
-    else CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -39,8 +39,21 @@ object HllSparse {
   val DefaultP = 12
   private val HashSeed = 42L
 
+  /** Valid register-count exponents: p ≥ 7 keeps the α constant's
+    * m ≥ 128 validity floor; p ≤ 24 caps a dense sketch at 16 MB (and
+    * keeps `p.toByte` serialization lossless). Outside this band the
+    * old code failed FAR from the caller — p = 31 allocated a negative
+    * array size at the 4097th distinct value, p ≥ 32 wrapped the shift
+    * and silently corrupted every estimate.
+    */
+  val MinP = 7
+  val MaxP = 24
+
   /** Mutable aggregation buffer: `set == null` means dense. */
   final class Buf(val tau: Int, val p: Int) {
+    require(p >= MinP && p <= MaxP,
+      s"hll_sparse: p must be in [$MinP, $MaxP], got $p")
+    require(tau >= 0, s"hll_sparse: tau must be >= 0, got $tau")
     var set: java.util.TreeSet[java.lang.Long] = new java.util.TreeSet[java.lang.Long]()
     var regs: Array[Byte] = _
 
@@ -146,6 +159,11 @@ case class HllSparseAgg(child: Expression,
     extends TypedImperativeAggregate[HllSparse.Buf] with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if p < HllSparse.MinP || p > HllSparse.MaxP =>
+      TypeCheckResult.TypeCheckFailure(
+        s"hll_sparse_agg: p must be in [${HllSparse.MinP}, ${HllSparse.MaxP}], got $p")
+    case LongType if tau < 0 =>
+      TypeCheckResult.TypeCheckFailure(s"hll_sparse_agg: tau must be >= 0, got $tau")
     case LongType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"hll_sparse_agg takes BIGINT, got ${other.simpleString}")
@@ -195,41 +213,20 @@ object HllSparseAgg {
 case class HllSparseMergeAgg(child: Expression,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[HllSparse.Buf] with UnaryLike[Expression] {
+    extends SketchMergeAgg[HllSparse.Buf] {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"hll_sparse_merge takes the BINARY output of hll_sparse_agg, got ${other.simpleString}")
+  override protected def producerName: String = "hll_sparse_agg"
+
+  override protected def readSketch(bytes: Array[Byte]): HllSparse.Buf =
+    HllSparse.deserialize(bytes)
+
+  override protected def writeSketch(sketch: HllSparse.Buf): Array[Byte] =
+    sketch.serialize
+
+  override protected def mergeInto(acc: HllSparse.Buf,
+                                   other: HllSparse.Buf): HllSparse.Buf = {
+    acc.mergeIn(other); acc
   }
-
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-
-  override def createAggregationBuffer(): HllSparse.Buf = null
-
-  override def update(buffer: HllSparse.Buf, input: InternalRow): HllSparse.Buf = {
-    val v = child.eval(input)
-    if (v == null) buffer
-    else {
-      val s = HllSparse.deserialize(v.asInstanceOf[Array[Byte]])
-      if (buffer == null) s else { buffer.mergeIn(s); buffer }
-    }
-  }
-
-  override def merge(b1: HllSparse.Buf, b2: HllSparse.Buf): HllSparse.Buf =
-    if (b1 == null) b2
-    else if (b2 == null) b1
-    else { b1.mergeIn(b2); b1 }
-
-  override def eval(buffer: HllSparse.Buf): Any =
-    if (buffer == null) null else buffer.serialize
-
-  override def serialize(buffer: HllSparse.Buf): Array[Byte] =
-    if (buffer == null) Array.emptyByteArray else buffer.serialize
-
-  override def deserialize(bytes: Array[Byte]): HllSparse.Buf =
-    if (bytes.isEmpty) null else HllSparse.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllSparseMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

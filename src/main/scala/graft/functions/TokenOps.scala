@@ -42,17 +42,20 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     if (m <= 0) return WordShingles.Empty
     val space = UTF8String.fromString(" ")
     val out = new Array[UTF8String](m)
+    // ONE window buffer reused across positions (concatWs is a Java
+    // varargs method, so the array passes through uncopied): null
+    // slots stay null and concatWs SKIPS them — exactly the
+    // concat_ws drop-nulls contract — where the old loop allocated an
+    // ArrayList plus a toArray copy per shingle position
+    val buf = new Array[UTF8String](n)
     var i = 0
     while (i < m) {
-      // concat_ws semantics: null elements are dropped, separator only
-      // between the non-null survivors
-      val parts = new java.util.ArrayList[UTF8String](n)
       var j = 0
       while (j < n) {
-        if (!arr.isNullAt(i + j)) parts.add(arr.getUTF8String(i + j))
+        buf(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
         j += 1
       }
-      out(i) = UTF8String.concatWs(space, parts.toArray(new Array[UTF8String](parts.size())): _*)
+      out(i) = UTF8String.concatWs(space, buf: _*)
       i += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])

@@ -23,10 +23,19 @@ import org.apache.spark.sql.types._
   * element pair is widened to Double and accumulated LEFT TO RIGHT, so
   * results are bit-equal with the previous formulation (and with the
   * DuckDB oracle's list_dot_product over DOUBLE[]). Shorter input wins
-  * when lengths differ; null in → null out.
+  * when lengths differ; null in → null out — including a null ELEMENT
+  * anywhere in the overlapped prefix (`zip_with`'s `_*_` yields null
+  * there and `aggregate`'s `_+_` propagates it; the pre-round-18 eval
+  * read the zeroed slot and silently returned a wrong non-null sum).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // a null ELEMENT nulls the result even when both array columns are
+  // non-nullable — without this override codegen would inline
+  // `ev.isNull` as the constant false and the element guard could
+  // not fire
+  override def nullable: Boolean = true
 
   private def okType(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -52,6 +61,7 @@ case class VecDot(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       sum += xv * yv
@@ -72,6 +82,7 @@ case class VecDot(left: Expression, right: Expression)
          |if ($b.numElements() < $n) $n = $b.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += (double)$a.$lGet($i) * (double)$b.$rGet($i);
          |}
          |${ev.value} = $sum;

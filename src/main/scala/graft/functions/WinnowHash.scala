@@ -206,12 +206,9 @@ object WinnowHash {
       "winnow_hash",
       exprs => {
         require(exprs.length == 3, s"winnow_hash takes 3 arguments, got ${exprs.length}")
-        def intLit(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_hash $name must be an INT literal, got $other")
-        }
-        WinnowHash(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+        WinnowHash(exprs(0),
+          graft.GraftExtensions.intLit(exprs(1), "winnow_hash k"),
+          graft.GraftExtensions.intLit(exprs(2), "winnow_hash w"))
       },
       "built-in")
 }

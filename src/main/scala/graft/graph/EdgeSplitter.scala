@@ -120,6 +120,18 @@ object EdgeSplitter {
       }
     }
 
+    // The documented contract is EXACTLY ⌊p·|E|⌋ positives; a
+    // bridge-heavy graph (star/tree: every edge disconnects) or an
+    // exhausted round budget can strand the loop short — surface that
+    // LOUDLY (the reference splitter raises here too) instead of
+    // returning a silently smaller, possibly EMPTY, example set that
+    // trains an untrained model downstream.
+    if (acceptedCount < k)
+      throw new IllegalStateException(
+        s"EdgeSplitter: only $acceptedCount of $k requested positive edges " +
+          s"could be removed without disconnecting components after $rounds " +
+          s"round(s); the graph is too bridge-heavy for p=$p (lower p or " +
+          "raise maxRounds)")
     val pos = accepted.select(col("source"), col("target"), col("__dup"))
     // The split is an iterative product (anti-joins + CC per round): cut
     // the lineage here, like Pregel's periodic checkpointing, so
@@ -151,26 +163,52 @@ object EdgeSplitter {
     val count = idx.count()
     require(count >= 2, "need at least 2 nodes for negative sampling")
     // enough offsets that n negatives survive the anti-join whp
-    val nOffsets = math.max(2L, (2L * n) / count + 2L).toInt
-    val rng = new scala.util.Random(seed)
-    val offsets = Iterator.continually(1L + rng.nextLong().abs % (count - 1))
-      .distinct.take(math.min(nOffsets.toLong, count - 1).toInt).toSeq
-    val shifted = offsets.map { o =>
-      idx.select(col("id").as("source"),
-        pmod(col("idx") + lit(o), lit(count)).as("__pidx"))
-        .join(idx.withColumnRenamed("idx", "__pidx").withColumnRenamed("id", "target"), Seq("__pidx"))
-        .select("source", "target")
-    }.reduce(_ unionByName _)
+    val nOffsets = math.min(math.max(2L, (2L * n) / count + 2L), count - 1).toInt
     val edgesBoth = g.symmetrizedEdges
       .select(col("id").as("source"), col("nbr").as("target"))
-    val pool = shifted
-      .filter(col("source") =!= col("target"))
-      .join(edgesBoth, Seq("source", "target"), "left_anti")
-      .dropDuplicates("source", "target")
-      .withColumn("__nr", xxhash64(lit(seed + 1), col("source"), col("target")))
-    graft.operators.TopK.smallestBy(pool, "__nr", Seq("source", "target"),
-        n, exactTopKCutoff)
-      .select(col("source"), col("target"), lit(0).as("label"))
+
+    // one ranked candidate pool from `nOff` seeded ring offsets; the
+    // offset stream is a fixed iterator from `seed`, so a WIDER take
+    // yields a SUPERSET of candidates (retry below stays deterministic)
+    def attempt(nOff: Int): DataFrame = {
+      val rng = new scala.util.Random(seed)
+      val offsets = Iterator.continually(1L + rng.nextLong().abs % (count - 1))
+        .distinct.take(nOff).toSeq
+      val shifted = offsets.map { o =>
+        idx.select(col("id").as("source"),
+          pmod(col("idx") + lit(o), lit(count)).as("__pidx"))
+          .join(idx.withColumnRenamed("idx", "__pidx").withColumnRenamed("id", "target"), Seq("__pidx"))
+          .select("source", "target")
+      }.reduce(_ unionByName _)
+      val pool = shifted
+        .filter(col("source") =!= col("target"))
+        .join(edgesBoth, Seq("source", "target"), "left_anti")
+        .dropDuplicates("source", "target")
+        .withColumn("__nr", xxhash64(lit(seed + 1), col("source"), col("target")))
+      graft.operators.TopK.smallestBy(pool, "__nr", Seq("source", "target"),
+          n, exactTopKCutoff)
+        .select(col("source"), col("target"), lit(0).as("label"))
+        // materialize (≤ n rows of 2 longs) so the shortfall check and
+        // every downstream consumer reuse one execution
+        .localCheckpoint()
+    }
+
+    // exactly n label-0 rows or fail loudly — a too-small surviving
+    // pool otherwise ships CLASS-IMBALANCED examples and silently
+    // skews BCE training. An unlucky draw (offsets landing on real
+    // edges) gets ONE deterministic 8× retry before the dense-graph
+    // verdict.
+    var negs = attempt(nOffsets)
+    if (negs.count() < n && nOffsets < count - 1)
+      negs = attempt(math.min(8L * nOffsets, count - 1).toInt)
+    idx.unpersist()
+    val got = negs.count()
+    if (got < n)
+      throw new IllegalStateException(
+        s"EdgeSplitter: only $got of $n requested negative (non-edge) pairs " +
+          "survive the edge anti-join; the graph is too dense for this " +
+          "split size")
+    negs
   }
 
   /** Connected components of (nodeIds, edges) → DataFrame(id, component).

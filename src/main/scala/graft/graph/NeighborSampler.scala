@@ -54,6 +54,12 @@ object NeighborSampler {
     * layer1 ARRAY<LONG>[k1], layer2 ARRAY<LONG>[k1*k2])`, where
     * `layer2[i*k2+j]` is the j-th sample of `layer1[i]` (the flat
     * row-major layout the mean-aggregator consumes).
+    *
+    * One output row per DISTINCT (exampleId, node): sampling is a
+    * pure function of that pair, so duplicate input rows carry zero
+    * information and collapse to one row — the `array_distinct` in
+    * the regroup keeps their doubled slot structs from corrupting
+    * layer2 to 2·k1·k2 entries (round-18 review).
     */
   def sampleTree2(input: DataFrame, nodeCol: String, exampleIdCol: String,
                   adjacency: DataFrame, k1: Int, k2: Int, seed: Long): DataFrame = {
@@ -73,7 +79,11 @@ object NeighborSampler {
           // collisions (ids 10007 apart no longer share slot streams)
           struct(col(exampleIdCol), col("__slot")), col("__n1")))
       .groupBy(col(exampleIdCol), col(nodeCol), col("layer1"))
-      .agg(flatten(array_sort(collect_list(struct(col("__slot"), col("__sub"))))
+      // array_distinct: slots are unique per tower (posexplode index),
+      // so the only duplicates are whole (slot, sub) structs from
+      // duplicated input rows — identical by determinism, dropped here
+      .agg(flatten(array_sort(array_distinct(
+          collect_list(struct(col("__slot"), col("__sub")))))
         .getField("__sub")).as("layer2"))
     l2.select(col(exampleIdCol), col(nodeCol), col("layer1"), col("layer2"))
   }

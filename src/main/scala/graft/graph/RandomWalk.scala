@@ -82,8 +82,14 @@ object RandomWalk {
       .select(col("walk_id"), col("__i"), col("target"), col("context"),
         lit(1).as("label"))
     // negatives: same (walk_id, slot) identity; context drawn from the
-    // sampling table via a seeded hash index
-    val table = negativeTable(g, smoothing).cache()
+    // sampling table via a seeded hash index. localCheckpoint, not
+    // cache: a cache entry is pinned in the CacheManager until an
+    // unpersist nobody here could issue (the plan escapes to the
+    // caller), while checkpoint blocks are released by the
+    // ContextCleaner once the plan is GC'd — Par.mapAll runs one of
+    // these per partition, and the orphaned ~10·|V|-row entries
+    // accumulated for the session lifetime
+    val table = negativeTable(g, smoothing).localCheckpoint()
     val tableN = table.count()
     val neg = pos
       .select(col("walk_id"), col("__i"), col("target"),

@@ -46,7 +46,10 @@ object Triangles {
 
   def perNode(edges: DataFrame, srcCol: String = "src",
               dstCol: String = "dst"): DataFrame =
-    enumerate(canonical(edges, srcCol, dstCol))
+    perNodeOf(canonical(edges, srcCol, dstCol))
+
+  private def perNodeOf(ce: DataFrame): DataFrame =
+    enumerate(ce)
       .select(explode(array(col("t_u"), col("t_v"), col("t_w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
 
@@ -97,9 +100,15 @@ object Triangles {
     */
   def localClustering(edges: DataFrame, srcCol: String = "src",
                       dstCol: String = "dst"): DataFrame = {
-    val deg = degrees(canonical(edges, srcCol, dstCol))
+    // ONE canonical edge set shared by the degree table and the
+    // triangle core — the two sides then reference IDENTICAL
+    // canonicalize/degree subtrees, so ReuseExchange collapses their
+    // shuffles (the old form re-derived both from the raw edges inside
+    // perNode, doubling the pre-enumeration work)
+    val ce = canonical(edges, srcCol, dstCol)
+    val deg = degrees(ce)
     deg.filter(col("deg") >= 2)
-      .join(perNode(edges, srcCol, dstCol), Seq("node"), "left")
+      .join(perNodeOf(ce), Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
       .withColumn("coeff", round(
         (col("n_triangles") * lit(2.0)) / (col("deg") * (col("deg") - 1)), 9))

@@ -44,14 +44,17 @@ final class BpeVocab(val merges: Array[(String, String)], val maxLen: Int)
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[this] val cacheCap = 1 << 16
 
-  /** Model-token count of a whitespace-tokenized text (empty → 0). */
+  /** Model-token count of a whitespace-tokenized text (empty → 0).
+    * Tokenization is the `\S+` runs — EXACTLY [[TextOps.tokens]]'s
+    * unit (the old trim+split form used Java `String.trim`, which
+    * strips every control char ≤ 0x20 while `\s` strips only the five
+    * whitespace chars, so billing diverged from the column tokenizer
+    * on words carrying a non-whitespace control char like U+0001).
+    */
   def countText(text: String): Long = {
-    val t = text.trim
-    if (t.isEmpty) return 0L
-    val parts = t.split("\\s+")
     var sum = 0L
-    var i = 0
-    while (i < parts.length) { sum += countWord(parts(i)); i += 1 }
+    val m = BpeVocab.WordRe.matcher(text)
+    while (m.find()) sum += countWord(m.group())
     sum
   }
 
@@ -63,12 +66,24 @@ final class BpeVocab(val merges: Array[(String, String)], val maxLen: Int)
     n
   }
 
-  /** Full greedy encode — exposed for the spec's equality pins. */
+  /** Full greedy encode — exposed for the spec's equality pins. Base
+    * symbols are Unicode CODE POINTS (the [[Bpe.isBaseSymbol]]
+    * contract): a supplementary character is ONE symbol, not two
+    * surrogates — the UTF-16 charAt split silently disagreed with the
+    * replace-chain/DuckDB replay by one token per supplementary char
+    * and could never fire a learned supplementary merge.
+    */
   def encode(w: String): Array[String] = {
-    val syms = new Array[String](w.length)
+    var n = w.codePointCount(0, w.length)
+    val syms = new Array[String](n)
     var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
-    var n = syms.length
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      syms(i) = new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+      i += 1
+    }
     var merged = true
     while (merged && n > 1) {
       var best = Integer.MAX_VALUE
@@ -89,4 +104,9 @@ final class BpeVocab(val merges: Array[(String, String)], val maxLen: Int)
     }
     java.util.Arrays.copyOf(syms, n)
   }
+}
+
+object BpeVocab {
+  /** The tokenizer unit shared with [[TextOps.tokens]]. */
+  private val WordRe = java.util.regex.Pattern.compile("\\S+")
 }

@@ -137,19 +137,9 @@ object Dsir {
     */
   def scoreDocsInline(docs: DataFrame, llrNano: Map[Long, Long],
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    require(llrNano.nonEmpty && llrNano.size <= NumBuckets,
-      s"model must hold 1..$NumBuckets buckets, got ${llrNano.size}")
-    require(llrNano.keysIterator.forall(b => b >= 0 && b < NumBuckets),
-      s"bucket keys must sit in [0, $NumBuckets)")
-    val arr = new Array[Long](NumBuckets)
-    llrNano.foreach { case (b, v) => arr(b.toInt) = v }
-    val bc = docs.sparkSession.sparkContext.broadcast(new QualityWeights(arr))
-    docs.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      round(graft.functions.HashedMarginNano(TextOps.tokens(col(textCol)), bc)
-        .cast("double") / 1e9, 9).as("score"))
-  }
+                      textCol: String = "text"): DataFrame =
+    withInlineScores(docs, llrNano, textCol)
+      .select(col(idCol), col("n_tokens"), col("score"))
 
   /** [[scoreDocsInline]] with FULL PASSTHROUGH — the scorer columns
     * (`n_tokens`, `score`) APPEND to the input row instead of
@@ -158,8 +148,9 @@ object Dsir {
     * `QualityModel.withScores`/`withLearnedScores` established;
     * round-18 review: `DocStream.dsirGate` silently dropped every
     * input column and could only ever sit LAST in an intake chain).
-    * Bit-identical scores to [[scoreDocsInline]] — same broadcast,
-    * same codegen'd fold.
+    * The ONE formula source — [[scoreDocsInline]] is this plus the
+    * three-column projection (the `QualityModel.withScores`/
+    * `scoreDocs` discipline).
     */
   def withInlineScores(docs: DataFrame, llrNano: Map[Long, Long],
                        textCol: String = "text"): DataFrame = {

@@ -190,15 +190,29 @@ object Multimodal {
           val counts = new Array[Int](bins)
           val bigEndian = fmt.isBigEndian
           val bits = fmt.getSampleSizeInBits
+          // getAudioInputStream accepts ULAW/ALAW .au files too — those
+          // bytes are companded, not linear, so amplitude math on them
+          // is silent garbage; and 8-bit sign depends on the encoding
+          // (WAV ships PCM_UNSIGNED, AIFF PCM_SIGNED — decoding AIFF
+          // silence as unsigned saturated every sample to -1.0).
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+            throw new UnsupportedOperationException(
+              s"RealDecoder: $enc audio is not linear PCM (8/16-bit PCM only)")
           var i = 0
           while (i < n) {
             // first channel of frame i, normalized to [-1, 1]
             val off = i * frameSize
             val amp = bits match {
-              case 8 => ((bytes(off) & 0xff) - 128) / 128.0
+              case 8 =>
+                if (signed) bytes(off) / 128.0
+                else ((bytes(off) & 0xff) - 128) / 128.0
               case 16 =>
                 val (lo, hi) = if (bigEndian) (bytes(off + 1), bytes(off)) else (bytes(off), bytes(off + 1))
-                ((hi << 8) | (lo & 0xff)) / 32768.0
+                val raw = (hi << 8) | (lo & 0xff)
+                if (signed) raw / 32768.0
+                else (((raw & 0xffff) - 32768)) / 32768.0
               case b => throw new UnsupportedOperationException(
                 s"RealDecoder: $b-bit PCM not supported (8/16 only)")
             }
@@ -263,6 +277,8 @@ object Multimodal {
     * no UDF, stays in codegen. Non-video rows pass through untouched.
     */
   def frameSample(df: DataFrame, stride: Int, frameBytes: Int = 16): DataFrame = {
+    require(stride >= 1, s"frameSample: stride must be >= 1, got $stride")
+    require(frameBytes >= 1, s"frameSample: frameBytes must be >= 1, got $frameBytes")
     val nFrames = (length(col("data")) / frameBytes).cast("int")
     val sampled = transform(
       sequence(lit(0), greatest(ceil(nFrames.cast("double") / stride).cast("int") - 1, lit(0))),

@@ -82,25 +82,29 @@ object Pq {
       .filter(!array_contains(col("codes"), -1))
   }
 
-  /** ADC top-k: score every encoded corpus row against every probe via
-    * the per-query LUT of partial dots, rank per query. `queries` holds
-    * RAW vectors (the asymmetric half); it is collected — probe sets
-    * are driver-sized by contract, exactly like IVF's k×dim centroid
-    * collect. Output: (query_id, neighbor_id, adc_sim, rank).
+  /** Collected probe set: (id, raw vector). Probe sets are
+    * driver-sized by contract — exactly like IVF's k×dim centroid
+    * collect. Shared by both ADC entry points.
     */
-  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
-              k: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val spark = codes.sparkSession
+  private def collectProbes(queries: DataFrame, idCol: String,
+                            vecCol: String): Array[(Long, Array[Double])] =
+    queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** The (query_id, __lut) table of per-query partial-dot LUTs —
+    * flat m×k layout, `lut[j*k + c] = dot(q_j, codebook_j(c))`. The
+    * ONE LUT-construction source for [[adcTopK]] and [[ivfPqTopK]].
+    */
+  private def lutTable(spark: org.apache.spark.sql.SparkSession,
+                       probes: Array[(Long, Array[Double])],
+                       codebooks: Codebooks): DataFrame = {
     import spark.implicits._
     val m = codebooks.length
     val kCent = codebooks.head.length
     val sub = codebooks.head.head.length
-    val probes: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val luts = probes.toSeq.map { case (qid, q) =>
+    probes.toSeq.map { case (qid, q) =>
       val flat = new Array[Double](m * kCent)
       var j = 0
       while (j < m) {
@@ -115,16 +119,35 @@ object Pq {
       }
       (qid, flat)
     }.toDF("query_id", "__lut")
-    // one scan of the code table for all queries; score = Σ_j lut[j*k + code_j]
+  }
+
+  /** ADC score of a `codes` row against the joined `__lut`:
+    * `Σ_j lut[j*k + code_j]`, rounded to the family's 9 decimals.
+    */
+  private def adcSim(m: Int, kCent: Int): org.apache.spark.sql.Column =
+    round(aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x), 9)
+
+  /** ADC top-k: score every encoded corpus row against every probe via
+    * the per-query LUT of partial dots, rank per query. `queries` holds
+    * RAW vectors (the asymmetric half). Output: (query_id, neighbor_id,
+    * adc_sim, rank).
+    */
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: Codebooks,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val kCent = codebooks.head.length
+    val probes = collectProbes(queries, idCol, vecCol)
+    val luts = lutTable(codes.sparkSession, probes, codebooks)
+    // one scan of the code table for all queries
     val scored = codes
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
+      .select(col("query_id"), col("neighbor_id"), adcSim(m, kCent).as("adc_sim"))
     // bounded-heap pre-trim below the per-query rank window (the q88
     // discipline — the query batch is contract-bounded)
     graft.operators.TopK.rankedTopKDesc(scored, "query_id", "adc_sim", "neighbor_id", k)
@@ -153,11 +176,7 @@ object Pq {
     import spark.implicits._
     val m = codebooks.length
     val kCent = codebooks.head.length
-    val sub = codebooks.head.head.length
-    val probes: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probes = collectProbes(queries, idCol, vecCol)
     // nProbe nearest coarse centroids per query, driver-side: cosine
     // rounded to 9 decimals then centroid id — the same total order the
     // IVF-Flat path uses
@@ -173,30 +192,12 @@ object Pq {
         .map { case (c, i) => (-cos(q, c), i) }.sorted.take(nProbe)
         .map { case (_, i) => (qid, i) }
     }.toDF("query_id", "centroid_id")
-    val luts = probes.toSeq.map { case (qid, q) =>
-      val flat = new Array[Double](m * kCent)
-      var j = 0
-      while (j < m) {
-        var c = 0
-        while (c < kCent) {
-          var s = 0.0; var d = 0
-          while (d < sub) { s += q(j * sub + d) * codebooks(j)(c)(d); d += 1 }
-          flat(j * kCent + c) = s
-          c += 1
-        }
-        j += 1
-      }
-      (qid, flat)
-    }.toDF("query_id", "__lut")
+    val luts = lutTable(spark, probes, codebooks)
     val scored = codes
       .join(broadcast(probePairs), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(luts), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, j) => element_at(col("__lut"), (j * kCent + code + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x), 9).as("adc_sim"))
+      .select(col("query_id"), col("neighbor_id"), adcSim(m, kCent).as("adc_sim"))
     // bounded-heap pre-trim below the per-query rank window (the q88
     // discipline — the query batch is contract-bounded)
     graft.operators.TopK.rankedTopKDesc(scored, "query_id", "adc_sim", "neighbor_id", k)

@@ -21,7 +21,7 @@ final class QualityWeights(val nano: Array[Long]) extends Serializable {
   require(nano.nonEmpty, "empty weight table")
 
   def marginNano(toks: ArrayData): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = QualityWeights.digest.get()
     var s = 0L
     var i = 0
     val n = toks.numElements()
@@ -37,5 +37,15 @@ final class QualityWeights(val nano: Array[Long]) extends Serializable {
       i += 1
     }
     s
+  }
+}
+
+object QualityWeights {
+  // MessageDigest is stateful and not thread-safe; one per task thread
+  // (the SimHashMd5/WinnowMd5 device) — getInstance per ROW paid a JCA
+  // provider lookup + allocation on the hot inference scan.
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }

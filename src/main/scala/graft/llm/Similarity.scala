@@ -117,6 +117,10 @@ object Similarity {
     * exactly `dim` elements).
     */
   def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long, dim: Int): Column = {
+    // one long holds the bits; shiftleft past 63 wraps mod 64 in Java,
+    // silently aliasing plane j onto plane j-64
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"hyperplaneSignature: numPlanes must be in [1, 64], got $numPlanes")
     val planes = typedlit(planeMatrix(numPlanes, dim, seed))
     aggregate(
       sequence(lit(0), lit(numPlanes - 1)),
@@ -449,6 +453,7 @@ object Similarity {
                      centroidIdCol: String = "centroid_id",
                      centroidVecCol: String = "embedding",
                      blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks must be positive")
     val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
       col(centroidVecCol).cast("array<double>").as("__centv"))
     val vecD = col(vecCol).cast("array<double>")
@@ -677,7 +682,7 @@ object Similarity {
                     iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L, trainFraction: Double = 1.0,
-                    dim: Int = 0, blocks: Int = 8): DataFrame = {
+                    blocks: Int = 8): DataFrame = {
     require(blocks >= 1, "blocks must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -844,11 +849,10 @@ object Similarity {
   def semanticDupGroups(df: DataFrame, tau: Double, k: Int,
                         iters: Int = 2,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        seed: Long = 42L, trainFraction: Double = 1.0,
-                        dim: Int = 0): DataFrame = {
+                        seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
     graft.graph.PropertyGraph.pairComponents(
       semanticPairs(df, tau, k, iters, idCol, vecCol, seed,
-        trainFraction, dim))
+        trainFraction))
   }
 
   /** Recall@k of an approximate result against the exact one: fraction

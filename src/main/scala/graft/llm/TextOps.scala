@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenizer: trims, splits on runs of whitespace; empty
-    * or blank text yields an empty array (guarded — `split("")` would
-    * return `[""]`).
+  /** Whitespace tokenizer: the non-empty runs of non-whitespace, in
+    * order; empty or blank text yields an empty array. Extraction
+    * (`\S+`) rather than trim+split: Spark's `trim` strips only
+    * ASCII 0x20, so the old split form emitted a phantom `""` token
+    * for text starting with a tab/newline (and counted 1 token for
+    * whitespace-only docs). `\S`/`\s` agree between Java and RE2
+    * except for `\x0B` (vertical tab) — the same caveat the previous
+    * split form had.
     */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    regexp_extract_all(text, lit("\\S+"), lit(0))
 
   /** Token count under the whitespace tokenizer. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -208,15 +212,17 @@ object TextOps {
         transform(sequence(lit(1), size(gramHashes) - (w - 1)),
           j => array_min(slice(gramHashes, j, lit(w))))))
 
-  /** PII patterns shared by the detector and the redactor. Kept to
-    * RE2-compatible constructs (character classes, bounded repeats, no
-    * backreferences/lookaround) so external engines reproduce the
-    * matches exactly.
+  /** PII patterns shared by the detector and the redactor — ONE
+    * pattern set for the whole package: these are `PiiScrub`'s
+    * RE2-compatible, digit-boundary-anchored patterns (the round-15
+    * fix; the old unanchored phone pattern here partially redacted
+    * the tail of longer digit runs like '4155-123-4567', and the
+    * streaming ingest scrub goes through this entry point).
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
-    "phone" -> "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
-    "ipv4"  -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+    "email" -> PiiScrub.EmailRe,
+    "phone" -> PiiScrub.PhoneRe,
+    "ipv4"  -> PiiScrub.IpRe)
 
   /** Occurrences of one PII pattern class in `text`. */
   def piiCount(text: Column, pattern: String): Column =

@@ -678,8 +678,19 @@ final class LocalGraphSage(
     * is identical to the serial loop. Losses and updates are unchanged
     * math on unchanged inputs: bit-identical, wall-clock shorter.
     */
+  /** Training RNG: ONE stream per client lifetime, advancing across
+    * federation rounds like the reference's long-lived Keras clients.
+    * The pre-round-18 per-fit() reseed replayed the identical shuffle
+    * order, neighbor samples and dropout masks EVERY round — features
+    * masked in round 1 stayed masked in every round, quietly degrading
+    * dropout. Still run-to-run deterministic: each client owns its
+    * stream (scheduling order can't touch it), so rep-to-rep AUC
+    * bit-identity holds; the recorded parity VALUE moves once.
+    */
+  @transient private lazy val fitRng = new java.util.Random(hp.seed)
+
   def fit(examples: Array[(Long, Long, Int)], epochs: Int): Seq[Double] = {
-    val rng = new java.util.Random(hp.seed)
+    val rng = fitRng
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     (1 to epochs).map { _ =>

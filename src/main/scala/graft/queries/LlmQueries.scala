@@ -22,8 +22,10 @@ import graft.llm.{Bpe, CorpusDedup, Embeddings, Multimodal, NearDup, Phash, Pq, 
   *  - cosine similarity is Double math rounded to 9 decimals, plus 0.0
   *    to normalize a possible -0.0, ranked by (rounded sim, id) — a
   *    total order both engines reproduce;
-  *  - tokenization is trim + split on \s+ with an explicit empty-text
-  *    guard (split('') is [''] in both engines, which is wrong).
+  *  - tokenization is extraction of the \S+ runs (regexp_extract_all
+  *    in both engines) — no trim, no split: split-form tokenizers emit
+  *    a phantom '' token after a leading tab/newline (both engines'
+  *    trim strips only 0x20) and [''] for blank text.
   */
 object LlmQueries {
 
@@ -61,7 +63,7 @@ object LlmQueries {
   // DuckDB twin of TextOps.tokens — kept next to the Scala so the two
   // tokenizers evolve together.
   private val sqlToks =
-    "CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END"
+    "regexp_extract_all(text, '\\S+')"
 
   private def sqlHits(listSql: String): String =
     s"len(list_filter(toks, t -> list_contains($listSql, t)))"
@@ -335,7 +337,7 @@ object LlmQueries {
       val planted = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com or +1-555-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
         lit("-1234 from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
         lit(".7"))
       t.documents
@@ -411,8 +413,7 @@ object LlmQueries {
     // pairs ⊆ exact, planted-twin recall, determinism.
     "q60_semantic_dedup" -> ((s, dir) => {
       Similarity.semanticPairs(cosineCorpus(Tables(s, dir)), tau = 0.8,
-        k = 1, iters = 0, idCol = "vec_id", vecCol = "embedding",
-        dim = Tables.EmbeddingDim)
+        k = 1, iters = 0, idCol = "vec_id", vecCol = "embedding")
     }),
 
     // End-to-end corpus cleaning — the full pre-training dedup
@@ -4166,7 +4167,7 @@ object LlmQueries {
            SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@example.com or +1-555-'
-                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                   || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
            FROM documents)
          SELECT doc_id,

@@ -55,9 +55,12 @@ object GraphIO {
     * Cast LONG (safe superset of the reference's uint32, merge.py:32-33).
     */
   def readWhitespaceEdges(spark: SparkSession, path: String): DataFrame = {
-    val toks = split(trim(col("value")), "\\s+")
+    // \S+ extraction, not trim+split: pandas' sep='\s+' skips leading
+    // whitespace of ANY kind, while Spark's trim strips only 0x20 — a
+    // leading tab produced a phantom "" token shifting every column
+    val toks = regexp_extract_all(col("value"), lit("\\S+"), lit(0))
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value").rlike("\\S"))
       .select(
         toks.getItem(0).cast(LongType).as("source"),
         toks.getItem(1).cast(LongType).as("target"))
@@ -71,9 +74,9 @@ object GraphIO {
     */
   def readWhitespaceAttributes(spark: SparkSession, path: String,
                                nFeatures: Int = NumCoraFeatures): DataFrame = {
-    val toks = split(trim(col("value")), "\\s+")
+    val toks = regexp_extract_all(col("value"), lit("\\S+"), lit(0))
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value").rlike("\\S"))
       .select(
         toks.getItem(0).cast(LongType).as("id"),
         // tokens 1..nFeatures; slice() is 1-based, so start=2
@@ -86,9 +89,9 @@ object GraphIO {
     */
   def readWhitespaceAttributesWithLabel(spark: SparkSession, path: String,
                                         nFeatures: Int = NumCoraFeatures): DataFrame = {
-    val toks = split(trim(col("value")), "\\s+")
+    val toks = regexp_extract_all(col("value"), lit("\\S+"), lit(0))
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value").rlike("\\S"))
       .select(
         toks.getItem(0).cast(LongType).as("id"),
         slice(toks, 2, nFeatures).cast(ArrayType(FloatType)).as("features"),
@@ -158,15 +161,24 @@ object GraphIO {
     val out = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(fs.create(tmp, true), "UTF-8"), 1 << 16)
     try {
-      out.write(("" +: (0 until dim).map(_.toString)).mkString(","))
-      out.write("\n")
-      rows.foreach { case (id, vec) =>
-        out.write(id.toString)
-        var i = 0
-        while (i < dim) { out.write(","); out.write(vec(i).toString); i += 1 }
+      try {
+        out.write(("" +: (0 until dim).map(_.toString)).mkString(","))
         out.write("\n")
-      }
-    } finally out.close()
+        rows.foreach { case (id, vec) =>
+          out.write(id.toString)
+          var i = 0
+          while (i < dim) { out.write(","); out.write(vec(i).toString); i += 1 }
+          out.write("\n")
+        }
+      } finally out.close()
+    } catch {
+      case t: Throwable =>
+        // don't orphan the attempt file: a killed/failed attempt left
+        // `.name.attempt.inprogress` junk accumulating per retry
+        try fs.delete(tmp, false)
+        catch { case _: Throwable => () }
+        throw t
+    }
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
@@ -243,18 +255,35 @@ object GraphIO {
     df.coalesce(1).write.mode("overwrite").option("header", header.toString).csv(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = FileSystem.get(new java.net.URI(tmp).resolve("."), conf)
-    val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
-    val dest = new Path(path)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    headerOverride match {
-      case None => fs.rename(part, dest)
-      case Some(h) =>
-        val out = fs.create(dest, true)
-        out.write((h + "\n").getBytes("UTF-8"))
-        val in = fs.open(part)
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
-        in.close(); out.close()
-    }
-    fs.delete(new Path(tmp), true)
+    try {
+      val parts = fs.globStatus(new Path(tmp, "part-*"))
+      require(parts != null && parts.nonEmpty,
+        s"writeSingleCsv: the coalesced write produced no part file under " +
+          s"$tmp (zero-partition input?)")
+      val part = parts(0).getPath
+      val dest = new Path(path)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      headerOverride match {
+        case None =>
+          // rename returns false (not an exception) on several FS
+          // boundaries — an unchecked false silently committed nothing
+          require(fs.rename(part, dest),
+            s"writeSingleCsv: commit rename $part -> $dest failed")
+        case Some(h) =>
+          // stitch inside the temp dir, then ONE atomic rename to the
+          // committed name — a mid-copy failure must never leave a
+          // truncated file where a reader expects a complete artifact
+          val stitched = new Path(tmp, "stitched.csv")
+          val out = fs.create(stitched, true)
+          try {
+            out.write((h + "\n").getBytes("UTF-8"))
+            val in = fs.open(part)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, conf, false)
+            finally in.close()
+          } finally out.close()
+          require(fs.rename(stitched, dest),
+            s"writeSingleCsv: commit rename $stitched -> $dest failed")
+      }
+    } finally fs.delete(new Path(tmp), true)
   }
 }

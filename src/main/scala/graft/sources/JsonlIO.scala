@@ -51,8 +51,13 @@ object JsonlIO {
     StructField("meta", StructType(Seq(StructField("src", StringType))))))
 
   def fixtureJsonl(spark: SparkSession, dir: String, n: Long): String = {
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
+    // Hadoop FS, not java.io.File: the write above goes through Spark
+    // and works on any FS; a local-only existence probe is always
+    // false on HDFS/object stores, so every call re-ran the overwrite
+    // (racing concurrent readers and timing the write, not the scan)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       val langs = array(lit("en"), lit("fr"), lit("de"), lit("es"), lit("pt"))
       val df = spark.range(n).select(
         col("id"),

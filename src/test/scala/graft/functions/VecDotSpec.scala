@@ -34,6 +34,31 @@ class VecDotSpec extends SparkSpec {
     assert(rows(2L) === None)
   }
 
+  test("null ELEMENT in the overlapped prefix nulls the result (builtin parity)") {
+    // zip_with's _*_ yields null for a null element and aggregate's _+_
+    // propagates it — the native expression must agree, in BOTH the
+    // codegen path (DataFrame) and the interpreted path (eval)
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](2.0, 2.0, 2.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](2.0, 2.0)),
+      // null element BEYOND the overlapped prefix: shorter wins, sum is 2
+      (3L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VecDot(col("a"), col("b")).as("d"),
+      builtinDot(col("a"), col("b")).as("want")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === None)
+    assert(got(2L) === Some(6.0))
+    assert(got(3L) === Some(2.0))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val interp = VecDot(
+      Literal.create(Seq[java.lang.Double](1.0, null), ArrayType(DoubleType)),
+      Literal.create(Seq[java.lang.Double](2.0, 2.0), ArrayType(DoubleType)))
+    assert(interp.eval(null) === null)
+  }
+
   test("double arrays and mixed float/double are accepted") {
     val df = Seq((Array(0.5, 2.0), Array(4.0, 0.25))).toDF("a", "b")
     assert(df.select(VecDot(col("a"), col("b"))).head().getDouble(0) === 2.5)

@@ -54,7 +54,7 @@ class PairComponentsSpec extends SparkSpec {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val corpus = base.unionByName(twins)
     val pairs = graft.llm.Similarity.semanticPairs(corpus, tau = 0.8, k = 1,
-      iters = 0, dim = graft.Tables.EmbeddingDim).localCheckpoint()
+      iters = 0).localCheckpoint()
     val got = gated(pairs)
     assert(got.nonEmpty)
     assert(got === rawGraphX(pairs))

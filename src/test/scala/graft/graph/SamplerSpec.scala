@@ -47,6 +47,22 @@ class SamplerSpec extends SparkSpec {
     }
   }
 
+  test("sampleTree2: duplicate (exampleId, node) input rows collapse to ONE correct row") {
+    // sampling is a pure function of (exampleId, node), so a duplicated
+    // input row adds nothing — before the array_distinct regroup fix it
+    // merged both copies' slot structs into a single 2*k1*k2 layer2
+    val dup = Seq((7L, 2L), (7L, 2L)).toDF("example_id", "node")
+    val single = Seq((7L, 2L)).toDF("example_id", "node")
+    def run(in: org.apache.spark.sql.DataFrame) =
+      NeighborSampler.sampleTree2(in, "node", "example_id",
+        path.adjacency(), k1 = 4, k2 = 3, seed = 5)
+        .select("layer1", "layer2").as[(Seq[Long], Seq[Long])].collect().toSeq
+    val got = run(dup)
+    assert(got.length === 1)
+    assert(got.head._1.length === 4 && got.head._2.length === 12)
+    assert(got === run(single))
+  }
+
   test("sampleTree2 is deterministic under seed") {
     val input = Seq((7L, 2L), (8L, 3L)).toDF("example_id", "node")
     def run(seed: Long) = NeighborSampler.sampleTree2(input, "node", "example_id",

@@ -129,6 +129,26 @@ class BpeSpec extends SparkSpec {
     got.foreach { case (t, n) => assert(n === vocab.countText(t), s"text '${t.take(40)}'") }
   }
 
+  test("vocab encoder: code-point symbols + \\S+ word unit (round-18 review)") {
+    val vocab = new BpeVocab(Bpe.TableMerges.toArray, Bpe.TableMaxLen)
+    // supplementary char = ONE base symbol (U+1D11E), the same unit as
+    // the replace chain's [^#]/(?s)(.) symbolizers — the old UTF-16
+    // charAt split billed 2 and could never fire a supplementary merge
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(vocab.encode(clef).toVector === Vector(clef))
+    assert(vocab.countWord(clef) === 1L)
+    assert(vocab.encode(s"a${clef}b").toVector === Vector("a", clef, "b"))
+    val supp = new BpeVocab(Array(clef -> clef), 8)
+    assert(supp.encode(clef + clef).toVector === Vector(clef + clef))
+    // word unit is the \S+ run — EXACTLY TextOps.tokens: U+0001 is not
+    // whitespace (Java String.trim stripped it), and tab/newline edges
+    // yield no phantom empty word
+    assert(vocab.countText("\u0001ab") === vocab.countWord("\u0001ab"))
+    assert(vocab.countText("\tab cd\n") === vocab.countWord("ab") + vocab.countWord("cd"))
+    assert(vocab.countText("\n") === 0L)
+    assert(vocab.countText("") === 0L)
+  }
+
   test("under the 24-merge table the native encoder equals the replace chain") {
     import spark.implicits._
     val vocab = new BpeVocab(Bpe.Merges.toArray, Bpe.TableMaxLen)

@@ -41,14 +41,14 @@ class SemDedupSpec extends SparkSpec {
 
   test("k=1 (one cell) equals the exact all-pairs set") {
     val got = pairSet(Similarity.semanticPairs(corpus, tau = 0.8, k = 1,
-      iters = 0, dim = graft.Tables.EmbeddingDim))
+      iters = 0))
     assert(got === exact)
     assert(exact.nonEmpty) // the planted twins guarantee pairs exist
   }
 
   test("k=4 production path: subset of exact, twin recall >= 0.9, deterministic") {
     def run() = pairSet(Similarity.semanticPairs(corpus, tau = 0.8, k = 4,
-      iters = 2, dim = graft.Tables.EmbeddingDim))
+      iters = 2))
     val got = run()
     assert(got.subsetOf(exact), "cell-bounded pairs can never exceed the exact set")
     // planted twins (v, v+1M) are near-identical vectors: a learned
@@ -154,9 +154,9 @@ class SemDedupSpec extends SparkSpec {
 
   test("groups keep each component's min id and cover exactly the paired ids") {
     val pairs = pairSet(Similarity.semanticPairs(corpus, tau = 0.8, k = 1,
-      iters = 0, dim = graft.Tables.EmbeddingDim))
+      iters = 0))
     val groups = Similarity.semanticDupGroups(corpus, tau = 0.8, k = 1,
-      iters = 0, dim = graft.Tables.EmbeddingDim)
+      iters = 0)
       .as[(Long, Long)].collect().toMap
     val pairedIds = pairs.flatMap(p => Seq(p._1, p._2))
     assert(groups.keySet === pairedIds)

@@ -14,6 +14,12 @@ class TextOpsSpec extends SparkSpec {
     assert(one[Int](TextOps.tokenCount(col("text")), "") === 0)
     assert(one[Int](TextOps.tokenCount(col("text")), "   ") === 0)
     assert(one[Int](TextOps.tokenCount(col("text")), " solo ") === 1)
+    // Non-space leading whitespace: no phantom "" token (Spark's trim
+    // strips only 0x20, so the old trim+split form returned ["","foo",
+    // "bar"] here), and whitespace-only text is 0 tokens, not 1.
+    assert(one[Seq[String]](TextOps.tokens(col("text")), "\tfoo bar") === Seq("foo", "bar"))
+    assert(one[Int](TextOps.tokenCount(col("text")), "\n") === 0)
+    assert(one[Int](TextOps.tokenCount(col("text")), "\t \n x") === 1)
   }
 
   test("bpeTokenCount: letter runs, digit runs, single punct") {
@@ -61,7 +67,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("PII: counts find planted identifiers; redaction replaces all and only them") {
-    val text = "write to alice.smith+x@corp-mail.co.uk or call +44-123-4567 " +
+    val text = "write to alice.smith+x@corp-mail.co.uk or call 555-123-4567 " +
       "from host 192.168.0.1; plain words 123 stay"
     def cnt(p: (String, String)) = one[Int](TextOps.piiCount(col("text"), p._2), text)
     assert(cnt(TextOps.PiiPatterns(0)) === 1)
@@ -71,6 +77,11 @@ class TextOpsSpec extends SparkSpec {
     assert(red.contains("[EMAIL]") && red.contains("[PHONE]") && red.contains("[IPV4]"))
     assert(!red.contains("alice") && !red.contains("192.168"))
     assert(red.contains("plain words 123 stay"), s"over-redacted: $red")
+    // Digit-boundary contract (shared with PiiScrub): a phone-shaped
+    // tail inside a longer digit run is NOT a phone.
+    val run = "order id 4155-123-4567 is not a phone"
+    assert(one[Int](TextOps.piiCount(col("text"), TextOps.PiiPatterns(1)._2), run) === 0)
+    assert(one[String](TextOps.piiRedact(col("text")), run) === run)
     // no PII -> text unchanged
     val clean = "nothing sensitive here at all"
     assert(one[String](TextOps.piiRedact(col("text")), clean) === clean)
