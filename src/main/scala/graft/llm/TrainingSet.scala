@@ -95,7 +95,19 @@ object TrainingSet {
     // both rank passes below run on DistributedRank.prefix — a
     // language-keyed window would funnel each language's corpus
     // through one sort task at scale (round-12 q128 flag; same fix)
-    val grouped = gated.withColumn("__grp", md5(col(textCol)))
+    // One skinny metadata projection feeds BOTH rank passes, computed
+    // once (localCheckpoint): group hash and token count are the text
+    // column's only downstream uses, so projecting text away here (a)
+    // stops the stage-1..3 subtree (clean semi-join, gram
+    // decontaminate, quality gate) being evaluated twice — once under
+    // the split-assignment aggregate and once under the join back —
+    // and (b) keeps document text out of the stage-4/5 range shuffles
+    // and their checkpoints (guide §2.3: project before the exchange;
+    // this is what the scale note above always promised).
+    val grouped = gated.select(col(idCol), col(langCol),
+        md5(col(textCol)).as("__grp"),
+        TextOps.tokenCount(col(textCol)).as("__tok"))
+      .localCheckpoint()
     val assigned = graft.operators.DistributedRank.prefix(
         grouped.groupBy(col("__grp")).agg(min(col(langCol)).as("__rl")),
         Seq("__rl"), Seq("__grp"))
@@ -104,7 +116,6 @@ object TrainingSet {
           .when(col("__rank") * 10 <= col("__n") * 9, "val")
           .otherwise("test").as("split"))
     val split = grouped.join(assigned, Seq("__grp"))
-      .withColumn("__tok", TextOps.tokenCount(col(textCol)))
     // 5. per-language token budget on the train split: admit while the
     // tokens admitted BEFORE this doc stay under budget (q98 straddle
     // semantics — the boundary doc is admitted); non-train rows ride

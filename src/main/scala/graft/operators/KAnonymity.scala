@@ -85,7 +85,16 @@ object KAnonymity {
     val rungs: Seq[(Long, Seq[String])] =
       widths.map(w => (w, Seq.empty[String])) ++
         starLadder.indices.map(j => (widths.last, starLadder.take(j + 1)))
-    var remaining = df
+    // Materialize the input once: every rung consumes `remaining`
+    // up to three times (the cell-count pass, the released-rows side
+    // of the join, the sub-k tail feeding the next rung), and rungs
+    // after the first already read a checkpoint — but the FIRST rung
+    // used to re-evaluate the caller's whole upstream pipeline per
+    // consumer (q145 paid its assembled training-set plan ~3×;
+    // guide §5: cut lineage when an intermediate is reused). The
+    // input here is metadata-skinny by contract (quasi columns +
+    // value), so the checkpoint is id-table-sized, never corpus text.
+    var remaining = df.localCheckpoint()
     var released: Option[DataFrame] = None
     for (((w, stars), i) <- rungs.zipWithIndex) {
       val generalized = stars.foldLeft(remaining)((d, c) => d.withColumn(c, lit("*")))

@@ -994,12 +994,20 @@ object LlmQueries {
     // dot products, norms), divisions/sqrt run once on identical exact
     // inputs, cosine rounds to 9 with a (cos desc, label asc) total
     // order — so the argmax is engine-exact and the DuckDB twin
-    // recomputes the full audit. Scale shape: centroids are L×d
-    // (model-sized, broadcast); the pair space is n×L via the
-    // broadcast join — never vector-vector; at 100 TB the production
-    // assignment is `functions.ArgmaxDot` with centroid literals
-    // (q26/q33's zero-shuffle map), this long form is its
-    // oracle-checkable twin.
+    // recomputes the full audit. Scale shape (r18 optimization, same
+    // values): centroids are L×d (model-sized), folded to one dim-
+    // ordered array row per label and broadcast; dot products and the
+    // vector norm run PER ROW inside zip_with/aggregate (decimal
+    // addition is exact and order-independent, so the array fold
+    // equals the old exploded groupBy sums bit-for-bit), and the
+    // nearest-centroid pick is one max(struct(cos, −label)) aggregate
+    // with map-side combine instead of a row_number window — the old
+    // shape shuffled n·L·d exploded rows into the dot aggregate and
+    // n·L rows into a window sort; this one shuffles the L×d centroid
+    // partials plus n argmax partials, and scans the corpus twice
+    // instead of three times. At 100 TB the production assignment is
+    // `functions.ArgmaxDot` with centroid literals (q26/q33's
+    // zero-shuffle map), this long form is its oracle-checkable twin.
     "q99_label_audit" -> ((s, dir) => {
       val t = Tables(s, dir)
       val D30 = org.apache.spark.sql.types.DecimalType(30, 15)
@@ -1007,27 +1015,34 @@ object LlmQueries {
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "__x")))
       val cent = flat.groupBy(col("label").as("clabel"), col("dim"))
         .agg((sum(col("__x").cast(D30)).cast("double") / count(lit(1))).as("__m"))
-      val cnorm = cent.groupBy(col("clabel"))
-        .agg(sum((col("__m") * col("__m")).cast(D30)).cast("double").as("__cn"))
-      val vnorm = flat.groupBy(col("vec_id"))
-        .agg(sum((col("__x") * col("__x")).cast(D30)).cast("double").as("__vn"))
-      val dots = flat
-        .join(broadcast(cent), Seq("dim"))
-        .groupBy(col("vec_id"), col("label"), col("clabel"))
-        .agg(sum((col("__x") * col("__m")).cast(D30)).cast("double").as("__dot"))
-      val rankW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("__cos").desc, col("clabel").asc)
-      dots
-        .join(broadcast(cnorm), Seq("clabel"))
-        .join(vnorm, Seq("vec_id"))
+      // one dim-ordered centroid array + its norm per label — L rows
+      val centArr = cent
+        .groupBy(col("clabel"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("__m")))),
+          x => x.getField("__m")).as("__carr"))
+        .withColumn("__cn", aggregate(col("__carr"),
+          lit(0).cast(D30),
+          (acc, m) => (acc + (m * m).cast(D30)).cast(D30)).cast("double"))
+      val scored = t.embeddings
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("__e"))
+        .withColumn("__vn", aggregate(col("__e"),
+          lit(0).cast(D30),
+          (acc, x) => (acc + (x * x).cast(D30)).cast(D30)).cast("double"))
+        .crossJoin(broadcast(centArr))
+        .withColumn("__dot", aggregate(zip_with(col("__e"), col("__carr"),
+          (x, m) => (x * m).cast(D30)),
+          lit(0).cast(D30), (acc, v) => (acc + v).cast(D30)).cast("double"))
         .withColumn("__cos",
           round(col("__dot") / (sqrt(col("__vn")) * sqrt(col("__cn"))), 9) + lit(0.0))
-        .withColumn("__rk", row_number().over(rankW))
-        .filter(col("__rk") === 1)
+      scored
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(struct(col("__cos").as("c"),
+          (-col("clabel")).as("negl"))).as("__best"))
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("clabel").cast("long").as("nearest_label"),
-          col("__cos").as("nearest_cos"),
-          (col("clabel") =!= col("label")).as("is_mismatch"))
+          (-col("__best.negl")).cast("long").as("nearest_label"),
+          (col("__best.c") + lit(0.0)).as("nearest_cos"),
+          (-col("__best.negl") =!= col("label")).as("is_mismatch"))
     }),
 
     // SOURCE-DRIFT audit — χ² of each source's token distribution
