@@ -370,6 +370,16 @@ object NearDup {
   /** Exact Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a); val db = array_distinct(b)
+    jaccardDistinct(da, db)
+  }
+
+  /** [[jaccard]] for inputs ALREADY distinct (the shingleSets /
+    * nearDupPairs verify path) — skips the defensive per-row
+    * re-distinct, which is pure O(set) hash work on that path; same
+    * value by definition (array_intersect distincts its output, and
+    * sizes of distinct arrays are the set sizes). r18.
+    */
+  def jaccardDistinct(da: Column, db: Column): Column = {
     val inter = size(array_intersect(da, db))
     val union = size(da) + size(db) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
@@ -386,12 +396,20 @@ object NearDup {
                    numHashes: Int = 64, bands: Int = 16,
                    seed: Long = 42L): DataFrame = {
     val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    // tokenize ONCE: the two verify joins are the id_a and id_b sides
+    // of the same shingle table — without the checkpoint each side
+    // re-ran the scan + wordShingles + array_distinct pass (the small
+    // candidate table broadcasts, so neither join reuses the other's
+    // exchange; r18, the prefixShingleSets discipline applied here)
     val sh = df.select(col(idCol).as("__sid"),
       array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+      .localCheckpoint()
     cands
       .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
       .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      // __sha/__shb are array_distinct outputs, so the intersection
+      // can skip jaccard()'s defensive re-distinct — same value
+      .select(col("id_a"), col("id_b"), jaccardDistinct(col("__sha"), col("__shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
