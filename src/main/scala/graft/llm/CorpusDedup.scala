@@ -101,14 +101,18 @@ object CorpusDedup {
       .distinct()
     // exact-Jaccard verification — shingles joined back by id, only
     // candidate pairs pay the set intersection (NearDup's contract)
+    // tokenize once — the id_a/id_b verify sides each re-ran the
+    // union + wordShingles pass before the checkpoint (r18, the
+    // nearDupPairs fix applied to the incremental path)
     val sh = baseDocs.unionByName(probeDocs)
       .select(col(idCol).as("__sid"),
         array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
+      .localCheckpoint()
     val pairs = cands
       .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
       .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        NearDup.jaccard(col("__sha"), col("__shb")).as("jaccard"))
+        NearDup.jaccardDistinct(col("__sha"), col("__shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val drop = graft.graph.PropertyGraph.pairComponents(pairs)
       .filter(col("id") =!= col("keep_id"))
@@ -170,6 +174,10 @@ object CorpusDedup {
           lit(s"dedupParagraphs: document "), col("__doc"),
           lit(s" has >= $maxParas paragraphs — raise maxParas"))))
           .otherwise(col("__doc") * maxParas + col("__idx")))
+      // materialized once (r18): three consumers — the LSH band pass,
+      // the verify shingle pass, and the final anti-join/reassembly —
+      // each used to replay the explode + keep-first subtree
+      .localCheckpoint()
     // 3. near-dup groups over surviving paragraphs; drop non-representatives
     val dropNear = NearDup
       .nearDupGroups(survExact, "__pid", "__para", threshold, shingleN,

@@ -110,7 +110,10 @@ object ExactSubstr {
     */
   def cutList(docs: DataFrame, L: Int, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val grams = gramTable(docs, L, idCol, textCol)
+    // two consumers (the duplicate aggregate + the semi join) —
+    // checkpoint so tokenize + md5 run once, exactly the
+    // cutListIncremental discipline (r18; it always applied there)
+    val grams = gramTable(docs, L, idCol, textCol).localCheckpoint()
     // ≥ 2 distinct docs ⟺ min ≠ max — one map-side combinable agg
     val dup = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
