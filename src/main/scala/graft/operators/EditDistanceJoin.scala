@@ -88,22 +88,33 @@ object EditDistanceJoin {
         .when(length(col(strCol)) =!= len, raise_error(concat(
           lit(s"EditDistanceJoin: string not of length $len: "), col(strCol))))
         .otherwise(col(strCol)).as("__s"))
+      // one scan serves every segment/window branch (r18): the union-
+      // of-selects form below used to re-read the input once per
+      // segment (k+1 own + ~(k+1)(2k+1) window branches ≈ 16 scans at
+      // k=2), and the hot-key probe re-read it again
+      .localCheckpoint()
     val bounds = (0 to k + 1).map(i => i * len / (k + 1))
     val segs = (0 to k).map(i => (i, bounds(i), bounds(i + 1) - bounds(i)))
-    // each string's own k+1 segments
-    val own = segs.map { case (i, st, ln) =>
-      checked.select(col("__id").as("id_a"), col("__s").as("s_a"),
-        lit(i).as("__i"), substring(col("__s"), st + 1, ln).as("__seg"))
-    }.reduce(_ union _)
+    // each string's own k+1 segments — one explode over the literal
+    // segment array instead of a k+1-way union of scans (same rows)
+    val own = checked.select(col("__id").as("id_a"), col("__s").as("s_a"),
+        explode(array(segs.map { case (i, st, ln) =>
+          struct(lit(i).as("__i"), substring(col("__s"), st + 1, ln).as("__seg"))
+        }: _*)).as("__e"))
+      .select(col("id_a"), col("s_a"),
+        col("__e.__i").as("__i"), col("__e.__seg").as("__seg"))
     // each string's window substrings: segment i may land shifted ±k
     val winSpecs = segs.flatMap { case (i, st, ln) =>
       (-k to k).map(d => (i, st, ln, d))
         .filter { case (_, s0, l, d) => s0 + d >= 0 && s0 + d + l <= len }
     }
-    val windows = winSpecs.map { case (i, st, ln, d) =>
-      checked.select(col("__id").as("id_b"), col("__s").as("s_b"),
-        lit(i).as("__i"), substring(col("__s"), st + d + 1, ln).as("__seg"))
-    }.reduce(_ union _)
+    val windows = checked.select(col("__id").as("id_b"), col("__s").as("s_b"),
+        explode(array(winSpecs.map { case (i, st, ln, d) =>
+          struct(lit(i).as("__i"),
+            substring(col("__s"), st + d + 1, ln).as("__seg"))
+        }: _*)).as("__e"))
+      .select(col("id_b"), col("s_b"),
+        col("__e.__i").as("__i"), col("__e.__seg").as("__seg"))
     val pairCols = Seq(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
     val primary = own.join(windows, Seq("__i", "__seg"))
       .filter(col("id_a") < col("id_b"))
