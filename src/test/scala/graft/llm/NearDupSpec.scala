@@ -52,6 +52,21 @@ class NearDupSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("verify stage reads the shingle checkpoint: one tokenize pass in the plan") {
+    // r18 optimization pin: the shingle table is localCheckpoint-ed,
+    // so the executed verify plan must contain no live tokenize/
+    // signature expressions — both verify join sides and the band
+    // stage sit below checkpoints. A MinHashSig or wordShingles
+    // splitter reappearing here means a subtree is being re-evaluated
+    // per consumer again.
+    val df = corpus(30)
+    val plan = NearDup.nearDupPairs(df, "doc_id", "text", threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MinHashSig"), "signature recomputed above checkpoint")
+    assert(!plan.toLowerCase.contains("array_distinct"),
+      "shingle sets recomputed above the checkpoint")
+  }
+
   test("near-dup groups: connected components keyed by min id") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),   // near-dup pair (identical)

@@ -102,4 +102,17 @@ class TrainingSetSpec extends SparkSpec {
       s"cell ${r.toSeq} released under k"))
     rel.unpersist()
   }
+
+  test("rank stages run over the skinny metadata projection, never text") {
+    // r18 optimization pin: stages 4-5 read a checkpointed
+    // (id, lang, hash, token-count) projection, so the executed plan
+    // of the assembled frame must not reference the text column — the
+    // stage-1..3 subtree (which does read text) sits below the
+    // checkpoint and out of the rank shuffles. A `text#` attribute
+    // reappearing here means document payloads are riding the range
+    // exchanges again.
+    val plan = assemble(3).queryExecution.executedPlan.toString
+    assert(!plan.contains("text#"),
+      "assembled plan references the text column above the metadata checkpoint")
+  }
 }
