@@ -44,5 +44,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r18): local[N] runs N task slots inside this one JVM,
+  // and the 8g default left 32-slot runs at ~250 MB/slot — below
+  // Spark's per-core guidance once the bench's persisted layouts and
+  // localCheckpoints compete with execution memory. At 8g the full
+  // sf0.1 bench showed 2-10x per-pass swings (q104 36/54/6 s across
+  // interleaved passes) that vanish at 16g (183.6/189.5/188.6 s pass
+  // totals, no query slower); still env-overridable per box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
