@@ -98,22 +98,26 @@ object PageRankFixed {
       .withColumn("__w", expr(s"${Scale}L div __outdeg"))
       .drop("__outdeg")
       .persist()
-    // Node list from the raw input (NOT from e: keeps the cached plans
-    // independent, so the final plan does not reprint the edge layout
-    // under the nodes scan); node-keyed for the per-iteration left
-    // join. Redistribute mode admits sinks, so its node set includes
-    // dsts.
+    // Materialize the edge cache FIRST: every later table (nodes,
+    // sinks, profile) derives from it, so the caller's edge subtree —
+    // often a corpus scan + distinct + union — is evaluated exactly
+    // once. (The first cut built `nodes` from the raw input and
+    // counted it before e, re-running that subtree a second time for
+    // the edge-cache materialization — measured as the bulk of
+    // q104/q108's layout cost at sf0.1.) Materializing before the
+    // iteration plans are built is also what makes the cached
+    // partitioning visible to EnsureRequirements.
+    e.count()
+    // Node list from the CACHED edge layout; node-keyed for the
+    // per-iteration left join. Redistribute mode admits sinks, so its
+    // node set includes dsts.
     val nodes = (if (redistribute)
-        edges.select(col("src").as("node"))
-          .unionByName(edges.select(col("dst").as("node")))
-      else edges.select(col("src").as("node")))
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+      else e.select(col("src").as("node")))
       .distinct().persist()
-    // The one driver scalar — counting it also materializes both
-    // caches BEFORE the iteration plans are built, which is what makes
-    // the cached partitioning visible to EnsureRequirements.
     val n = nodes.count()
     require(n > 0, "PageRankFixed.run: empty graph")
-    e.count()
     // The static sink set (nodes with no out-edges — under 'reject'
     // the node set is the srcs, so this is exactly the dangling-dst
     // probe). Reject fails loudly; redistribute persists the set for
@@ -186,7 +190,15 @@ object PageRankFixed {
           "__base + (CAST(17 AS DECIMAL(38,0)) * COALESCE(__msum, 0L)) div 20"
         ) + bonusCol).as("rank_scaled"))
       // Snap every NON-final iteration flat; return the last one live.
-      r = if (i < iters) next.localCheckpoint() else next
+      // LAZY checkpoints: the plan built on top is a LogicalRDD either
+      // way (lineage stays flat for any iteration count), but an eager
+      // snap runs one JOB per iteration — at local/bench scale the
+      // per-job fixed cost dominated the whole recurrence. Lazily, the
+      // caller's single action computes the chain inline, storing each
+      // iteration's blocks as it passes (redistribute mode still
+      // materializes per iteration via the dangling-mass action — same
+      // behavior, one name).
+      r = if (i < iters) next.localCheckpoint(eager = false) else next
     }
     r
   }
