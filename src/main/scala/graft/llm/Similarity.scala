@@ -454,25 +454,30 @@ object Similarity {
                      centroidVecCol: String = "embedding",
                      blocks: Int = 8): DataFrame = {
     require(blocks >= 1, "blocks must be positive")
-    val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
-      col(centroidVecCol).cast("array<double>").as("__centv"))
     val vecD = col(vecCol).cast("array<double>")
-    // batch-only assignment against the frozen centroids (the
-    // PqIncremental.encodeBatch device); batch-sized, checkpointed —
-    // it feeds the corpus-mate scan, the in-batch scan and the verdict
-    val bAsg = batch.select(col(idCol).as("vec_id"), vecD.as("__v"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
-          (-col("centroid_id")).as("nc")).as("__ord"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), col("__ord")).as("cluster_id"))
+    // batch-only assignment against the frozen centroids — the same
+    // per-row nearest-centroid fold as [[semDedupAssign]] (identical
+    // decision, zero shuffles); batch-sized, checkpointed WITH the
+    // vectors and sub-blocks — it feeds the corpus-mate scan, the
+    // in-batch scan and the verdict, and the first cut re-joined the
+    // raw batch per consumer
+    val bWith = batch.select(col(idCol).as("vec_id"), vecD.as("__v"))
+      .crossJoin(broadcast(
+        foldedCentroids(centroids, centroidIdCol, centroidVecCol)))
+      .select(col("vec_id"), col("__v"),
+        nearestCentroid(col("__v")).as("cluster_id"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b"))
       .localCheckpoint()
-    val bWith = bAsg
-      .join(batch.select(col(idCol).as("vec_id"), vecD.as("__v")), Seq("vec_id"))
+    val bAsg = bWith.select(col("vec_id"), col("cluster_id"))
     // (a) vs corpus: mates come by the cluster equi-join — the batch
-    // side broadcasts, corpus vectors move only for touched clusters
+    // side broadcasts, and the corpus DECISION table is semi-joined to
+    // the batch's touched clusters BEFORE the vector join, so corpus
+    // vectors of untouched clusters never enter a join at all (the
+    // first cut joined corpusAsg ⋈ corpusVecs corpus × corpus first —
+    // two corpus-sized Exchanges — and only then pruned by cluster)
+    val touched = bAsg.select(col("cluster_id")).distinct()
     val cMates = corpusAsg
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
       .select(col("vec_id").as("__cmid"), col("cluster_id"))
       .join(corpusVecs.select(col(idCol).as("__cmid"), vecD.as("__cv")),
         Seq("__cmid"))
@@ -483,8 +488,7 @@ object Similarity {
     // larger id of any within-cluster pair
     val dupInBatch = blockedCellPairs(
       bWith.select(col("vec_id").as("__id"), col("__v"),
-        col("cluster_id").as("__c"),
-        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b")),
+        col("cluster_id").as("__c"), col("__b")),
       tau, blocks)
       .select(col("id_b").as("vec_id")).distinct()
     bAsg.join(dupVsCorpus.unionByName(dupInBatch).distinct()
@@ -780,31 +784,57 @@ object Similarity {
         not(coalesce(col("__dup"), lit(false))).as("keep"))
   }
 
+  /** Per-row nearest-centroid fold over a 1-row folded centroid table
+    * (the q99 device): `array_max` over the SAME (round9-cosine,
+    * −centroid_id) struct order the previous `max_by` aggregate
+    * compared — identical selection (ties at 9 decimals still resolve
+    * to the smallest centroid id; the negated-id field is unique, so
+    * the max is unambiguous), but computed per ROW, so the n·k
+    * crossJoin rows, the vec_id re-aggregation Exchange and the vector
+    * join-back all disappear. Shared by [[semDedupAssign]] and the
+    * batch side of [[semDedupAppend]].
+    */
+  private def foldedCentroids(centroids: DataFrame, centroidIdCol: String,
+                              centroidVecCol: String): DataFrame =
+    centroids
+      .select(col(centroidIdCol).as("centroid_id"),
+        col(centroidVecCol).cast("array<double>").as("__centv"))
+      .agg(sort_array(collect_list(struct(col("centroid_id").as("id"),
+        col("__centv").as("v")))).as("__cents"))
+
+  private def nearestCentroid(v: Column): Column =
+    -array_max(transform(col("__cents"), c =>
+      struct(round(cosine(v, c.getField("v")), 9).as("d"),
+        (-c.getField("id")).as("nc")))).getField("nc")
+
   /** The shared pinned-centroid assignment stage of the SemDeDup
-    * family: (asg = (vec_id, cluster_id) checkpointed, withV = the
-    * pair-scan input carrying vectors + sub-blocks).
+    * family: ONE corpus scan computes (vec_id, vector, cluster_id,
+    * sub-block) with zero shuffles — the centroids arrive as a 1-row
+    * broadcast array and the nearest-centroid decision is a per-row
+    * fold — and is checkpointed once for its three consumers (both
+    * triangle-scan sides + the verdict join). Returns (asg = (vec_id,
+    * cluster_id) projection, withV = the pair-scan input). The first
+    * cut ran a n·k crossJoin into a vec_id re-aggregation and joined
+    * the vectors back per pair-scan side — two extra Exchanges and a
+    * double-evaluated corpus join, measured as the bulk of
+    * q167/q178's assignment cost.
     */
   private def semDedupAssign(df: DataFrame, centroids: DataFrame,
                              idCol: String, vecCol: String,
                              centroidIdCol: String, centroidVecCol: String,
                              blocks: Int): (DataFrame, DataFrame) = {
     require(blocks >= 1, "blocks must be positive")
-    val cents = centroids.select(col(centroidIdCol).as("centroid_id"),
-      col(centroidVecCol).cast("array<double>").as("__centv"))
     val vecD = col(vecCol).cast("array<double>")
-    val asg = df.select(col(idCol).as("vec_id"), vecD.as("__v"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        struct(round(cosine(col("__v"), col("__centv")), 9).as("d"),
-          (-col("centroid_id")).as("nc")).as("__ord"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), col("__ord")).as("cluster_id"))
-      .localCheckpoint() // ids only; feeds both pair-scan sides + verdict
-    val withV = asg
-      .join(df.select(col(idCol).as("vec_id"), vecD.as("__v")), Seq("vec_id"))
-      .select(col("vec_id").as("__id"), col("__v"),
-        col("cluster_id").as("__c"),
+    val assigned = df.select(col(idCol).as("vec_id"), vecD.as("__v"))
+      .crossJoin(broadcast(
+        foldedCentroids(centroids, centroidIdCol, centroidVecCol)))
+      .select(col("vec_id"), col("__v"),
+        nearestCentroid(col("__v")).as("cluster_id"),
         pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("__b"))
+      .localCheckpoint() // one scan+assign; three consumers
+    val asg = assigned.select(col("vec_id"), col("cluster_id"))
+    val withV = assigned.select(col("vec_id").as("__id"), col("__v"),
+      col("cluster_id").as("__c"), col("__b"))
     (asg, withV)
   }
 
