@@ -1221,10 +1221,20 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("__day"), col("__r"),
           bucket(col("__r"), col("user_id")).as("__bucket"))
         .agg(count(lit(1)).as("__cnt"))
+      // merged is ≤ types × depth × width rows — checkpoint it, so the
+      // ×depth explode + md5 bucket pass over events runs ONCE (the
+      // first cut re-evaluated `daily` for the probe-type list and the
+      // final join: three corpus passes for one sketch)
       val merged = daily
         .groupBy(col("event_type"), col("__r"), col("__bucket"))
         .agg(sum(col("__cnt")).as("__cnt"))
-      val nDays = daily.select(col("event_type"), col("__day")).distinct()
+        .localCheckpoint()
+      // (type, day) presence doesn't need the sketch pipeline: derive
+      // day counts from the raw scan (identical set — every event
+      // contributes all depth rows to `daily`, so projecting daily to
+      // (type, day) equals projecting events)
+      val nDays = t.events
+        .select(col("event_type"), to_date(col("ts")).as("__day")).distinct()
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
       val probes = merged.select(col("event_type")).distinct()
         .crossJoin(s.range(0, 10).select(col("id").as("user_id")))
