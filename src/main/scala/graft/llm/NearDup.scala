@@ -487,9 +487,8 @@ object NearDup {
       s"threshold must be in (0, 1], got $threshold")
     val sh = prefixShingleSets(df, idCol, textCol, shingleN)
     val ex = prefixShingleExplode(sh)
-    val gids = prefixGidTable(ex)
-    val prefix = prefixRows(ex, gids, threshold)
-    prefixVerify(prefixCandidates(prefix, threshold), sh, gids, threshold)
+    val prefix = prefixRows(ex, prefixDocFreq(ex), threshold)
+    prefixVerify(prefixCandidates(prefix, threshold), sh, threshold)
   }
 
   // The five stages below are package-private so tools.ProbeQ85 times
