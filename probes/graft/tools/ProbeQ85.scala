@@ -32,15 +32,18 @@ object ProbeQ85 {
     }
     val ex = NearDup.prefixShingleExplode(sh)
     println(s"COUNT shingle-instances ${timed("explode-count")(ex.count())}")
-    val dfreq = NearDup.prefixDocFreq(ex)
-    println(s"COUNT distinct-shingles ${timed("dfreq-count")(dfreq.count())}")
-    val prefix = NearDup.prefixRows(ex, dfreq, threshold).localCheckpoint()
+    val gids = NearDup.prefixGidTable(ex)
+    println(s"COUNT distinct-shingles ${timed("gid-table")(gids.count())}")
+    val gidSets = timed("gidsets-checkpoint") {
+      NearDup.prefixGidSets(NearDup.prefixInterned(ex, gids))
+    }
+    val prefix = NearDup.prefixRows(gidSets, threshold).localCheckpoint()
     println(s"COUNT prefix-rows ${timed("prefix-build")(prefix.count())}")
     val cand = timed("candidate-join") {
       NearDup.prefixCandidates(prefix, threshold)
     }
     println(s"COUNT candidates ${cand.count()}")
-    val pairs = NearDup.prefixVerify(cand, sh, threshold)
+    val pairs = NearDup.prefixVerify(cand, gidSets, threshold)
     println(s"COUNT pairs ${timed("verify")(pairs.count())}")
     spark.stop()
   }

@@ -487,8 +487,9 @@ object NearDup {
       s"threshold must be in (0, 1], got $threshold")
     val sh = prefixShingleSets(df, idCol, textCol, shingleN)
     val ex = prefixShingleExplode(sh)
-    val prefix = prefixRows(ex, prefixDocFreq(ex), threshold)
-    prefixVerify(prefixCandidates(prefix, threshold), sh, threshold)
+    val gidSets = prefixGidSets(prefixInterned(ex, prefixGidTable(ex)))
+    val prefix = prefixRows(gidSets, threshold)
+    prefixVerify(prefixCandidates(prefix, threshold), gidSets, threshold)
   }
 
   // The five stages below are package-private so tools.ProbeQ85 times
@@ -516,21 +517,61 @@ object NearDup {
   private[graft] def prefixDocFreq(ex: DataFrame): DataFrame =
     ex.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
 
+  /** Stage 2c: the shingle dictionary — every DISTINCT shingle mapped
+    * to its dense 1-based rank `__gid` under the rarest-first
+    * (document frequency, shingle) total order. `__g` is unique per
+    * row of the df aggregate, so the order is total and the rank a
+    * BIJECTION; sorting a doc's gids ascending therefore reproduces
+    * exactly the (df, g) struct sort the pipeline used before, and a
+    * gid equi-join matches iff the underlying shingles are equal. The
+    * payoff (guide §2.3, shuffle keys instead of payloads): every
+    * exchange after the one interning join below carries an 8-byte
+    * long where it used to carry a 3-word shingle STRING — the
+    * candidate join, the quadratic verify explode and the prefix
+    * collect were the heaviest string exchanges on the surface. The
+    * rank is computed by the DistributedRank two-pass prefix sum
+    * (vocabulary-sized input, every sort task bounded by a range
+    * shard — no single-task window).
+    */
+  private[graft] def prefixGidTable(ex: DataFrame): DataFrame =
+    graft.operators.DistributedRank.prefix(
+        prefixDocFreq(ex).withColumn("__one", lit(1)),
+        Seq("__one"), Seq("__df", "__g"))
+      .select(col("__g"), col("__rank").as("__gid"))
+
+  /** Stage 2d: the interned explode — one (doc, set-size, gid) row per
+    * set member: the single place shingle strings cross an exchange
+    * (the intern join); everything downstream is long-typed. Consumed
+    * exactly once (by [[prefixGidSets]]), so no checkpoint here.
+    */
+  private[graft] def prefixInterned(ex: DataFrame, gids: DataFrame): DataFrame =
+    ex.join(gids, Seq("__g"))
+      .select(col("__sid"), col("__n"), col("__gid"))
+
+  /** Stage 2e: per-doc SORTED gid array (rarest-first — ascending gid
+    * ≡ ascending (df, shingle), the rank's defining order), one row
+    * per doc, checkpointed ONCE: the prefix build slices its head and
+    * the verify intersects whole arrays. This is the pipeline's one
+    * materialization of corpus content past the shingle table, and it
+    * is the SMALLEST faithful representation: |set| longs per doc.
+    */
+  private[graft] def prefixGidSets(exg: DataFrame): DataFrame =
+    exg.groupBy(col("__sid"), col("__n"))
+      .agg(sort_array(collect_list(col("__gid"))).as("__ord"))
+      .localCheckpoint()
+
   /** Stage 3: prefix rows carrying the 1-based position in the doc's
     * rarest-first sorted shingle list (= position within the prefix,
     * since the prefix IS the list's head) — the positional filter's
-    * input.
+    * input. The sorted gid array is the doc's shingle list already in
+    * prefix order, so this stage is a pure slice + explode.
     */
-  private[graft] def prefixRows(ex: DataFrame, dfreq: DataFrame,
-                                threshold: Double): DataFrame = {
+  private[graft] def prefixRows(gidSets: DataFrame, threshold: Double): DataFrame = {
     val pLen = (col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
-    ex.join(dfreq, Seq("__g"))
-      .groupBy(col("__sid"), col("__n"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+    gidSets
       .select(col("__sid"), col("__n"),
-        posexplode(slice(transform(col("__ord"), s => s.getField("__g")),
-          lit(1), pLen)))
-      .select(col("__sid"), col("__n"), (col("pos") + 1).as("__p"), col("col").as("__g"))
+        posexplode(slice(col("__ord"), lit(1), pLen)))
+      .select(col("__sid"), col("__n"), (col("pos") + 1).as("__p"), col("col").as("__gid"))
   }
 
   /** Stage 4: the prefix self-join with the length-ratio filter and
@@ -546,7 +587,7 @@ object NearDup {
       lit(threshold / (1.0 + threshold)) * (col("l.__n") + col("r.__n")) - lit(1e-9))
     prefix.as("l")
       .join(prefix.as("r"),
-        col("l.__g") === col("r.__g") && col("l.__sid") < col("r.__sid")
+        col("l.__gid") === col("r.__gid") && col("l.__sid") < col("r.__sid")
           && least(col("l.__n"), col("r.__n")).cast("double") >=
              lit(threshold) * greatest(col("l.__n"), col("r.__n")).cast("double")
           && (lit(1L) + least(col("l.__n") - col("l.__p"), col("r.__n") - col("r.__p")))
@@ -556,26 +597,27 @@ object NearDup {
       .localCheckpoint()
   }
 
-  /** Stage 5: exact verify WITHOUT shipping shingle arrays per
-    * candidate (measured 3× slower at 259 k candidates × ~50-string
-    * arrays): count the intersection as plain (doc, shingle) row
-    * joins — the second join's build side is the corpus's distinct
-    * (doc, shingle) rows, everything after it is long-typed
-    * aggregation. A candidate always shares ≥ 1 shingle, so the inner
-    * joins lose no pair; and |A∩B| ≥ 1 makes the union denominator
-    * positive by construction.
+  /** Stage 5: exact verify by per-candidate ARRAY intersection over
+    * the interned gid sets: two doc-keyed joins attach each side's
+    * sorted long array (a |set|-long payload — the string-array form
+    * this replaced measured 3× slower, but the old row-explode
+    * workaround was worse still: it pushed ~40× the candidate count
+    * through two sort-merge exchanges where this pushes the candidates
+    * themselves), and `size(array_intersect)` counts |A∩B| per row —
+    * gid ↔ shingle is a bijection and both arrays are distinct-valued,
+    * so the count IS the shingle intersection. The integer (i, na, nb)
+    * triple and the one double division are exactly the old ones, so
+    * the output rows are bit-identical.
     */
-  private[graft] def prefixVerify(cand: DataFrame, sh: DataFrame,
+  private[graft] def prefixVerify(cand: DataFrame, gidSets: DataFrame,
                                   threshold: Double): DataFrame = {
-    val exk = sh.select(col("__sid"), explode(col("__sh")).as("__g"))
-    val nMap = sh.select(col("__sid"), size(col("__sh")).as("__nn"))
     cand
-      .join(exk.withColumnRenamed("__sid", "id_a"), Seq("id_a"))
-      .join(exk.withColumnRenamed("__sid", "id_b"), Seq("id_b", "__g"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__i"))
-      .join(nMap.select(col("__sid").as("id_a"), col("__nn").as("__na")), Seq("id_a"))
-      .join(nMap.select(col("__sid").as("id_b"), col("__nn").as("__nb")), Seq("id_b"))
+      .join(gidSets.select(col("__sid").as("id_a"), col("__n").as("__na"),
+        col("__ord").as("__oa")), Seq("id_a"))
+      .join(gidSets.select(col("__sid").as("id_b"), col("__n").as("__nb"),
+        col("__ord").as("__ob")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb"),
+        size(array_intersect(col("__oa"), col("__ob"))).cast("long").as("__i"))
       .select(col("id_a"), col("id_b"),
         (col("__i").cast("double") /
           (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
