@@ -129,8 +129,19 @@ object Triangles {
                   dstCol: String = "dst"): DataFrame =
     supportOf(canonical(edges, srcCol, dstCol))
 
-  private def supportOf(ce: DataFrame): DataFrame = {
-    val triEdges = enumerate(ce)
+  private def supportOf(ce: DataFrame): DataFrame =
+    ce.join(positiveSupportOf(ce), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+
+  /** Support counts for edges in ≥ 1 triangle ONLY — every (a, b) here
+    * is an edge of `ce` by the closure join, so [[supportOf]]'s left
+    * join exists solely to re-attach support-0 edges. The peel loop
+    * filters on support ≥ k − 2 ≥ 1, which drops those rows anyway, so
+    * it reads THIS table directly and skips the re-attach join (one
+    * less (a, b)-keyed exchange of the full edge set per round, r19).
+    */
+  private def positiveSupportOf(ce: DataFrame): DataFrame =
+    enumerate(ce)
       .select(explode(array(
         struct(least(col("t_u"), col("t_v")).as("a"),
           greatest(col("t_u"), col("t_v")).as("b")),
@@ -140,9 +151,6 @@ object Triangles {
           greatest(col("t_v"), col("t_w")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    ce.join(triEdges, Seq("a", "b"), "left")
-      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
-  }
 
   /** K-TRUSS by support peeling (Cohen 2008): repeatedly recompute
     * edge support on the surviving edge set and drop every edge in
@@ -171,19 +179,28 @@ object Triangles {
     * Returns the surviving (a, b, support) edges, support ≥ k − 2.
     */
   private def peelFrom(ce: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    // Each round materializes the FILTERED support table (with the
+    // support column) instead of a bare (a, b) projection: the
+    // convergence count reads the checkpoint, and the fixpoint return
+    // IS the checkpoint — the old shape re-ran the whole enumeration
+    // once more when the returned `supported.filter` was consumed
+    // (one full O(E^1.5) pass saved per peel level, r19). Reading
+    // positiveSupportOf directly is equivalent here: support-0 edges
+    // fail `support >= k - 2 >= 1` either way.
     var cur = ce
     var n = cur.count()
     var round = 0
-    var supported = supportOf(cur)
+    var supported = positiveSupportOf(cur)
+      .filter(col("support") >= k - 2).localCheckpoint()
     while (round < maxRounds && n > 0) {
-      val kept = supported.filter(col("support") >= k - 2)
-        .select(col("a"), col("b")).localCheckpoint()
-      val m = kept.count()
-      if (m == n) return supported.filter(col("support") >= k - 2)
-      cur = kept; n = m; round += 1
-      supported = supportOf(cur)
+      val m = supported.count()
+      if (m == n) return supported
+      cur = supported.select(col("a"), col("b"))
+      n = m; round += 1
+      supported = positiveSupportOf(cur)
+        .filter(col("support") >= k - 2).localCheckpoint()
     }
-    supported.filter(col("support") >= k - 2)
+    supported
   }
 
   /** TRUSS DECOMPOSITION — every canonical edge's maximum trussness:
@@ -208,8 +225,10 @@ object Triangles {
     var k = 3
     var levels = Vector.empty[DataFrame]
     while (n > 0 && k <= maxK) {
+      // peelFrom returns a checkpointed table — the bare projection
+      // needs no second materialization (r19)
       val kept = peelFrom(cur, k, maxRoundsPerK)
-        .select(col("a"), col("b")).localCheckpoint()
+        .select(col("a"), col("b"))
       val m = kept.count()
       if (m > 0) levels :+= kept.withColumn("__k", lit(k.toLong))
       cur = kept; n = m; k += 1

@@ -36,7 +36,10 @@ object CorpusDedup {
       .select(col(idCol), md5(col(textCol)).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
-    val kept = df.join(keepExact, Seq(idCol), "left_semi")
+    // materialized once (r19): the exact-kept rows feed the near-dup
+    // stage's shingle pass AND the final anti-join — each used to
+    // re-run the scan + md5 keep-first semi-join
+    val kept = df.join(keepExact, Seq(idCol), "left_semi").localCheckpoint()
     // stage 2: near-dup groups over the exact-kept set; drop everything
     // that is not its group's minimum id
     val drop = NearDup
@@ -88,10 +91,21 @@ object CorpusDedup {
     // generated (the corpus is clean: its internal near-dups are gone)
     val probeDocs = keptExact.select(col(idCol), col(textCol))
     val baseDocs = corpus.select(col(idCol), col(textCol))
-    val bp = NearDup.bandTable(probeDocs, idCol, textCol, shingleN,
-      numHashes, bands, seed).localCheckpoint()
-    val pool = NearDup.bandTable(baseDocs, idCol, textCol, shingleN,
-      numHashes, bands, seed).unionByName(bp)
+    // tokenize each side ONCE (r19): the checkpointed distinct shingle
+    // sets feed the band construction AND the verify joins — bandTable
+    // used to run its own scan + wordShingles pass per side on top of
+    // the union the verify tokenized (MinHash over the multiset equals
+    // MinHash over the set; zero-shingle docs leave the band rows, but
+    // any pair they formed verified to jaccard 0 and was dropped, so
+    // the output is identical).
+    val ssProbe = NearDup.shingleSets(probeDocs, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val ssBase = NearDup.shingleSets(baseDocs, idCol, textCol, shingleN)
+      .localCheckpoint()
+    val bp = NearDup.bandRowsOfSets(ssProbe, numHashes, bands, seed)
+      .localCheckpoint()
+    val pool = NearDup.bandRowsOfSets(ssBase, numHashes, bands, seed)
+      .unionByName(bp)
     val cands = bp.as("l")
       .join(pool.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
@@ -101,13 +115,7 @@ object CorpusDedup {
       .distinct()
     // exact-Jaccard verification — shingles joined back by id, only
     // candidate pairs pay the set intersection (NearDup's contract)
-    // tokenize once — the id_a/id_b verify sides each re-ran the
-    // union + wordShingles pass before the checkpoint (r18, the
-    // nearDupPairs fix applied to the incremental path)
-    val sh = baseDocs.unionByName(probeDocs)
-      .select(col(idCol).as("__sid"),
-        array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
-      .localCheckpoint()
+    val sh = ssBase.unionByName(ssProbe).withColumnRenamed("__id", "__sid")
     val pairs = cands
       .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
       .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))

@@ -92,12 +92,25 @@ object NearDup {
     */
   private[llm] def bandTable(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int,
-                             seed: Long): DataFrame = {
+                             seed: Long): DataFrame =
+    bandRowsOfSets(
+      df.select(col(idCol).as("__id"),
+        TextOps.wordShingles(col(textCol), shingleN).as("__sh")),
+      numHashes, bands, seed)
+
+  /** The (__id, band, bucket) rows of an ALREADY-tokenized shingle
+    * table — the band construction separated from the tokenize pass so
+    * callers that also need the shingle sets for the verify stage
+    * ([[nearDupPairs]], `CorpusDedup.cleanAgainst`) tokenize exactly
+    * once. MinHash over a multiset equals MinHash over its distinct
+    * set, so feeding `shingleSets` output here yields the signatures
+    * `bandTable` computes from the raw shingle list.
+    */
+  private[llm] def bandRowsOfSets(ss: DataFrame, numHashes: Int, bands: Int,
+                                  seed: Long): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    df.select(col(idCol).as("__id"),
-        TextOps.wordShingles(col(textCol), shingleN).as("__sh"))
-      .select(col("__id"), minhashSignature(col("__sh"), numHashes, seed).as("__sig"))
+    ss.select(col("__id"), minhashSignature(col("__sh"), numHashes, seed).as("__sig"))
       .select(col("__id"), explode(lshBands(col("__sig"), bands, r, seed)).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
@@ -395,15 +408,28 @@ object NearDup {
                    threshold: Double = 0.8, shingleN: Int = 3,
                    numHashes: Int = 64, bands: Int = 16,
                    seed: Long = 42L): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
-    // tokenize ONCE: the two verify joins are the id_a and id_b sides
-    // of the same shingle table — without the checkpoint each side
-    // re-ran the scan + wordShingles + array_distinct pass (the small
-    // candidate table broadcasts, so neither join reuses the other's
-    // exchange; r18, the prefixShingleSets discipline applied here)
-    val sh = df.select(col(idCol).as("__sid"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleN)).as("__sh"))
-      .localCheckpoint()
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes not divisible by bands=$bands")
+    // tokenize ONCE for the WHOLE operator (r19; r18 had already
+    // deduplicated the two verify sides, but the band table ran its
+    // own scan + wordShingles pass): the checkpointed distinct shingle
+    // sets feed the MinHash/band construction AND both verify joins.
+    // Signatures are unchanged — a MinHash fold over the multiset
+    // equals the fold over the set (min ignores repeats). Docs with
+    // zero shingles leave the band table; they previously rode it with
+    // the all-MaxValue empty-fold signature, but any pair they formed
+    // verified to jaccard 0 (threshold > 0 drops it), so the output is
+    // identical.
+    val ss = shingleSets(df, idCol, textCol, shingleN).localCheckpoint()
+    val bucketed = bandRowsOfSets(ss, numHashes, bands, seed)
+      .localCheckpoint() // both self-join sides read the tiny index
+    val cands = bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    val sh = ss.withColumnRenamed("__id", "__sid")
     cands
       .join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sha"), Seq("id_a"))
       .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__shb"), Seq("id_b"))

@@ -795,12 +795,21 @@ object Similarity {
     * batch side of [[semDedupAppend]].
     */
   private def foldedCentroids(centroids: DataFrame, centroidIdCol: String,
-                              centroidVecCol: String): DataFrame =
+                              centroidVecCol: String): DataFrame = {
+    // Empty centroids would NOT produce an empty result downstream: the
+    // global agg still emits one row with an empty array, nearestCentroid
+    // folds to NULL and every input row would come back cluster_id=NULL,
+    // keep=true — silently different semantics from the crossJoin+max_by
+    // shape this replaced (which returned nothing). Fail loudly instead
+    // (ADVICE r18).
+    require(!centroids.isEmpty,
+      "foldedCentroids: the centroid table is empty — SemDeDup assignment needs >= 1 centroid")
     centroids
       .select(col(centroidIdCol).as("centroid_id"),
         col(centroidVecCol).cast("array<double>").as("__centv"))
       .agg(sort_array(collect_list(struct(col("centroid_id").as("id"),
         col("__centv").as("v")))).as("__cents"))
+  }
 
   private def nearestCentroid(v: Column): Column =
     -array_max(transform(col("__cents"), c =>

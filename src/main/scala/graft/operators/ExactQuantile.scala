@@ -56,7 +56,7 @@ object ExactQuantile {
     require(bins > 0, s"bins must be positive, got $bins")
     val spark = df.sparkSession
     val g = groupCols.map(col)
-    val v = col(valueCol).cast("double")
+    val v = col("__v")
 
     // Null contract: null values are EXCLUDED from the order (the
     // percentile_disc convention — phase 1's count(v) already skips
@@ -65,7 +65,20 @@ object ExactQuantile {
     // GROUP KEYS cannot ride the equi-joins of phases 2/3 (they drop
     // rows silently, then the driver histogram lookup explodes) — fail
     // loudly up front instead, from the already-collected extent.
-    val base = df.filter(v.isNotNull)
+    //
+    // Project the input to exactly (group keys, double value) before
+    // the three phases (r19, guide §2.3 project early): the phase-3
+    // candidate shuffle and window sort now move the skinny rows, not
+    // the caller's full width. The phases still re-scan the projected
+    // subtree — an eager checkpoint here was A/B'd and REJECTED: the
+    // three scans are pruned columnar reads (or the caller's own
+    // checkpoint), and materializing corpus-scale rows cost more than
+    // it saved at every tested SF. Casting to double up front ≡
+    // casting at each use (same value, one expression), so bins,
+    // ranks and the picked values are unchanged.
+    val base = df
+      .filter(col(valueCol).cast("double").isNotNull)
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
 
     // phase 1: per-group extent + count (G rows, driver-bounded)
     val extent = base.groupBy(g: _*)
